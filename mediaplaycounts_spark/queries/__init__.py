@@ -1,0 +1,28 @@
+"""Graded operator implementations (SURVEY.md §2 inventory).
+
+Importing this package populates :mod:`mediaplaycounts_spark.registry`.
+Modules are grouped by §2 section:
+
+- scans        — §2.A scans / sources / sinks
+- expressions  — §2.B projection / filter / scalar expressions
+- joins        — §2.C joins
+- aggregates   — §2.D aggregation
+- windows      — §2.E window functions
+- setops       — §2.F sort / limit / set operations
+- streaming    — §2.G structured-streaming operators (+ batch twins)
+- udfs         — §2.H UDF / UDAF / UDTF surface
+- llm          — §2.I LLM-data-pipeline operators (dedup, similarity,
+                 multimodal, text analysis)
+"""
+
+from mediaplaycounts_spark.queries import (  # noqa: F401
+    aggregates,
+    expressions,
+    joins,
+    llm,
+    scans,
+    setops,
+    streaming,
+    udfs,
+    windows,
+)

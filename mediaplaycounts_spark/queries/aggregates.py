@@ -1,0 +1,303 @@
+"""§2.D Aggregation operators.
+
+The reference's core computation is the per-(file, day) playcount sum
+(``REF LogProcessor::parse`` -> MySQL rows) and date-range totals over
+it (``REF GetData::date_range``); SURVEY.md §2.D maps each to a Spark
+hash-aggregate. ``events`` is the play-log analog in the graded
+testdata (FIXTURES.md §A).
+
+Scale notes: every groupBy below is a partial (map-side) + final hash
+aggregate with a single shuffle on the group keys — the plan Catalyst
+already picks; nothing here collects to the driver. Distinct counts at
+100 TB should prefer :func:`agg_approx_distinct` (HLL, no exact-distinct
+shuffle explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mediaplaycounts_spark.queries._helpers import davg, davg_sql, dec, dsum, dsum_sql
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+
+@register(
+    "agg_daily_playcount",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS plays
+        FROM events WHERE event_type = 'view'
+        GROUP BY day
+    """,
+)
+def agg_daily_playcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core reference op: plays per day (REF LogProcessor::parse).
+
+    events is the play-log analog: 'view' events are plays; the daily
+    rollup is one map-side-combined hash aggregate. Day is emitted as a
+    midnight timestamp (date_trunc) on both engines so pandas dtypes
+    match under any fetch path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("plays"))
+    )
+
+
+@register(
+    "agg_multi",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity', 'sum_qty')},
+               {dsum_sql('l_extendedprice', 'sum_base_price')},
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               {davg_sql('l_quantity', 'avg_qty')},
+               {davg_sql('l_extendedprice', 'avg_price')},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style multi-aggregate in one pass (count/sum/avg).
+
+    Sums run through DECIMAL(18,2) so they are exact integer arithmetic
+    (order-independent) and hash-match the DuckDB oracle bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_date_range_total",
+    oracle=f"""
+        SELECT user_id, COUNT(*) AS n_events,
+               {dsum_sql('value', 'total_value')}
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+        GROUP BY user_id
+    """,
+)
+def agg_date_range_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range total per entity (REF GetData::date_range).
+
+    The reference ran an indexed MySQL range scan per file; here the
+    date predicate is pushed into the parquet scan (and would prune
+    date partitions on a partitioned fact table).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return (
+        ev.filter((d >= F.lit("2024-01-10")) & (d <= F.lit("2024-01-20")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+
+
+@register(
+    "agg_distinct_count",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY day
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day (expand-then-aggregate under the hood)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct per type — the 100 TB substitute for exact distinct.
+
+    rsd=0.01; rows-only check (approximation is engine-specific, so no
+    value oracle; row count per group is stable).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               median(l_quantity) AS median_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p90 (both engines use linear interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+        SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS yr,
+               COALESCE(CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR), 'ALL') AS mth,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice', 'revenue')}
+        FROM orders
+        GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate),
+                         EXTRACT(month FROM o_orderdate))
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotals along year -> month -> grand total (GROUPING SETS family).
+
+    Group keys are emitted as strings with an 'ALL' sentinel so subtotal
+    NULLs don't change pandas dtypes between engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long")
+    mth = F.month("o_orderdate").cast("long")
+    return (
+        o.rollup(yr.alias("y"), mth.alias("m"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .select(
+            F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("m").cast("string"), F.lit("ALL")).alias("mth"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT COALESCE(lang, 'ALL') AS lang_k,
+               COALESCE(source, 'ALL') AS source_k,
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: per-lang, per-source, and grand total."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, 'ALL') AS lang_k,
+               COALESCE(source, 'ALL') AS source_k,
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY day
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into one count column per type.
+
+    The value list is explicit, which keeps the plan a single pass (no
+    distinct-values pre-query) — required at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic keeper (earliest ts, then id).
+
+    ``dropDuplicates`` keeps an arbitrary row; a row_number window makes
+    the survivor deterministic — the form that hash-matches an oracle
+    and the form you want for reproducible 100 TB dedup runs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "agg_collect_list",
+    oracle="""
+        SELECT user_id,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',')
+                 AS types,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key array assembly, order-stabilized then joined to a string.
+
+    collect_set order is nondeterministic under parallelism; array_sort
+    + array_join makes the output deterministic and hashable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.count("*").alias("n_events"),
+    )

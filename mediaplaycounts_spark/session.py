@@ -1,0 +1,99 @@
+"""SparkSession bootstrap and per-session configuration.
+
+Two entry points:
+
+- :func:`get_spark` builds a session with the engine's defaults (used by
+  bench.py, tests, CLI jobs).
+- :func:`configure` applies the *runtime-settable* subset to an existing
+  session. The grading driver supplies its own SparkSession, so every
+  graded query path calls this defensively (it is idempotent and cheap).
+
+Scale posture (SURVEY.md §4): AQE on everywhere (coalescing + skew-join
+handling), UTC session timezone so date math is deterministic and
+matches the DuckDB oracle, and the verified PySpark 4.1.2 workaround for
+nanosecond parquet timestamps (SURVEY.md §7 watch-list item 0).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to set on a live session (SQL runtime confs).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic date/timestamp math, identical to the DuckDB oracle
+    # which reads the same parquet as naive (UTC) timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which PySpark 4.1.2 refuses
+    # by default ([PARQUET_TYPE_ILLEGAL]); read as long and convert.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and plan re-optimization at stage boundaries.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Idempotent per-day re-runs of the ingest job replace only the
+    # affected date partitions (REF LogProcessor daily idempotency).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Arrow for any pandas interchange (pandas_udf, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or 0) or os.cpu_count() or 8
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment; defaults are acceptable.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "mediaplaycounts-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``local[$SPARK_GRAFT_CPUS]`` in this sandbox; on a real cluster the
+    master comes from spark-submit and these confs still apply.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(RUNTIME_CONFS)
+    conf.update(
+        {
+            # One shuffle partition per core locally; AQE coalesces down
+            # when maps are small and splits skewed partitions. On a
+            # 1000-executor cluster this would be sized to ~2-3x total
+            # cores (or left to AQE's initialPartitionNum).
+            "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            # Keep scans parallel even for few large files.
+            "spark.sql.files.maxPartitionBytes": "128m",
+        }
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    # getOrCreate may have returned a pre-existing session: re-assert the
+    # runtime subset so behavior does not depend on creation order.
+    return configure(spark)

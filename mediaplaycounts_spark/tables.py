@@ -1,0 +1,68 @@
+"""Table loaders for the driver-provided parquet testdata.
+
+All graded queries load through :func:`load_table` so the two verified
+gotchas are handled in exactly one place (SURVEY.md §7 watch-list):
+
+- ``events.ts`` is parquet TIMESTAMP(NANOS): read as long nanos
+  (``nanosAsLong``) and truncate to microseconds with integer division
+  (``ts div 1000`` — NOT float division, whose rounding could round *up*
+  near the next microsecond while DuckDB truncates), then present as
+  TIMESTAMP_NTZ to match DuckDB's naive microsecond timestamps.
+- Session timezone pinned UTC before any read.
+
+At 100 TB these loaders are where partition pruning starts: the fact
+tables would be date-partitioned parquet/Iceberg and these readers pass
+predicates through untouched so Catalyst pushes them into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.session import configure
+
+#: The ten driver tables (TESTDATA.md:13-15); also the DuckDB view names.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with schema normalization.
+
+    ``events.ts`` arrives as TIMESTAMP_NTZ (microsecond, truncated from
+    nanos) — bit-identical to what the DuckDB oracle sees.
+    """
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all ten."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so operators can also be phrased in Spark SQL."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

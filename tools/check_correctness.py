@@ -1,0 +1,151 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, then compares row count, column names, and
+values (order-insensitive, exact — with a tiny float tolerance reported
+separately so near-misses are visible before they become hash
+mismatches).
+
+Usage:
+    python tools/check_correctness.py [--sf /root/testdata/sf0.01] [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            try:
+                s = s.dt.tz_localize(None)
+            except (TypeError, AttributeError):
+                pass
+            s = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif s.dtype == object:
+            import datetime as _dt
+
+            non_null = s.dropna()
+            if len(non_null) and isinstance(
+                non_null.iloc[0], (_dt.date, _dt.datetime, pd.Timestamp)
+            ):
+                s = pd.to_datetime(s).astype("datetime64[us]")
+                out[c] = s
+                continue
+            s = s.map(
+                lambda v: str(v)
+                if not (v is None or (isinstance(v, float) and math.isnan(v)))
+                else None
+            )
+        out[c] = s
+    ndf = pd.DataFrame(out)
+    ndf = ndf.sort_values(by=list(ndf.columns), ignore_index=True, na_position="last")
+    return ndf
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> tuple[bool, str]:
+    if len(spark_df) != len(duck_df):
+        return False, f"row count {len(spark_df)} vs {len(duck_df)}"
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        return False, f"columns {sc} vs {dc}"
+    a, b = normalize(spark_df), normalize(duck_df)
+    exact = a.equals(b)
+    if exact:
+        return True, "exact"
+    # Diagnose: float near-miss vs real mismatch.
+    diffs = []
+    for c in a.columns:
+        if a[c].dtype == "float64":
+            av, bv = a[c].fillna(float("nan")), b[c].fillna(float("nan"))
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                md = (av[neq] - bv[neq]).abs().max()
+                diffs.append(f"{c}: {int(neq.sum())} cells differ, max |d|={md:.3e}")
+        else:
+            neq = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"{c}: {int(neq.sum())} cells differ, e.g. {a[c][i]!r} vs {b[c][i]!r}")
+    return False, "; ".join(diffs) if diffs else "row-order-sensitive mismatch"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from mediaplaycounts_spark.session import get_spark
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    keys = args.keys or sorted(qs)
+    spark = get_spark("check-correctness")
+    con = duck_con(args.sf)
+
+    n_pass = n_fail = n_rows_only = 0
+    for k in keys:
+        if k not in qs:
+            print(f"  {k}: UNKNOWN KEY")
+            n_fail += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[k](spark, args.sf).toPandas()
+        except Exception as ex:
+            print(f"✗ {k}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        if k not in oracles:
+            ok = len(sdf) >= 0
+            print(f"~ {k}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.execute(oracles[k]).fetchdf()
+        except Exception as ex:
+            print(f"✗ {k}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        ok, msg = compare(sdf, ddf)
+        mark = "✓" if ok else "✗"
+        print(f"{mark} {k}: {msg} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
