@@ -1,1 +1,272 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.C Join operators.
+
+The reference has exactly one join-shaped computation — category
+membership resolved via the Commons API then an N+1 per-file SQL loop
+(REF GetData::category_*, SURVEY.md §3.3). Here that becomes a single
+semi-join plan; the rest of the family (broadcast dim, shuffle equi,
+date-spine outer, anti, interval, as-of, cross) is the standard surface
+a general engine needs (SURVEY.md §2.C).
+
+Scale notes per operator are in the docstrings; the common rules:
+small dims are broadcast (no shuffle), big-big joins shuffle on the
+equi-key and AQE handles skew, and the as-of join avoids the
+join-then-filter row explosion entirely via a union + running-last
+window (one shuffle, no N×M intermediate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mediaplaycounts_spark.queries._helpers import dec
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × small dims with explicit broadcast hints.
+
+    customer/nation/region are broadcast — the fact table never
+    shuffles. At 100 TB this is the difference between a map-only stage
+    and a full fact-table exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_shuffle_equi",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber AS line_no, o.o_orderdate,
+               CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big × big equi-join: sort-merge on the shuffled key.
+
+    Both sides shuffle on l_orderkey/o_orderkey once; AQE may flip to
+    broadcast at small SF and splits skewed keys at large SF. The
+    status filter is pushed below the join into the orders scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    revenue = F.round(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2)
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        "o_orderdate",
+        revenue.cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "join_left_outer_datespine",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('day', MIN(ts)) AS mn, date_trunc('day', MAX(ts)) AS mx
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds
+        ),
+        counts AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events WHERE event_type = 'purchase' GROUP BY day
+        )
+        SELECT s.day, COALESCE(c.n, 0) AS n_purchases
+        FROM spine s LEFT JOIN counts c ON s.day = c.day
+    """,
+)
+def join_left_outer_datespine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine LEFT JOIN: zero-fill days with no plays.
+
+    The reference zero-fills missing days in Python when serializing
+    date_range results (REF GetData::date_range ⚠); here the spine is
+    generated in-plan (sequence+explode — no driver loop) and the join
+    broadcasts the tiny spine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", "ts")
+    spine = (
+        ev.agg(
+            F.min(day).alias("mn"), F.max(day).alias("mx")
+        )
+        .select(
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
+        )
+    )
+    counts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(counts, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_purchases"))
+    )
+
+
+@register(
+    "join_semi_membership",
+    oracle="""
+        SELECT l_orderkey, l_linenumber AS line_no, l_partkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+    """,
+)
+def join_semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category membership as a leftsemi join (REF GetData::category_*).
+
+    The reference resolved a category to member files via the Commons
+    API, then ran one SQL query per member (N+1). Here membership is a
+    table and the whole category query is ONE broadcast semi-join — the
+    definitive Spark win in SURVEY.md §3.3.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    members = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return li.join(
+        F.broadcast(members), li.l_partkey == members.p_partkey, "leftsemi"
+    ).select("l_orderkey", F.col("l_linenumber").cast("long").alias("line_no"), "l_partkey")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: entities with zero facts (files with zero plays)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "leftanti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_INTERVALS = [
+    ("w1", "2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+    ("w2", "2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+    ("w3", "2024-01-21 00:00:00", "2024-02-01 00:00:00"),
+]
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+        WITH iv(label, s, e) AS (VALUES
+            ('w1', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+            ('w2', TIMESTAMP '2024-01-11 00:00:00', TIMESTAMP '2024-01-21 00:00:00'),
+            ('w3', TIMESTAMP '2024-01-21 00:00:00', TIMESTAMP '2024-02-01 00:00:00'))
+        SELECT iv.label, ev.event_type, COUNT(*) AS n_events
+        FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+        GROUP BY iv.label, ev.event_type
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: event ts within [start, end).
+
+    With a tiny broadcast interval table this is a broadcast
+    nested-loop — fine. At scale with many intervals, pre-bucketize:
+    assign each event an interval-granularity bucket key and equi-join
+    on the bucket first (turns BNLJ into a shuffle join); that variant
+    lives in the docs because these 3 literal windows don't need it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = spark.createDataFrame(_INTERVALS, "label string, s string, e string").select(
+        "label",
+        F.col("s").cast("timestamp_ntz").alias("s"),
+        F.col("e").cast("timestamp_ntz").alias("e"),
+    )
+    return (
+        ev.join(F.broadcast(iv), (ev.ts >= iv.s) & (ev.ts < iv.e))
+        .groupBy("label", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest right row at-or-before each left row's time.
+
+    Spark has no native as-of; the scalable formulation is union the two
+    streams, sort within each key once, and carry the right side's value
+    forward with last(ignorenulls) — one shuffle, no join-then-filter
+    row explosion, no per-key skew blowup (cf. the row_number-over-
+    theta-join alternative which materializes |events|x|signups| per
+    user). Right rows sort BEFORE left rows at equal ts so ties match
+    (ASOF's >= semantics), verified against DuckDB's native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("signup_ts"),
+        F.lit(1).alias("is_left"),
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("signup_ts"),
+        F.lit(0).alias("is_left"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "asof_ts", F.last("signup_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_left") == 1).select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("signup_ts")
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+        SELECT r.r_name, s.o_orderstatus AS status
+        FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded Cartesian for spine/grid building (both sides tiny)."""
+    r = load_table(spark, sf_dir, "region")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(F.broadcast(statuses)).select(
+        "r_name", F.col("o_orderstatus").alias("status")
+    )

@@ -1,1 +1,200 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.E Window-function operators.
+
+The reference's flagship queries are rolling last-30/last-90-day totals
+per file (REF GetData::last_30/last_90) — executed there as indexed SQL
+range scans plus Python summing. Here they are range-frame window
+aggregates over the daily rollup: one shuffle on the partition key, then
+a sorted in-partition pass (WindowExec), no driver-side loops.
+
+Scale notes: every window below partitions by a key (event_type /
+user_id) so state is bounded per partition; none uses a global
+unpartitioned window (which would serialize on one task at 100 TB).
+Ties are always broken explicitly (ts, then id) so results are
+deterministic and hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base: per-(day, type) event counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("DAY", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+
+
+_DAILY_SQL = """
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY day, event_type
+"""
+
+
+@register(
+    "win_topk_per_group",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, user_id, COUNT(*) AS n
+            FROM events GROUP BY day, user_id
+        )
+        SELECT day, user_id, n, rn FROM (
+            SELECT day, user_id, n,
+                   ROW_NUMBER() OVER (PARTITION BY day
+                                      ORDER BY n DESC, user_id) AS rn
+            FROM daily) t
+        WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N most-active users per day (top-played files per day in the
+    reference's terms). Aggregate first, then rank the small rollup —
+    never rank raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("day"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n"), "user_id")
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("day", "user_id", "n", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile with explicit tie-breaks."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_delta",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL})
+        SELECT day, event_type, n,
+               n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        FROM daily
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta per type (NULL on each partition's first day)."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "day", "event_type", "n", (F.col("n") - F.lag("n").over(w)).alias("delta")
+    )
+
+
+@register(
+    "win_rolling_30d",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL})
+        SELECT day, event_type, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS last_7,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS last_30
+        FROM daily
+    """,
+)
+def win_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship rolling totals (REF GetData::last_30/90).
+
+    RANGE frames over days (not ROWS — gap days must not stretch the
+    window). The frame is expressed on unix_date day numbers; the DuckDB
+    twin uses RANGE BETWEEN INTERVAL, same semantics. 7- and 30-day
+    variants in one pass over the daily rollup.
+    """
+    daily = _daily_counts(spark, sf_dir).withColumn(
+        "day_num", F.unix_date(F.col("day").cast("date"))
+    )
+    base = Window.partitionBy("event_type").orderBy("day_num")
+    w7 = base.rangeBetween(-6, 0)
+    w30 = base.rangeBetween(-29, 0)
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.sum("n").over(w7).alias("last_7"),
+        F.sum("n").over(w30).alias("last_30"),
+    )
+
+
+@register(
+    "win_cumulative",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL})
+        SELECT day, event_type, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_total
+        FROM daily
+    """,
+)
+def win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running all-time total per type (cumulative playcount per file)."""
+    daily = _daily_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day", "event_type", "n", F.sum("n").over(w).alias("running_total")
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+        SELECT DISTINCT user_id,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type) OVER w AS last_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last value per partition with an explicit full frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
