@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.G Streaming operators (batch twins + real streaming runs).
+
+The driver executes each ``queries()`` callable as a batch DataFrame, so
+(per SURVEY.md §2.G) windowed/sessionized keys register their **batch
+twin** — the identical windowing expressions over the bounded events
+table — while `stream_watermark_late` and `stream_foreachbatch_jdbc`
+run REAL Structured Streaming queries to completion
+(Trigger.AvailableNow over the bounded replay source) and return the
+drained result. Bounded in-order replay makes even those deterministic,
+so every key here is SQL-oracled.
+
+Scale notes: tumbling/sliding aggregations are shuffle-once stateful
+aggs keyed by (window, type); the watermark bounds state eviction; the
+session window uses Spark's native merging-session state store. The
+foreachBatch sink is the cron->MySQL replacement: per-micro-batch
+idempotent upsert into a serving store.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.streaming.jobs import read_events_stream, run_available_now
+from mediaplaycounts_spark.tables import load_table
+
+SCRATCH = pathlib.Path(__file__).resolve().parents[2] / ".scratch"
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+        FROM events GROUP BY ws, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1-hour tumbling window (batch twin).
+
+    Identical `F.window` expression runs in the streaming variant; the
+    daily cron of the reference is this with a 24h window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+        WITH b AS (
+            SELECT time_bucket(INTERVAL '15 minutes', MIN(ts)) AS mn,
+                   time_bucket(INTERVAL '15 minutes', MAX(ts)) AS mx
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(mn - INTERVAL '45 minutes', mx,
+                                          INTERVAL '15 minutes')) AS ws
+            FROM b
+        )
+        SELECT s.ws, e.event_type, COUNT(*) AS n
+        FROM spine s
+        JOIN events e ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL '1 hour'
+        GROUP BY s.ws, e.event_type
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event in 4 windows).
+
+    Both engines align slides to the epoch (minute-aligned), so window
+    starts agree; the oracle only materializes non-empty windows, same
+    as Spark's expand-based plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH l AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, ts,
+                   CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM l
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    Spark's native session_window (merging state store in streaming);
+    the oracle is the classic lag+cumsum sessionization. Boundary
+    semantics: a gap of exactly 30 minutes starts a NEW session
+    (session end = last_ts + gap, exclusive), hence >= in the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+        FROM events GROUP BY ws
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: watermarked hourly counts over bounded replay.
+
+    withWatermark('2 hours') bounds aggregation state; AvailableNow
+    drains the parquet source in order, so nothing is actually late and
+    the result equals the batch aggregate — which is exactly what the
+    oracle asserts. (In production the same query drops events >2h late;
+    the replay proves plan + state wiring, the oracle proves values.)
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    result = run_available_now(agg, output_mode="complete")
+    return result.select(
+        F.col("w.start").cast("timestamp_ntz").alias("ws"), "n"
+    )
+
+
+@register(
+    "stream_dedup_stateful",
+    oracle="""
+        SELECT user_id,
+               COUNT(DISTINCT date_trunc('day', ts)) AS n_active_days
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup twin: distinct (user, day) then active-day counts.
+
+    Streaming variant: withWatermark + dropDuplicates(['user_id','day'])
+    keeps only first occurrence per key within the watermark horizon —
+    state-bounded exactly-once dedup (see tests/test_streaming.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", F.date_trunc("DAY", "ts").alias("day"))
+        .dropDuplicates(["user_id", "day"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_active_days"))
+    )
+
+
+@register(
+    "stream_foreachbatch_jdbc",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: foreachBatch micro-batch loads to a serving
+    store, then re-aggregation on read-back.
+
+    The reference's cron->MySQL daily load becomes: per micro-batch,
+    aggregate and append to the serving store (parquet here; the Derby
+    JDBC variant is the graded `sink_jdbc` key — same foreachBatch shape
+    with df.write.jdbc + staging MERGE in production). Totals across
+    micro-batches are re-aggregated on read, so the result is exact
+    regardless of how AvailableNow splits batches.
+    """
+    run_dir = SCRATCH / f"febatch_{uuid.uuid4().hex[:12]}"
+    out_dir, ckpt_dir = str(run_dir / "out"), str(run_dir / "ckpt")
+
+    stream = read_events_stream(spark, sf_dir)
+
+    def load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n_part"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.sum("n_part").alias("n"))
+    )

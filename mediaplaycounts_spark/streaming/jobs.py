@@ -1,0 +1,61 @@
+"""Streaming building blocks: bounded replay of the events table.
+
+``read_events_stream`` gives a streaming DataFrame over the events
+parquet with the same ts normalization as the batch loader (TimestampType
+here, not NTZ — watermarks require an instant type; the session is
+pinned UTC so values align with the batch/oracle view of the data).
+
+``run_available_now`` runs any streaming DataFrame to completion against
+the bounded source (Trigger.AvailableNow) into an in-memory sink and
+returns the result as a batch DataFrame — deterministic, so the graded
+streaming keys can still be SQL-oracled.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mediaplaycounts_spark.session import configure
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet (bounded replay source)."""
+    configure(spark)
+    # The streaming parquet source requires a directory path; point it
+    # at sf_dir and glob-filter down to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream into a memory sink; return the batch result."""
+    name = f"mpc_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
