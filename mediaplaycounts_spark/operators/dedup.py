@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All formulations are deterministic (seed-free pseudo-randomness comes
+from xxhash64 of literal seeds) and expressed as DataFrame compositions
+— no Python in the data path — so they distribute, survive AQE
+re-planning, and produce hash-stable outputs.
+
+Scale design:
+- MinHash-LSH: candidate generation is band-bucket equi-join (shuffle on
+  (band, hash) — cardinality ~ n_docs x bands, never n_docs²); only
+  candidates pay the exact-Jaccard verify.
+- SimHash: one groupBy builds 64-bit fingerprints; near-dup blocking is
+  a 16-bit-chunk equi-join (4 chunks => Hamming distance <= 3 guaranteed
+  to collide in >= 1 chunk by pigeonhole).
+- n-gram Jaccard: exact pairwise within blocks only (lang here); at
+  100 TB you run MinHash first and reserve this for verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P_MOD = 1_000_000_007
+
+
+def tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(text: str | Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles; whole text if shorter than n words."""
+    t = tokens(text)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    return df.withColumn("shingle_set", shingles(text_col, n))
+
+
+def content_hash(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(c, 256)
+
+
+def exact_dedup_by_hash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: one hash-groupBy, deterministic keeper.
+
+    Returns (content_hash, keeper_id, n_copies). sha256 collisions are
+    ignored by design (2^-128 at any realistic corpus size).
+    """
+    return (
+        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 2
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[s] = min over shingles of h_s(x).
+
+    h_s(x) = xxhash64(x, s) — independent hash families from literal
+    seeds, computed columnar in one projection (no UDF, no explode: the
+    min runs inside array_min over the shingle array).
+    """
+    sh = shingles(text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x: F.xxhash64(x, F.lit(s))))
+            for s in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingle_set"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact-Jaccard verification.
+
+    banding: band b collides iff all its rows of the signature agree;
+    P(candidate) = 1-(1-j^r)^b — the classic S-curve. Candidates come
+    from an equi-join on (band_idx, band_hash): linear shuffle volume,
+    never a quadratic cross product. Each candidate pair is then
+    verified with exact Jaccard over the (distinct) shingle sets, so
+    false positives cost only the verify.
+    """
+    num_bands = num_hashes // rows_per_band
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_hash = F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                F.lit(b),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_hash).alias("band_idx", "band_hash")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = sigs.select("doc_id", "shingle_set")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within blocks (equi-join on block key).
+
+    Jaccard = |A∩B| / |A∪B| over distinct shingle sets — pure integer
+    arithmetic, so the double division is bit-exact across engines.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"), shingles(text_col, n).alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.s", "b.s"))
+    union = F.size("a.s") + F.size("b.s") - inter
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, frequency-weighted.
+
+    Explode tokens, hash each occurrence once (xxhash64), then 64
+    conditional-sum aggregates (one per bit) in a single groupBy pass;
+    the fingerprint reassembles JVM-side. All integer arithmetic.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return bit_sums.select("doc_id", fp.alias("fingerprint"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit chunk blocking.
+
+    With 4 chunks, any pair within Hamming distance 3 shares at least
+    one identical chunk (pigeonhole), so the candidate join is an
+    equi-join on (chunk_idx, chunk_value) — linear, not quadratic.
+    """
+    fps = simhash_fingerprints(df, id_col, text_col)
+    chunk = F.array(
+        *[
+            F.shiftright("fingerprint", 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    chunks = fps.select(
+        "doc_id", "fingerprint", F.posexplode(chunk).alias("chunk_idx", "chunk_val")
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fingerprint").alias("fa"),
+            F.col("b.fingerprint").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

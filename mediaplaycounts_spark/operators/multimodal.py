@@ -1,0 +1,87 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns plus
+typed metadata columns; decode / feature-extract / resize / frame-sample
+run as Arrow-batched Python over mapInPandas. This container has no
+image/audio libraries, so the decode kernels are STUBS (clearly marked
+NotImplementedError or deterministic fakes) — but the Spark-side
+plumbing is real and tested: schema contracts, Arrow batch iteration,
+partition-preserving mapInPandas, and deterministic metadata extraction
+(byte length, md5) that IS fully implemented.
+
+Scale notes: mapInPandas streams Arrow record batches through one Python
+worker per core — no driver collect, no per-row pickling. Binary-heavy
+tables should set spark.sql.files.maxPartitionBytes low enough that a
+batch of payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema contract for the metadata extractor.
+BINARY_META_SCHEMA = "doc_id bigint, n_bytes bigint, content_md5 string"
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 payload stand-in)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_binary_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column.
+
+    Real work (length + md5) is implemented; this is the template every
+    decode kernel follows: iterate Arrow batches, vectorize per batch,
+    yield frames matching the declared schema.
+    """
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "content_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(meta_batches, BINARY_META_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, feature array<float>"
+)
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """STUB — image decode requires PIL/opencv, absent in this container.
+
+    The production kernel decodes each payload to HxWxC uint8 and
+    computes a feature vector; the Spark-side contract (schema,
+    batching, partitioning) is what the engine defines and tests.
+    """
+    raise NotImplementedError(
+        "image decode requires an image library (PIL/opencv) not present "
+        "in this environment; see extract_binary_meta for the implemented "
+        "Arrow-batched template"
+    )
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas plumbing for the stubbed image kernel (schema-typed)."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_image_batch(pdf["payload"]).assign(doc_id=pdf[id_col])
+
+    return df.select(id_col, "payload").mapInPandas(feature_batches, IMAGE_FEATURE_SCHEMA)

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Float discipline: every dot product / norm is computed in float64 with a
+SEQUENTIAL left fold (F.aggregate over zip_with), which matches DuckDB's
+list_reduce element order bit-for-bit — so cosine values hash-match the
+oracle with no tolerance games. Built-ins only; the JVM evaluates the
+folds inside codegen.
+
+Scale design:
+- brute-force top-k: one pass, per-partition top-k via
+  TakeOrderedAndProject — the correctness baseline and fine up to ~10^7
+  vectors per probe batch.
+- blocked pairwise: equi-join on a blocking key (label / LSH bucket) so
+  the cross product is per-block, never global.
+- LSH ANN: deterministic random-hyperplane signatures (planes derived
+  from md5 of (plane, dim) indices — reproducible everywhere, no RNG
+  state); bucket equi-join + exact re-rank inside buckets. The 100 TB
+  path: bucket cardinality ~ n/2^bits, probe cost ~ bucket size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: str | Column) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold float64 dot product (bit-exact vs list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+#: DuckDB twin of :func:`cosine` — identical op order, for oracle SQL.
+COSINE_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_prepend(0.0, list_transform(CAST({a} AS DOUBLE[]),"
+    " x -> x * x)), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_prepend(0.0, list_transform(CAST({b} AS DOUBLE[]),"
+    " x -> x * x)), (x, y) -> x + y)))"
+)
+
+
+def probe_vector(df: DataFrame, id_col: str, vec_col: str, probe_id: int) -> list[float]:
+    """Fetch one embedding to the driver (tiny, single-row collect)."""
+    row = df.filter(F.col(id_col) == probe_id).select(vec_col).head()
+    if row is None:
+        raise ValueError(f"probe id {probe_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def topk_bruteforce(
+    df: DataFrame, id_col: str, vec_col: str, probe: list[float], k: int = 20
+) -> DataFrame:
+    """Exact top-k by cosine: scan + TakeOrderedAndProject (no shuffle)."""
+    p = F.array(*[F.lit(float(x)) for x in probe]).cast("array<double>")
+    cos = cosine(as_double(vec_col), p)
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, equi-joined on a block key."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), as_double(vec_col).alias("v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _plane_component(j: int, i: int) -> float:
+    """Deterministic ±1 from md5(j, i) — no RNG state, same everywhere."""
+    digest = hashlib.md5(struct.pack("<qq", j, i)).digest()
+    return 1.0 if digest[0] & 1 else -1.0
+
+
+def lsh_planes(num_planes: int, dim: int) -> list[list[float]]:
+    return [[_plane_component(j, i) for i in range(dim)] for j in range(num_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane bucket id: bit j = sign(dot(v, plane_j))."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane]).cast("array<double>")
+        bit = (dot(vec, p) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+    return bucket
+
+
+def topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe: list[float],
+    k: int = 20,
+    num_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: restrict the exact re-rank to the probe's LSH bucket.
+
+    Recall < 1 by construction (that's the deal with ANN); at scale add
+    multi-probe (flip 1 bit) before re-rank. Plan shape: scan ->
+    bucket-filter (codegen) -> top-k; the filter prunes ~(1 - 2^-bits)
+    of the corpus before any cosine is computed.
+    """
+    dim = len(probe)
+    planes = lsh_planes(num_planes, dim)
+    probe_bucket = 0
+    for j, plane in enumerate(planes):
+        d = sum(x * y for x, y in zip(probe, plane))
+        probe_bucket |= (1 if d > 0 else 0) << j
+    p = F.array(*[F.lit(float(x)) for x in probe]).cast("array<double>")
+    v = as_double(vec_col)
+    return (
+        df.withColumn("bucket", lsh_bucket(v, planes))
+        .filter(F.col("bucket") == probe_bucket)
+        .select(F.col(id_col), F.round(cosine(v, p), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -1,1 +1,354 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.I LLM-data-pipeline operators (graded wrappers).
+
+Thin graded entries over :mod:`mediaplaycounts_spark.operators` — text
+analysis, exact/near dedup, similarity search, multimodal columns — on
+the `documents` / `embeddings` tables. SQL-oracle where ANSI SQL can
+express the semantics; the probabilistic candidate generators
+(MinHash-LSH, SimHash, LSH-ANN) are rows-only per the driver contract.
+
+Thresholds are calibrated on the synthetic corpus (31-word vocabulary,
+random label-blocked embeddings): 2-gram Jaccard >= 0.05, same-label
+cosine >= 0.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.operators import dedup as D
+from mediaplaycounts_spark.operators import multimodal as M
+from mediaplaycounts_spark.operators import similarity as S
+from mediaplaycounts_spark.operators import textstats as T
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+# ---------------------------------------------------------------- text
+
+
+@register(
+    "text_tokenize_wordcount",
+    oracle="""
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word counts: split -> explode -> hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(D.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_lang_filter_stats",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) doc stats — the corpus-composition report."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    toks = "list_distinct(string_split(text, ' '))"
+    scores = {
+        lg: f"len(list_intersect({toks}, {words!r}))"
+        for lg, words in T.LANG_MARKERS.items()
+    }
+    select = ", ".join(
+        f"CAST({expr} AS BIGINT) AS s_{lg}" for lg, expr in sorted(scores.items())
+    )
+    langs = sorted(scores)
+    g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {g} THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return select, case
+
+
+_SCORES_SELECT, _PRED_CASE = _lang_scores_sql()
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+        WITH scored AS (SELECT doc_id, lang, {_SCORES_SELECT} FROM documents)
+        SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+               {_PRED_CASE} AS predicted
+        FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: argmax of per-lang overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lg].cast("long").alias(f"s_{lg}") for lg in sorted(scores)],
+        T.predicted_lang("text").alias("predicted"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                     AS n_distinct,
+                   length(text) AS n_len
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_distinct,
+               CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+               CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) * 0.5
+                 + least((CAST(n_len - (n_words - 1) AS DOUBLE)
+                          / CAST(n_words AS DOUBLE)) / 10.0, 1.0) * 0.5 AS quality
+        FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: type-token ratio + avg word length score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.n_words("text").alias("n_words"),
+        T.n_distinct_words("text").alias("n_distinct"),
+        T.type_token_ratio("text").alias("ttr"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT)
+                 AS n_bpe_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_len4
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = T.token_counts("text")
+    return docs.select("doc_id", *[counts[k].alias(k) for k in counts])
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           w -> CAST(length(w) * 17 + ascii(w) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {D.P_MOD}) AS fp
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream (integer-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY content_hash
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup with deterministic keeper."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_by_hash(docs, "doc_id", "text")
+
+
+@register("dedup_near_minhash", oracle=None)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates -> exact-Jaccard-verified near-dup pairs.
+
+    rows-only: the band-collision candidate set is hash-family-specific
+    (no ANSI twin); the jaccard column itself is exact integer math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, rows_per_band=2, threshold=0.05
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS s
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard pairs >= 0.05, blocked by lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=2, threshold=0.05)
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit frequency-weighted SimHash fingerprints (rows-only: no
+    xxhash64 twin exists in ANSI SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs, "doc_id", "text")
+
+
+_COS_AB = S.COSINE_SQL.format(a="a.embedding", b="b.embedding")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({_COS_AB}, 6) >= 0.3
+        GROUP BY b.vec_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup assignment: dup -> lowest-id close neighbor.
+
+    Built on the blocked pairwise cosine; each duplicate points at its
+    lowest-id neighbor above the threshold (deterministic keeper rule).
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_blocked(em, "vec_id", "embedding", "label", 0.3)
+    return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+
+
+# ---------------------------------------------------------- similarity
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_COS_AB}, 6) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({_COS_AB}, 6) >= 0.3
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-label pairs with cosine >= 0.3; float64 sequential-fold math
+    matches the oracle bit-for-bit before rounding."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_blocked(em, "vec_id", "embedding", "label", 0.3)
+
+
+_COS_PROBE = S.COSINE_SQL.format(a="e.embedding", b="p.embedding")
+
+
+@register(
+    "sim_topk_probe",
+    oracle=f"""
+        WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({_COS_PROBE}, 6) AS cos_sim
+        FROM embeddings e, p
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 20
+    """,
+)
+def sim_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-20 neighbors of probe vec_id=0 (baseline
+    ANN path; scan + TakeOrderedAndProject, no shuffle)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+    return S.topk_bruteforce(em, "vec_id", "embedding", probe, k=20)
+
+
+@register("sim_ann_lsh", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (rows-only: bucket membership is
+    hash-family-specific). The 100 TB scale path for sim_topk_probe."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+    return S.topk_lsh(em, "vec_id", "embedding", probe, k=20, num_planes=8)
+
+
+# ---------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+        SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label, d.n_chars,
+               CAST(len(e.embedding) AS BIGINT) AS dim
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang = 'en' AND e.label < 5
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents x embeddings equi-join; the array column rides through
+    the shuffle untouched."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .filter((F.col("lang") == "en") & (F.col("label") < 5))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("label").cast("long").alias("label"),
+            "n_chars",
+            F.size("embedding").cast("long").alias("dim"),
+        )
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction via Arrow-batched mapInPandas
+    (the template every multimodal decode kernel follows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_binary_meta(M.with_binary_payload(docs), "doc_id")

@@ -1,1 +1,178 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.H UDF / UDAF / UDTF surface.
+
+The reference is 100% arbitrary Python (REF LogProcessor / GetData), so
+the engine needs an escape hatch — but a disciplined one:
+
+- `udf_scalar_py` demonstrates the row-at-a-time Python UDF and is
+  deliberately the ONLY one in the repo: it breaks codegen and pays a
+  per-row Python round-trip (documented last resort).
+- Everything else is Arrow-vectorized: pandas_udf scalar (SIMD over
+  batches), pandas_udf grouped-agg, and applyInPandas grouped-map.
+
+Determinism for oracle hashing: grouped results use exact integer
+arithmetic where sums are involved (cents-quantized norms; integer
+sums for moments) so values match DuckDB bit-for-bit; see docstrings.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as STypes
+
+from mediaplaycounts_spark.operators import similarity as S
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+
+@register(
+    "udf_scalar_py",
+    oracle="""
+        SELECT event_id, event_type,
+               CASE WHEN event_type IN ('view', 'click') THEN 'engagement'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                    ELSE 'ops' END AS category
+        FROM events
+    """,
+)
+def udf_scalar_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (media-type-classifier analog).
+
+    LAST RESORT by policy: breaks whole-stage codegen and serializes
+    every row through Py4J-adjacent pickling. Kept as the surface's
+    existence proof; the same logic belongs in F.when (see oracle).
+    """
+
+    @F.udf(returnType=STypes.StringType())
+    def classify(event_type: str) -> str:
+        if event_type in ("view", "click"):
+            return "engagement"
+        if event_type in ("purchase", "signup"):
+            return "conversion"
+        return "ops"
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type", classify("event_type").alias("category"))
+
+
+_COS_PROBE = S.COSINE_SQL.format(a="e.embedding", b="p.embedding")
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle=f"""
+        WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({_COS_PROBE}, 6) AS cos_sim
+        FROM embeddings e, p
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: cosine vs a broadcast probe vector.
+
+    Computes in float64 with a sequential accumulation (matching the
+    oracle's fold order) over numpy column stacks — one Arrow batch per
+    invocation, ~100x a row-at-a-time UDF.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+
+    @F.pandas_udf("double")
+    def cos_probe(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        p = np.asarray(probe, dtype="float64")
+        pn = np.sqrt(np.add.reduce(p * p))
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        # np.add.reduce along axis 0 of the transposed products keeps
+        # sequential left-to-right accumulation (bit-matches list_reduce)
+        dots = np.add.reduce(mat * p, axis=1)
+        norms = np.sqrt(np.add.reduce(mat * mat, axis=1))
+        return pd.Series(np.round(dots / (norms * pn), 6))
+
+    return em.select("vec_id", cos_probe("embedding").alias("cos_sim"))
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(SUM(CAST(round(sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                        (a, b) -> a + b)) * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (100 * COUNT(*)) AS mean_norm
+        FROM embeddings GROUP BY label
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (pandas_udf GROUPED_AGG): mean L2 norm.
+
+    Norms are quantized to cents (round(norm*100) as int64) before the
+    group sum, making the aggregation order-independent integer math —
+    the float mean then divides two exact values, so it hash-matches the
+    oracle regardless of partitioning.
+    """
+
+    @F.pandas_udf("double")
+    def mean_norm_cents(vecs: pd.Series) -> float:
+        import numpy as np
+
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        norms = np.sqrt(np.add.reduce(mat * mat, axis=1))
+        cents = np.round(norms * 100).astype("int64")
+        return float(cents.sum()) / (100 * len(cents))
+
+    em = load_table(spark, sf_dir, "embeddings")
+    # NB: a GROUPED_AGG pandas UDF cannot be mixed with JVM aggregates
+    # in the same .agg() — keep the aggregation pandas-only.
+    return em.groupBy(F.col("label").cast("long").alias("label")).agg(
+        mean_norm_cents("embedding").alias("mean_norm")
+    )
+
+
+@register(
+    "udtf_grouped_map",
+    oracle="""
+        WITH stats AS (
+            SELECT lang,
+                   CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mu,
+                   CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*) AS m2
+            FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               round((d.n_chars - s.mu) / sqrt(s.m2 - s.mu * s.mu), 4) AS z
+        FROM documents d JOIN stats s ON d.lang = s.lang
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map transform (applyInPandas): per-lang z-score normalize.
+
+    Moments come from exact integer sums (int64), then identical double
+    operations to the oracle (mu = sx/n, sd = sqrt(m2 - mu^2)) — so z
+    values are bit-equal before the final rounding.
+    """
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        x = pdf["n_chars"]
+        n = len(x)
+        sx = int(x.sum())
+        sxx = int((x * x).sum())
+        mu = float(sx) / n
+        m2 = float(sxx) / n
+        sd = math.sqrt(m2 - mu * mu)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "n_chars": x,
+                "z": [round((float(v) - mu) / sd, 4) for v in x],
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        zscore, "doc_id bigint, lang string, n_chars bigint, z double"
+    )
