@@ -84,8 +84,15 @@ def read_raw(spark: SparkSession, path: str) -> DataFrame:
 
 
 def corrupt_records(raw: DataFrame) -> DataFrame:
-    """Rows rejected by the schema (REF ErrorLog): raw line + dump date."""
-    return raw.filter(F.col("_corrupt_record").isNotNull()).select(
+    """Rows rejected by the schema (REF ErrorLog): raw line + dump date.
+
+    Spark disallows queries that reference ONLY ``_corrupt_record``
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    documented workaround is caching the parsed scan first. The error
+    path is a tiny fraction of the data, and the cache is shared with
+    the happy path when both run in one job.
+    """
+    return raw.cache().filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line"), "dump_date"
     )
 
