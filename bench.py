@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method (BASELINE.md): one warm-up execution per query, then best-of-3
+timed runs. Queries execute end-to-end into the `noop` sink (full plan
+runs, no collect/serialization cost measured). Baseline reference
+numbers in BASELINE.md were measured the same way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the reference-shaped core (daily rollup, date-range,
+#: rolling windows, category semi-join), the relational workhorses, and
+#: the LLM-pipeline ops that dominate at 100 TB.
+HEADLINE = [
+    "agg_multi",            # TPC-H Q1-style scan+agg (q1_pricing twin)
+    "agg_daily_playcount",  # the reference's core op (daily_counts twin)
+    "join_shuffle_equi",    # big-big SMJ (join_topk twin)
+    "join_broadcast_dim",   # star-schema broadcast path
+    "win_rolling_30d",      # reference flagship rolling totals
+    "agg_pivot",            # wide pivot aggregate
+    "dedup_exact_hash",     # content-hash dedup
+    "text_tokenize_wordcount",
+    "sim_topk_probe",       # brute-force ANN baseline
+    "join_asof",            # union+window as-of
+]
+
+
+def main() -> None:
+    from mediaplaycounts_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    def run(key: str) -> float:
+        df = qs[key](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()  # warm-up
+        best = float("inf")
+        for _ in range(3):
+            df = qs[key](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    timings = {k: run(k) for k in HEADLINE if k in qs}
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm_best3",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
