@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from mediaplaycounts_spark.queries._helpers import davg, davg_sql, dec, dsum, dsum_sql
 from mediaplaycounts_spark.registry import register
-from mediaplaycounts_spark.tables import load_table
+from mediaplaycounts_spark.tables import events_between, load_table
 
 
 @register(
@@ -101,15 +101,13 @@ def agg_date_range_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-range total per entity (REF GetData::date_range).
 
     The reference ran an indexed MySQL range scan per file; here the
-    date predicate is pushed into the parquet scan (and would prune
-    date partitions on a partitioned fact table).
+    date predicate is pushed into the parquet scan AS A RAW-NANOS RANGE
+    on the long ts column (events_between), so row groups actually
+    prune — a filter on the converted timestamp expression would not.
     """
-    ev = load_table(spark, sf_dir, "events")
-    d = F.to_date("ts")
-    return (
-        ev.filter((d >= F.lit("2024-01-10")) & (d <= F.lit("2024-01-20")))
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    ev = events_between(spark, sf_dir, "2024-01-10", "2024-01-21")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
     )
 
 

@@ -56,6 +56,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_between(
+    spark: SparkSession, sf_dir: str, start_day: str, end_day_exclusive: str
+) -> DataFrame:
+    """Events in [start_day, end_day_exclusive) with REAL scan pruning.
+
+    A filter on the *converted* ts column wraps the parquet column in
+    timestamp_micros(ts div 1000) — an expression parquet cannot prune
+    row groups with. At 100 TB that is a full scan. This helper pushes
+    the equivalent raw-nanosecond range predicate onto the long column
+    BEFORE conversion, so it lands in PushedFilters (and, on a
+    date-partitioned fact table, prunes partitions outright).
+    """
+    import datetime as _dt
+
+    configure(spark)
+
+    def _nanos(d: str) -> int:
+        dt = _dt.datetime.fromisoformat(d).replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.filter(
+            (F.col("ts") >= _nanos(start_day)) & (F.col("ts") < _nanos(end_day_exclusive))
+        ).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    else:  # pragma: no cover - future-proof for µs-native files
+        raw = raw.filter(
+            (F.col("ts") >= F.lit(start_day).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end_day_exclusive).cast("timestamp_ntz"))
+        )
+    return raw
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; defaults to all ten."""
     use = names or TABLES

@@ -1,0 +1,70 @@
+"""Reference-API parity tests (REF GetData surface) on the closed-form
+playcounts fixture: count = day index, so range sums have exact
+formulas."""
+
+from __future__ import annotations
+
+from mediaplaycounts_spark.api import (
+    category_date_range,
+    date_range,
+    last_n,
+    to_api_payload,
+)
+
+
+def test_date_range_closed_form(spark, playcounts_fixture):
+    # days 10..19 of 'Steady file.ogv': counts 10..19, total = 145
+    out = to_api_payload(
+        date_range(playcounts_fixture, "Steady file.ogv", "2024-01-11", "2024-01-20")
+    )
+    assert out["total"] == sum(range(10, 20))
+    assert len(out["counts"]) == 10
+    assert out["counts"][0] == ["2024-01-11", 10]
+
+
+def test_underscore_normalization(spark, playcounts_fixture):
+    """REF GetData normalizes underscores to spaces in titles."""
+    a = to_api_payload(
+        date_range(playcounts_fixture, "Steady_file.ogv", "2024-01-11", "2024-01-20")
+    )
+    assert a["total"] == sum(range(10, 20))
+
+
+def test_zero_fill_gap_days(spark, playcounts_fixture):
+    # gappy.ogv missing every 3rd day; spine emits those days with 0
+    out = to_api_payload(
+        date_range(playcounts_fixture, "gappy.ogv", "2024-01-01", "2024-01-07")
+    )
+    assert len(out["counts"]) == 7
+    got = dict(out["counts"])
+    assert got["2024-01-01"] == 0 and got["2024-01-04"] == 0
+    assert got["2024-01-02"] == 1
+
+
+def test_last_n_window(spark, playcounts_fixture):
+    # last_30 as of 2024-02-10 (day index 40): days 10..39 -> sum 735
+    out = to_api_payload(
+        last_n(playcounts_fixture, "Steady file.ogv", 30, "2024-02-10")
+    )
+    assert out["total"] == sum(range(10, 40))
+    assert len(out["counts"]) == 30
+
+
+def test_category_semi_join_sum(spark, playcounts_fixture, members_fixture):
+    """Category total = sum over member files; absent member ignored
+    (the reference's N+1 loop collapsed to one semi-join plan)."""
+    out = to_api_payload(
+        category_date_range(
+            playcounts_fixture, members_fixture, "Cat A", "2024-01-01", "2024-01-03"
+        )
+    )
+    # Steady: 0+1+2; gappy: 0(gap)+1+1  => total 5
+    assert out["total"] == 5
+
+
+def test_out_of_range_all_zeros(spark, playcounts_fixture):
+    out = to_api_payload(
+        date_range(playcounts_fixture, "Steady file.ogv", "2025-01-01", "2025-01-03")
+    )
+    assert out["total"] == 0
+    assert [c for _, c in out["counts"]] == [0, 0, 0]

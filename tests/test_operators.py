@@ -1,0 +1,119 @@
+"""Operator-library unit tests on tiny hand-checkable frames."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.operators import dedup as D
+from mediaplaycounts_spark.operators import multimodal as M
+from mediaplaycounts_spark.operators import similarity as S
+from mediaplaycounts_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 1
+        (3, "completely different words appear in this one", "en"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (5, "der schnelle braune fuchs springt sehr hoch", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_by_hash(spark, docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in D.exact_dedup_by_hash(docs, "doc_id", "text").collect()}
+    assert out[1] == 2          # docs 1 and 4 collapse, keeper = min id
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=2, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 4) in got and got[(1, 4)] == 1.0          # exact dup
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0    # near dup
+    assert (1, 3) not in got
+
+
+def test_minhash_lsh_finds_exact_and_near(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # identical signatures always collide
+    # jaccard column is the exact verified value
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 4)] == 1.0
+
+
+def test_simhash_identical_and_hamming(spark, docs):
+    fps = {r["doc_id"]: r["fingerprint"] for r in D.simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[4]  # identical text -> identical fingerprint
+    ham_near = bin((fps[1] ^ fps[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham_far = bin((fps[1] ^ fps[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham_near < ham_far
+    dups = D.simhash_near_dups(docs, "doc_id", "text", max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in dups} >= {(1, 4)}
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [2.0, 0.0])],
+        "vid long, v array<double>",
+    )
+    out = S.topk_bruteforce(df, "vid", "v", [1.0, 0.0], k=4).collect()
+    got = {r["vid"]: r["cos_sim"] for r in out}
+    assert got[0] == 1.0 and got[3] == 1.0
+    assert got[2] == round(1 / math.sqrt(2), 6)
+    assert got[1] == 0.0
+
+
+def test_lsh_is_deterministic_and_subset_of_bruteforce(spark):
+    rows = [(i, [math.sin(i * 7.3 + j) for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    probe = [float(x) for x in rows[0][1]]
+    a = S.topk_lsh(df, "vid", "v", probe, k=5, num_planes=4).collect()
+    b = S.topk_lsh(df, "vid", "v", probe, k=5, num_planes=4).collect()
+    assert a == b                      # no RNG state anywhere
+    assert a[0]["vid"] == 0            # probe finds itself
+    exact = {r["vid"] for r in S.topk_bruteforce(df, "vid", "v", probe, k=50).collect()}
+    assert {r["vid"] for r in a} <= exact
+
+
+def test_textstats_closed_form(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+    row = df.select(
+        T.n_words("text").alias("w"),
+        T.n_distinct_words("text").alias("d"),
+        T.type_token_ratio("text").alias("ttr"),
+        T.avg_word_len("text").alias("awl"),
+        T.fingerprint("text").alias("fp"),
+    ).head()
+    assert row["w"] == 3 and row["d"] == 2
+    assert row["ttr"] == 2 / 3
+    assert row["awl"] == 2.0
+    # rolling hash closed form: v(aa)=2*17+97=131, v(bb)=34+98=132
+    assert row["fp"] == ((131 * 31 + 132) * 31 + 131) % D.P_MOD
+
+
+def test_langid_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, "nothing matches markers")], "doc_id long, text string")
+    assert df.select(T.predicted_lang("text").alias("p")).head()["p"] == "de"
+
+
+def test_multimodal_binary_meta(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(7, "hello")], "doc_id long, text string")
+    row = M.extract_binary_meta(M.with_binary_payload(df)).head()
+    assert row["n_bytes"] == 5
+    assert row["content_md5"] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_image_decode_is_stubbed(spark):
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image_batch(pd.Series([b"xx"]))

@@ -1,0 +1,44 @@
+"""Streaming tests: real readStream jobs over the bounded events replay
+plus the stateful-dedup variant the graded batch twin mirrors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.streaming import read_events_stream, run_available_now
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_replay_matches_batch_counts(spark):
+    """AvailableNow replay of the hourly tumbling aggregate equals the
+    batch aggregate over the same data."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").count()
+    got = run_available_now(agg, "complete").count()
+
+    from mediaplaycounts_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = ev.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    assert got == want > 0
+
+
+def test_stream_watermark_job_runs(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_available_now(agg, "complete")
+    total = out.agg(F.sum("n")).head()[0]
+    assert total == 1000  # sf0.001 events row count — nothing dropped
+
+
+def test_stream_stateful_dedup(spark):
+    """withWatermark + dropDuplicates keeps one row per event_id."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    doubled = stream.unionByName(stream)  # duplicate every event
+    dedup = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = run_available_now(dedup, "append")
+    assert out.count() == 1000
