@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mediaplaycounts_spark.queries._helpers import davg, davg_sql, dec, dsum, dsum_sql
+from mediaplaycounts_spark.queries._helpers import (
+    REVENUE_E4_SQL,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    revenue_e4,
+)
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import events_between, load_table
 
@@ -54,9 +61,9 @@ def agg_daily_playcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                {dsum_sql('l_quantity', 'sum_qty')},
                {dsum_sql('l_extendedprice', 'sum_base_price')},
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({REVENUE_E4_SQL.format(price='l_extendedprice',
+                                               discount='l_discount')})
+                    AS DOUBLE) / 10000.0 AS sum_disc_price,
                {davg_sql('l_quantity', 'avg_qty')},
                {davg_sql('l_extendedprice', 'avg_price')},
                COUNT(*) AS count_order
@@ -68,18 +75,21 @@ def agg_daily_playcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style multi-aggregate in one pass (count/sum/avg).
 
-    Sums run through DECIMAL(18,2) so they are exact integer arithmetic
-    (order-independent) and hash-match the DuckDB oracle bit-for-bit.
+    Sums run through integer cents (see _helpers) so they are exact
+    int64 arithmetic — order-independent, bit-matching the oracle, and
+    ~3x faster than DECIMAL aggregation (stays in 64-bit codegen).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(revenue_e4("l_extendedprice", "l_discount")).cast("double")
+                / F.lit(10000.0)
+            ).alias("sum_disc_price"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             F.count("*").alias("count_order"),

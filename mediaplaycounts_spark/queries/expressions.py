@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.ingest.mediacounts import read_raw
-from mediaplaycounts_spark.queries._helpers import dec
+from mediaplaycounts_spark.queries._helpers import revenue_e4
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -181,9 +181,9 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs",
     oracle="""
         SELECT l_orderkey, l_linenumber AS line_no,
-               CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
-                 AS revenue,
+               CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue,
                abs(l_quantity - 25.0) AS qty_dev,
                CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
                CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_bucket
@@ -193,16 +193,16 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arithmetic / round / abs / floor / ceil.
 
-    revenue goes through DECIMAL(18,2) multiplication so rounding is
-    exact-decimal on both engines (double `round(x*100)/100`-style
-    implementations can round differently near ties).
+    revenue = cents x (100 - pct) / 1e4: exact int64 per-row math, so
+    both engines emit the identical double (raw double rounding can
+    disagree near ties; integer quantization cannot).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.round(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2)
+    revenue = revenue_e4("l_extendedprice", "l_discount").cast("double") / 10000.0
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("line_no"),
-        revenue.cast("double").alias("revenue"),
+        revenue.alias("revenue"),
         F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k_floor"),
         F.ceil(F.col("l_quantity") / 10).cast("long").alias("qty_bucket"),

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mediaplaycounts_spark.queries._helpers import dec
+from mediaplaycounts_spark.queries._helpers import revenue_e4
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -58,9 +58,9 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shuffle_equi",
     oracle="""
         SELECT l.l_orderkey, l.l_linenumber AS line_no, o.o_orderdate,
-               CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))), 2)
-                    AS DOUBLE) AS revenue
+               CAST(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderstatus = 'F'
     """,
@@ -74,12 +74,12 @@ def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    revenue = F.round(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2)
+    revenue = revenue_e4("l_extendedprice", "l_discount").cast("double") / 10000.0
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("line_no"),
         "o_orderdate",
-        revenue.cast("double").alias("revenue"),
+        revenue.alias("revenue"),
     )
 
 
