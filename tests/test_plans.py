@@ -1,0 +1,153 @@
+"""Physical-plan regression tests — the 100 TB posture, enforced.
+
+SURVEY.md §4 claims each operator family gets specific Catalyst
+behavior (parquet predicate pushdown, column pruning, broadcast joins
+for dims, partial aggregation, TakeOrderedAndProject top-k, raw-nanos
+scan pruning). These tests pin those claims to the actual physical
+plans so a refactor that silently degrades the plan (e.g. wrapping a
+pushable predicate in an opaque expression) fails CI, not a 100 TB run.
+
+Plan shape is checked with `explain("formatted")` text: stable across
+local/cluster masters and independent of data volume, except where
+noted (auto-broadcast decisions are size-based, so broadcast tests
+assert on queries that would broadcast at ANY scale, e.g. hinted or
+genuinely tiny dims).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def shuffles(plan: str) -> int:
+    """Count data shuffles (hash/range repartitions), not broadcasts."""
+    return len(re.findall(r"Arguments: (?:hash|range)partitioning", plan))
+
+
+def nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their numbered detail entries (the tree
+    repeats each name, so a plain substring count double-counts)."""
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+# ------------------------------------------------------- scan hygiene
+
+
+def test_agg_multi_pushdown_pruning_partial_agg(spark, queries):
+    plan = plan_of(queries["agg_multi"](spark, SF_SMOKE))
+    # Date predicate reaches the parquet reader (row-group skipping).
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: 16-column lineitem scan reads exactly the 6 needed.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 6
+    assert "l_comment" not in plan
+    # Map-side combine before the single shuffle.
+    assert "partial_sum" in plan
+    assert shuffles(plan) == 1
+
+
+def test_project_rename_reads_only_selected_columns(spark, queries):
+    plan = plan_of(queries["project_rename"](spark, SF_SMOKE))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "l_extendedprice",
+        "l_linenumber",
+        "l_orderkey",
+        "l_returnflag",
+    ]
+    assert shuffles(plan) == 0
+
+
+def test_filter_predicate_fully_pushed(spark, queries):
+    plan = plan_of(queries["filter_predicate"](spark, SF_SMOKE))
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    assert "In(l_returnflag" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_events_range_prunes_on_raw_nanos(spark):
+    """The ts range predicate must hit PushedFilters as raw INT64 nanos;
+    filtering after timestamp_micros(ts div 1000) would scan everything
+    (SURVEY.md §7 watch-list item 0)."""
+    from mediaplaycounts_spark.tables import events_between
+
+    plan = plan_of(events_between(spark, SF_SMOKE, "2024-01-10", "2024-01-12"))
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(ts,17", plan)
+    assert re.search(r"LessThan\(ts,17\d+\)", plan)
+
+
+# ------------------------------------------------------------- joins
+
+
+def test_dim_joins_broadcast_no_shuffle(spark, queries):
+    plan = plan_of(queries["join_broadcast_dim"](spark, SF_SMOKE))
+    assert nodes(plan, "BroadcastHashJoin") == 3
+    assert shuffles(plan) == 0  # star joins move zero fact-table rows
+
+
+def test_semi_membership_is_broadcast_semi(spark, queries):
+    plan = plan_of(queries["join_semi_membership"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert shuffles(plan) == 0
+
+
+# ----------------------------------------------------- sort / top-k
+
+
+def test_global_topk_avoids_total_sort(spark, queries):
+    plan = plan_of(queries["sort_limit_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Arguments: rangepartitioning" not in plan  # no global sort
+
+
+def test_sim_topk_probe_is_scan_then_topk(spark, queries):
+    plan = plan_of(queries["sim_topk_probe"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert shuffles(plan) == 0
+
+
+# ------------------------------------------------------ aggregation
+
+
+def test_dedup_exact_hash_partial_agg_single_shuffle(spark, queries):
+    plan = plan_of(queries["dedup_exact_hash"](spark, SF_SMOKE))
+    assert "partial_min" in plan or "partial_count" in plan
+    assert shuffles(plan) == 1
+
+
+def test_rolling_window_single_shuffle(spark, queries):
+    """daily rollup + both RANGE frames reuse ONE partitioning: the agg
+    shuffles on event_type's hash... then Window runs on co-partitioned
+    data without a second exchange per frame."""
+    plan = plan_of(queries["win_rolling_30d"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert shuffles(plan) <= 2  # agg + window repartition, never per-frame
+
+
+def test_multimodal_join_prunes_text_column(spark, queries):
+    """documents.text (the wide column) must NOT be read when the query
+    only touches metadata — at 100 TB that is most of the bytes."""
+    plan = plan_of(queries["multimodal_join"](spark, SF_SMOKE))
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    doc_scan = next(s for s in scans if "doc_id" in s and "lang" in s)
+    assert "text" not in doc_scan
