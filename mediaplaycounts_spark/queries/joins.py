@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mediaplaycounts_spark.queries._helpers import revenue_e4
+from mediaplaycounts_spark.queries._helpers import REVENUE_E4_SQL, revenue_e4
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -269,4 +269,56 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return r.crossJoin(F.broadcast(statuses)).select(
         "r_name", F.col("o_orderstatus").alias("status")
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(SUM({REVENUE_E4_SQL.format(price='l.l_extendedprice',
+                                               discount='l.l_discount')})
+                    AS DOUBLE) / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: explicit key salting.
+
+    Popular media files are Zipfian (SURVEY.md §4.2) — one hot join key
+    can pin a whole shuffle partition to one task. The classic fix, shown
+    here end-to-end: facts get a deterministic salt in [0, N) (xxhash64
+    of non-key columns — no RNG, so the run is replayable), the other
+    side is replicated N ways via explode, and the join key becomes
+    (key, salt), fanning the hot key over N tasks. The result is
+    provably identical to the unsalted join — the oracle IS the unsalted
+    join — because every fact row still meets its matching dim row in
+    exactly one salt bucket. AQE's skew-join split handles moderate skew
+    automatically; explicit salting is the tool for pathological keys
+    (or non-AQE engines) and costs only N-fold duplication of the SMALL
+    side.
+    """
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li_s = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_extendedprice", "l_discount"), F.lit(n_salt)).cast("int"),
+    )
+    o_s = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = li_s.join(
+        o_s, (li_s.l_orderkey == o_s.o_orderkey) & (li_s.salt == o_s.salt)
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        (
+            F.sum(revenue_e4("l_extendedprice", "l_discount")).cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
     )

@@ -173,3 +173,52 @@ def sink_error_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of poisoning the day's load."""
     raw = read_raw(spark, CORRUPT_FILE)
     return corrupt_records(raw).select("raw_line")
+
+
+@register(
+    "sink_parquet_bucketed",
+    oracle="""
+        SELECT l.l_orderkey, o.o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, o.o_orderpriority
+    """,
+)
+def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed storage: co-located join + agg with ZERO shuffles.
+
+    At 100 TB the single biggest recurring cost is re-shuffling the fact
+    table on its join key for every query. Bucketing pays that shuffle
+    ONCE at write time: both tables are written bucketBy(orderkey) with
+    the same bucket count, so Catalyst proves matching partitioning and
+    plans join AND aggregation without any Exchange (asserted in
+    tests/test_plans.py). Graded by round-trip: write both bucketed
+    tables, join+aggregate from the bucketed reads, compare to the
+    plain-join oracle.
+    """
+    from mediaplaycounts_spark.queries._helpers import dsum
+
+    SCRATCH.mkdir(exist_ok=True)
+    wh = SCRATCH / "warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS scratch LOCATION '{wh}'")
+    tag = uuid.uuid4().hex[:12]
+    li_t, o_t = f"scratch.li_{tag}", f"scratch.orders_{tag}"
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(li_t)
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(o_t)
+    )
+    a, b = spark.table(li_t), spark.table(o_t)
+    return (
+        a.join(b, a.l_orderkey == b.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty"))
+    )

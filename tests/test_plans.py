@@ -151,3 +151,32 @@ def test_multimodal_join_prunes_text_column(spark, queries):
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     doc_scan = next(s for s in scans if "doc_id" in s and "lang" in s)
     assert "text" not in doc_scan
+
+
+def test_salted_join_distributes_hot_keys(spark, queries):
+    """With broadcast off (the 100 TB regime), the salted join must
+    shuffle both sides on (key, salt) — the hot key fans out over
+    n_salt partitions instead of pinning one task."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(queries["join_skew_salted"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert re.search(r"Arguments: hashpartitioning\(l_orderkey#\d+L, salt#\d+", plan)
+    assert re.search(r"Arguments: hashpartitioning\(o_orderkey#\d+L, salt#\d+", plan)
+
+
+def test_bucketed_join_and_agg_zero_shuffles(spark, queries):
+    """Both tables bucketed on the join key: SMJ + groupBy plan with no
+    Exchange at all — the write-time shuffle is amortized across every
+    subsequent query."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(queries["sink_parquet_bucketed"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert nodes(plan, "SortMergeJoin") == 1
+    assert "Bucketed: true" in plan
+    assert shuffles(plan) == 0
