@@ -1,0 +1,161 @@
+"""Property tests on seeded random frames (SURVEY.md §5.2).
+
+Each property asserts that a distributed formulation is EQUIVALENT to an
+independent brute-force computation of the same semantics, over several
+seeded random inputs — catching frame-boundary, tie, and empty-group
+bugs that fixed fixtures miss. Seeds are fixed (no flaky runs, driver
+hash checks stay stable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SEEDS = (0, 1, 2)
+
+
+def _random_counts(rng, n_files=4, n_days=50, density=0.6):
+    rows = []
+    for f in range(n_files):
+        for d in range(n_days):
+            if rng.random() < density:
+                rows.append((f"file_{f}", d, int(rng.integers(0, 100))))
+    return rows
+
+
+def test_rolling_window_equals_bruteforce_selfjoin(spark):
+    """RANGE-frame rolling 30-day sum == per-row brute-force sum over
+    the same file's rows with day in [d-29, d] (gap days must NOT
+    stretch the frame — the ROWS-vs-RANGE trap)."""
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        rows = _random_counts(rng)
+        df = spark.createDataFrame(rows, "file string, day long, count long")
+        w = Window.partitionBy("file").orderBy("day").rangeBetween(-29, 0)
+        got = {
+            (r.file, r.day): r.roll
+        for r in df.select("file", "day", F.sum("count").over(w).alias("roll")).collect()
+        }
+        for f, d, _ in rows:
+            expect = sum(c for f2, d2, c in rows if f2 == f and d - 29 <= d2 <= d)
+            assert got[(f, d)] == expect, (seed, f, d)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be a pure physical rewrite: for any salt count and
+    any (skewed!) key distribution, (key, salt)-join == key-join."""
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        # Zipfian-ish facts: key 0 is hot.
+        fact_rows = [
+            (int(k), int(v))
+            for k, v in zip(rng.zipf(1.5, 200) % 10, rng.integers(0, 1000, 200))
+        ]
+        dim_rows = [(k, f"dim_{k}") for k in range(10)]
+        facts = spark.createDataFrame(fact_rows, "k long, v long")
+        dim = spark.createDataFrame(dim_rows, "k long, name string")
+        plain = facts.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
+        n_salt = 2 + seed * 3  # 2, 5, 8
+        f_s = facts.withColumn("salt", F.pmod(F.xxhash64("v"), F.lit(n_salt)))
+        d_s = dim.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        salted = (
+            f_s.join(d_s, ["k", "salt"]).groupBy("name").agg(F.sum("v").alias("s"))
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_minhash_identical_docs_always_collide_and_jaccard_exact(spark):
+    """LSH banding guarantees: identical shingle sets agree on every
+    band, so exact duplicates MUST appear as candidates; and the
+    reported jaccard equals brute-force set Jaccard for every pair."""
+    from mediaplaycounts_spark.operators.dedup import minhash_lsh_pairs, shingles
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        texts = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(2, 7))))
+            for _ in range(12)
+        ]
+        texts.append(texts[0])  # guaranteed exact duplicate pair (0, 12)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0).collect()
+        }
+        assert (0, 12) in pairs and pairs[(0, 12)] == 1.0
+        # brute-force shingle sets for verification
+        sets = {
+            r.doc_id: set(r.s)
+            for r in df.select("doc_id", shingles("text").alias("s")).collect()
+        }
+        for (a, b), j in pairs.items():
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            assert j == inter / union, (seed, a, b)
+
+
+def test_exact_dedup_partitions_ids_and_keeps_min(spark):
+    """Every doc lands in exactly one hash group; keeper is min id;
+    group sizes sum to n."""
+    from mediaplaycounts_spark.operators.dedup import exact_dedup_by_hash
+
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        base = [f"text {i}" for i in range(6)]
+        docs = [(i, base[int(rng.integers(0, 6))]) for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = exact_dedup_by_hash(df, "doc_id", "text").collect()
+        assert sum(r.n_copies for r in out) == 30
+        by_text = {}
+        for i, t in docs:
+            by_text.setdefault(t, []).append(i)
+        keepers = sorted(r.keeper_id for r in out)
+        assert keepers == sorted(min(v) for v in by_text.values())
+
+
+def test_asof_enrichment_equals_bruteforce(spark):
+    """union+window as-of formulation == per-row max(signup_ts <= ts)."""
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        events = [
+            (int(i), int(u), int(t))
+            for i, (u, t) in enumerate(
+                zip(rng.integers(0, 4, 40), rng.integers(0, 1000, 40))
+            )
+        ]
+        signups = [
+            (int(u), int(t)) for u, t in zip(range(4), rng.integers(0, 1000, 4))
+        ]
+        ev = spark.createDataFrame(events, "event_id long, user_id long, ts long")
+        su = spark.createDataFrame(signups, "user_id long, signup_ts long")
+        left = ev.withColumn("s_ts", F.lit(None).cast("long")).withColumn(
+            "is_left", F.lit(1)
+        )
+        right = su.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            F.col("signup_ts").alias("ts"),
+            F.col("signup_ts").alias("s_ts"),
+            F.lit(0).alias("is_left"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = left.unionByName(right).withColumn(
+            "asof", F.last("s_ts", ignorenulls=True).over(w)
+        )
+        got = {
+            r.event_id: r.asof
+            for r in merged.filter(F.col("is_left") == 1).collect()
+        }
+        su_map = dict(signups)
+        for eid, u, t in events:
+            cands = [s for s in [su_map[u]] if s <= t]
+            assert got[eid] == (max(cands) if cands else None), (seed, eid)
