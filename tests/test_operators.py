@@ -117,3 +117,28 @@ def test_image_decode_is_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         M.decode_image_batch(pd.Series([b"xx"]))
+
+
+def test_approx_distinct_within_rsd_of_exact(spark):
+    """HLL++ (rsd=0.01) stays within 5x the requested rsd of the exact
+    per-group distinct count on the real events table — the guarantee
+    that makes it a safe exact-distinct substitute at 100 TB."""
+    import __spark_entry__ as e
+    from mediaplaycounts_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in e.queries()["agg_approx_distinct"](spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
