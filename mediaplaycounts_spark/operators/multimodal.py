@@ -85,3 +85,84 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield decode_image_batch(pdf["payload"]).assign(doc_id=pdf[id_col])
 
     return df.select(id_col, "payload").mapInPandas(feature_batches, IMAGE_FEATURE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_chars: int = 64,
+    stride: int = 2,
+) -> DataFrame:
+    """Frame sampling: one row in -> many frames out, via mapInPandas.
+
+    The video-pipeline template: a payload is split into fixed-size
+    frames and every ``stride``-th frame is emitted with a content
+    digest. Payloads here are text (no codecs in this container), so the
+    kernel is fully implemented and byte-for-byte reproducible in ANSI
+    SQL (frames are CHARACTER slices, md5 of UTF-8 bytes) — a real
+    multirow Arrow kernel with a full value oracle. A production video
+    kernel swaps the slicing for container demux + frame decode and
+    keeps schema, batching, and stride logic unchanged.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n_frames = -(-len(text) // frame_chars)  # ceil
+                for i in range(0, n_frames, stride):
+                    frame = text[i * frame_chars : (i + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            ).astype({"doc_id": "int64", "frame_idx": "int64"})
+
+    return df.select(id_col, text_col).mapInPandas(frame_batches, FRAME_SAMPLE_SCHEMA)
+
+
+def fake_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic-fake decode + feature extraction (no image libs).
+
+    Derives (width, height, channels) from the payload digest and a
+    16-bin byte histogram as the feature vector — every step is
+    deterministic, so the full pipeline runs and is testable end-to-end
+    while the real decoder is absent. Swapping in PIL/opencv changes
+    only the body of this kernel, not the Spark plumbing.
+    """
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                digest = hashlib.md5(b).digest()
+                hist = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) >> 4, minlength=16
+                ).astype("float32")
+                total = float(hist.sum()) or 1.0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": 16 + digest[0],
+                        "height": 16 + digest[1],
+                        "n_channels": 3,
+                        "feature": (hist / total).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(
+        feature_batches, IMAGE_FEATURE_SCHEMA
+    )

@@ -352,3 +352,36 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the template every multimodal decode kernel follows)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_binary_meta(M.with_binary_payload(docs), "doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2))
+                     AS frame_idx
+            FROM documents
+        )
+        SELECT doc_id, frame_idx,
+               md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling as an Arrow mapInPandas kernel: every
+    2nd 64-char frame with a content digest. One row in -> many out, and
+    still fully value-oracled (char slicing + md5 agree across engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(docs, "doc_id", "text", frame_chars=64, stride=2)
+
+
+@register("multimodal_image_features", oracle=None)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-fake image decode + 16-bin byte-histogram features
+    (rows-only: the fake decode has no ANSI twin; determinism is pinned
+    by tests). The complete decode->feature pipeline the real image
+    kernel drops into."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.fake_image_features(M.with_binary_payload(docs), "doc_id")

@@ -142,3 +142,37 @@ def test_approx_distinct_within_rsd_of_exact(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+
+
+def test_frame_sample_stride_and_digests(spark):
+    """Frame kernel: ceil(len/64) frames, every 2nd emitted, digests
+    match hand-computed md5 of the char slices."""
+    import hashlib
+
+    from mediaplaycounts_spark.operators.multimodal import sample_frames
+
+    text = "x" * 130  # 3 frames (64, 64, 2) -> sampled idx 0 and 2
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.frame_idx: r.frame_md5 for r in sample_frames(df).collect()}
+    assert set(got) == {0, 2}
+    assert got[0] == hashlib.md5(("x" * 64).encode()).hexdigest()
+    assert got[2] == hashlib.md5(("x" * 2).encode()).hexdigest()
+
+
+def test_fake_image_features_deterministic_and_normalized(spark):
+    """Fake decode: same payload -> same features across runs; histogram
+    sums to 1; schema contract holds."""
+    from mediaplaycounts_spark.operators.multimodal import (
+        fake_image_features,
+        with_binary_payload,
+    )
+
+    df = with_binary_payload(
+        spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+    )
+    a = {r.doc_id: r for r in fake_image_features(df).collect()}
+    b = {r.doc_id: r for r in fake_image_features(df).collect()}
+    assert a[1].feature == b[1].feature and a[1].width == b[1].width
+    assert abs(sum(a[1].feature) - 1.0) < 1e-6
+    assert len(a[1].feature) == 16 and a[1].n_channels == 3
+    assert sum(a[2].feature) == 0.0  # empty payload: zero histogram
