@@ -242,3 +242,55 @@ def simhash_near_dups(
         cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation connected components over (src, dst) edges.
+
+    The iterative-algorithm pattern for dedup clustering at scale: each
+    round is ONE distributed join + partial-agg min (labels only ever
+    decrease), converging in O(graph diameter) rounds. The driver sees a
+    single scalar per round (sum of labels — strictly decreasing until
+    fixpoint), never row data; lineage is truncated each round with
+    localCheckpoint so plans stay O(1) deep (on a cluster, set a
+    checkpoint dir and use checkpoint()). Deterministic: the component
+    representative is the minimum node id.
+
+    Returns (node, label) with label = min id in the component.
+    """
+    # Materialize the edge set ONCE — upstream pair generation (shingle
+    # self-joins etc.) must not re-run every propagation round.
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        hop = labels.join(nmin, labels.node == nmin.dst, "left").select(
+            "node",
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
+        )
+        # Pointer jumping: label <- label(label). Combined with the
+        # neighbor-min hop this converges in O(log n) rounds instead of
+        # O(diameter) — the difference between 40 and 6 shuffles on a
+        # long chain of near-dups.
+        ptr = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        labels = (
+            hop.join(ptr, hop.label == ptr.pnode)
+            .select("node", F.col("plabel").alias("label"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).head()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels

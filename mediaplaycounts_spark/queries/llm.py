@@ -385,3 +385,49 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel drops into."""
     docs = load_table(spark, sf_dir, "documents")
     return M.fake_image_features(M.with_binary_payload(docs), "doc_id")
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS s
+            FROM documents
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION ALL SELECT id_b, id_a FROM p
+        ),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the exact
+    2-gram-Jaccard pair graph (min-id representative per component).
+
+    The iterative half of dedup: pair detection says who matches;
+    clustering decides who survives. Min-label propagation over
+    DataFrames (O(diameter) joined rounds, scalar-only driver control
+    flow); the DuckDB twin is a recursive-CTE transitive closure —
+    an iterative distributed algorithm with a full value oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=2, threshold=0.05)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = D.connected_components(nodes, edges)
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))

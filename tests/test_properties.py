@@ -159,3 +159,39 @@ def test_asof_enrichment_equals_bruteforce(spark):
         for eid, u, t in events:
             cands = [s for s in [su_map[u]] if s <= t]
             assert got[eid] == (max(cands) if cands else None), (seed, eid)
+
+
+def test_connected_components_equals_union_find(spark):
+    """Min-label propagation + pointer jumping == classic union-find on
+    random graphs (including isolated nodes and chains)."""
+    from mediaplaycounts_spark.operators.dedup import connected_components
+
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        n = 30
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 25), rng.integers(0, n, 25))
+            if a != b
+        ]
+        edges += [(i, i + 1) for i in range(20, 28)]  # long chain
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {i: find(i) for i in range(n)}
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.label
+            for r in connected_components(nodes_df, edges_df).collect()
+        }
+        assert got == expect, seed
