@@ -155,3 +155,98 @@ def topk_lsh(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def _assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id by squared L2, ties to the lower id."""
+    dists = []
+    for c in centroids:
+        cc = F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        d = F.aggregate(
+            F.zip_with(vec, cc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d)
+    best = F.least(*dists)
+    cell = F.lit(len(centroids) - 1)
+    for j in range(len(centroids) - 2, -1, -1):
+        cell = F.when(dists[j] == best, F.lit(j)).otherwise(cell)
+    return cell.cast("int")
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    n_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: k-means with fixed init and a
+    fixed iteration count (no RNG, no convergence check — replayable).
+
+    Init = the vectors with the ``n_cells`` lowest ids. Each Lloyd
+    round is fully distributed: assignment is a codegen'd expression
+    (k distance folds + least), the update is posexplode → groupBy
+    (cell, dim) → avg; only the k×dim centroid table (a few KB
+    regardless of corpus size) ever reaches the driver.
+    """
+    v = as_double(vec_col)
+    init = (
+        df.orderBy(id_col).limit(n_cells).select(v.alias("v")).collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in init]
+    for _ in range(n_iters):
+        assigned = df.select(_assign_cell(v, centroids).alias("cell"), v.alias("v"))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        table: dict[int, dict[int, float]] = {}
+        for r in means:
+            table.setdefault(r.cell, {})[r.pos] = r.m
+        centroids = [
+            [table[j][p] for p in range(len(centroids[0]))]
+            if j in table
+            else centroids[j]  # empty cell keeps its old centroid
+            for j in range(len(centroids))
+        ]
+    return centroids
+
+
+def topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe: list[float],
+    k: int = 20,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus, search only the
+    ``n_probe_cells`` cells nearest the probe, exact cosine re-rank
+    inside them.
+
+    The inverted-file scale path: at 100 TB the assignment runs once at
+    ingest (cell becomes a partition column), and a probe touches
+    ~n_probe/n_cells of the data — partition pruning does the rest.
+    Recall < 1 by construction; raise n_probe_cells for recall, n_cells
+    for pruning power.
+    """
+    centroids = train_ivf_centroids(df, id_col, vec_col, n_cells)
+    # Probe-side cell ranking is driver-local math on the tiny table.
+    d2 = [
+        sum((x - y) ** 2 for x, y in zip(probe, c)) for c in centroids
+    ]
+    probe_cells = [j for j, _ in sorted(enumerate(d2), key=lambda t: t[1])[:n_probe_cells]]
+    v = as_double(vec_col)
+    p = F.array(*[F.lit(float(x)) for x in probe]).cast("array<double>")
+    return (
+        df.withColumn("cell", _assign_cell(v, centroids))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cosine(v, p), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -431,3 +431,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     cc = D.connected_components(nodes, edges)
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+@register("sim_ann_ivf", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k (rows-only: cell membership is quantizer-specific).
+
+    The inverted-file alternative to sim_ann_lsh: deterministic k-means
+    coarse quantizer (fixed init + iteration count), probe searches the
+    2 nearest of 8 cells with exact cosine re-rank. At ingest scale the
+    cell id becomes a partition column and probes prune ~75% of the
+    corpus before any distance math.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+    return S.topk_ivf(em, "vec_id", "embedding", probe, k=20, n_cells=8)

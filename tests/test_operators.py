@@ -176,3 +176,28 @@ def test_fake_image_features_deterministic_and_normalized(spark):
     assert abs(sum(a[1].feature) - 1.0) < 1e-6
     assert len(a[1].feature) == 16 and a[1].n_channels == 3
     assert sum(a[2].feature) == 0.0  # empty payload: zero histogram
+
+
+def test_ivf_deterministic_and_finds_probe_itself(spark):
+    """IVF: same corpus -> identical results across runs (deterministic
+    quantizer); the probe vector is its own nearest neighbor (cos 1.0);
+    every returned similarity appears in the brute-force ranking."""
+    from mediaplaycounts_spark.operators.similarity import (
+        probe_vector,
+        topk_bruteforce,
+        topk_ivf,
+    )
+    from mediaplaycounts_spark.tables import load_table
+
+    em = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probe = probe_vector(em, "vec_id", "embedding", 0)
+    a = topk_ivf(em, "vec_id", "embedding", probe, k=10, n_cells=4).collect()
+    b = topk_ivf(em, "vec_id", "embedding", probe, k=10, n_cells=4).collect()
+    assert [(r.vec_id, r.cos_sim) for r in a] == [(r.vec_id, r.cos_sim) for r in b]
+    assert a[0].vec_id == 0 and a[0].cos_sim == 1.0
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in topk_bruteforce(em, "vec_id", "embedding", probe, k=10000).collect()
+    }
+    for r in a:
+        assert brute[r.vec_id] == r.cos_sim
