@@ -56,6 +56,23 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-settable in this deployment; defaults are acceptable.
             pass
+    try:
+        # A local session still carrying Spark's cluster-sized default of
+        # 200 shuffle partitions pays ~25x task-scheduling overhead per
+        # tiny stage (measured 3x on iterative ops). Right-size to cores
+        # — ONLY for local masters and ONLY when the value is untouched;
+        # cluster deployments keep their explicit sizing / AQE
+        # initialPartitionNum.
+        if (
+            spark.sparkContext.master.startswith("local")
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark
 
 
