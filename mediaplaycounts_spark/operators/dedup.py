@@ -152,20 +152,49 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 2,
     threshold: float = 0.05,
+    n_salt: int = 32,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within blocks (equi-join on block key).
 
     Jaccard = |A∩B| / |A∪B| over distinct shingle sets — pure integer
     arithmetic, so the double division is bit-exact across engines.
+
+    The block key is LOW-cardinality (5 langs) — a naive self-join on it
+    hash-partitions the quadratic comparison work onto ≤5 tasks and one
+    core does ~everything (measured: 129 s single-task at sf0.1). So the
+    join is salted: side A gets a deterministic salt in [0, n_salt),
+    side B is replicated n_salt ways, and the join key is (blk, salt) —
+    every pair still meets exactly once, but the comparisons spread over
+    blk x n_salt partitions. Replication costs only n_salt copies of the
+    (small) shingle table; the quadratic compare work is what matters.
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"), shingles(text_col, n).alias("s")
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    # Explicit repartition of the probe side: pre-join inputs are tiny
+    # (a few k rows), so Catalyst broadcasts side B and AQE would
+    # coalesce everything onto the scan's 1-2 input splits — the
+    # quadratic compare work is invisible to size-based heuristics.
+    # A user-specified partition count is exempt from AQE coalescing,
+    # so the comparisons actually fan out.
+    n_parts = max(n_salt, df.sparkSession.sparkContext.defaultParallelism * 2)
+    a = (
+        sh.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
+        .repartition(n_parts, "blk", "salt")
+        .alias("a")
+    )
+    b = sh.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    ).alias("b")
     inter = F.size(F.array_intersect("a.s", "b.s"))
     union = F.size("a.s") + F.size("b.s") - inter
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),

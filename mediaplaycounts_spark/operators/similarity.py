@@ -87,15 +87,37 @@ def cosine_pairs_blocked(
     vec_col: str,
     block_col: str,
     threshold: float,
+    n_salt: int = 32,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, equi-joined on a block key."""
+    """All pairs with cosine >= threshold, equi-joined on a block key.
+
+    Salted like ngram_jaccard_pairs: block keys are low-cardinality
+    (10 labels), so the quadratic dot-product work would otherwise land
+    on <=10 tasks. Join on (blk, salt) spreads it over blk x n_salt
+    partitions with identical results (each pair meets exactly once)."""
     base = df.select(
         F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), as_double(vec_col).alias("v")
     )
-    a, b = base.alias("a"), base.alias("b")
+    # Explicit fan-out of the probe side (see ngram_jaccard_pairs: tiny
+    # inputs get broadcast-joined and AQE-coalesced onto the scan's
+    # splits; an explicit partition count is exempt from coalescing).
+    n_parts = max(n_salt, df.sparkSession.sparkContext.defaultParallelism * 2)
+    a = (
+        base.withColumn("salt", F.pmod(F.xxhash64("vid"), F.lit(n_salt)))
+        .repartition(n_parts, "blk", "salt")
+        .alias("a")
+    )
+    b = base.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    ).alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
