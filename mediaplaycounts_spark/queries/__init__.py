@@ -13,6 +13,8 @@ Modules are grouped by §2 section:
 - udfs         — §2.H UDF / UDAF / UDTF surface
 - llm          — §2.I LLM-data-pipeline operators (dedup, similarity,
                  multimodal, text analysis)
+- pipeline     — §2.J training-pipeline extensions (hash split, cube,
+                 n-grams, kNN join)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
@@ -20,6 +22,7 @@ from mediaplaycounts_spark.queries import (  # noqa: F401
     expressions,
     joins,
     llm,
+    pipeline,
     scans,
     setops,
     streaming,

@@ -1,0 +1,197 @@
+"""Training-data-pipeline operators beyond the §2.I core.
+
+Four ops a 100 TB corpus pipeline runs constantly (SURVEY.md §2.J
+extensions; north-star mandate `BASELINE.json:6`):
+
+- `sample_hash_bucket` — deterministic train/valid/test split by md5
+  prefix of the stable doc key. The ONLY sane split at 100 TB: no RNG
+  state, no shuffle, embarrassingly parallel, stable under re-runs and
+  late-arriving data (a doc's split never changes). Spark's native
+  `df.sample`/TABLESAMPLE is seed-dependent per-partition and NOT stable
+  across repartitioning — a correctness trap for train/test hygiene.
+- `agg_cube` — CUBE over order status x priority (the reporting twin of
+  `agg_rollup`; completes the GROUPING SETS family).
+- `text_ngram_counts` — per-language top-15 bigrams: the n-gram LM /
+  contamination-check primitive. explode -> hash agg -> per-group top-k.
+- `sim_knn_join` — batch k-NN join (5 probe vectors x corpus, top-3
+  each): the retrieval-eval primitive. Broadcast the probe side so the
+  corpus scan stays shuffle-free; per-probe top-k via window.
+
+All four are SQL-oracled (driver value-hash, not rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.operators import dedup as D
+from mediaplaycounts_spark.operators import similarity as S
+from mediaplaycounts_spark.queries._helpers import dsum, dsum_sql
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+# ------------------------------------------------- deterministic split
+
+#: First-2-hex-chars thresholds: md5 prefix is uniform on [00, ff], so
+#: '0d' keeps 13/256 ~ 5.1% for test, ['0d','1a') another 13/256 for
+#: valid, rest train. Both engines emit lowercase hex; plain ASCII
+#: string comparison is identical on both.
+_TEST_HI = "0d"
+_VALID_HI = "1a"
+
+
+@register(
+    "sample_hash_bucket",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TEST_HI}'
+                    THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VALID_HI}'
+                    THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable hash split: narrow-only plan (scan -> project), no shuffle,
+    no RNG — the split assignment of a doc_id is a pure function."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < _TEST_HI, "test")
+        .when(prefix < _VALID_HI, "valid")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+# ----------------------------------------------------------------- cube
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice', 'revenue')}
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE subtotals over status x priority; 'ALL' sentinels keep the
+    subtotal rows string-typed on both engines (same rule as agg_rollup)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------- ngrams
+
+
+@register(
+    "text_ngram_counts",
+    oracle="""
+        WITH w AS (SELECT lang, string_split(text, ' ') AS toks
+                   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             bg AS (SELECT lang,
+                           unnest(list_transform(range(1, len(toks)),
+                                                 i -> toks[i] || ' ' || toks[i + 1]))
+                             AS bigram
+                    FROM w),
+             counted AS (SELECT lang, bigram, COUNT(*) AS n
+                         FROM bg GROUP BY lang, bigram),
+             ranked AS (SELECT lang, bigram, n,
+                               row_number() OVER (PARTITION BY lang
+                                                  ORDER BY n DESC, bigram) AS rn
+                        FROM counted)
+        SELECT lang, bigram, n FROM ranked WHERE rn <= 15
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 bigrams per language: the n-gram LM / eval-contamination
+    primitive. Bigram generation stays in codegen (transform over
+    sequence — no UDF); one shuffle for the count, one for the top-k
+    window, both on (lang, bigram) keys that are near-uniform."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", D.tokens("text").alias("toks"))
+        # sequence(1, 0) would DESCEND in Spark, so guard short docs out
+        # (DuckDB's range(1, 1) is empty — same final semantics).
+        .filter(F.size("toks") >= 2)
+    )
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.col("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("lang", "bigram", "n")
+    )
+
+
+# ------------------------------------------------------------- kNN join
+
+_COS_KNN = S.COSINE_SQL.format(a="p.pe", b="c.embedding")
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+        WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+             scored AS (SELECT p.probe_id, c.vec_id,
+                               round({_COS_KNN}, 6) AS cos_sim
+                        FROM p, c),
+             ranked AS (SELECT probe_id, vec_id, cos_sim,
+                               row_number() OVER (PARTITION BY probe_id
+                                                  ORDER BY cos_sim DESC, vec_id)
+                                 AS rn
+                        FROM scored)
+        SELECT probe_id, vec_id, cos_sim FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: each of 5 probe vectors gets its exact top-3
+    corpus neighbors by cosine. The probe side is broadcast (BNLJ over a
+    5-row build side — the corpus never shuffles for scoring); ranking
+    orders by the ROUNDED cosine so the window tie-break is identical on
+    both engines. At 100 TB the same plan holds with probe batches up to
+    the broadcast threshold; beyond that, switch to sim_ann_lsh/_ivf."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probes = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = em.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        F.round(S.cosine(S.as_double("pe"), S.as_double("embedding")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "vec_id", "cos_sim")
+    )

@@ -1,0 +1,92 @@
+"""§2.J training-pipeline extensions: semantics + plan-shape tests.
+
+Value parity with DuckDB is covered by the registry shape test and
+tools/check_correctness.py; these pin the semantic invariants that the
+oracle can't express (split stability under re-partitioning, top-k
+cardinality bounds) and the physical plans the 100 TB posture requires
+(zero-shuffle split assignment, broadcast-probe kNN).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.test_plans import nodes, plan_of, shuffles
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+# ---------------------------------------------------- sample_hash_bucket
+
+
+def test_hash_split_is_stable_and_exhaustive(spark, queries):
+    df = queries["sample_hash_bucket"](spark, SF_SMOKE)
+    rows = {r.doc_id: r.split for r in df.collect()}
+    # Exhaustive: every doc gets exactly one split label.
+    assert set(rows.values()) <= {"train", "valid", "test"}
+    # Stable: re-running (fresh plan, different partitioning) assigns the
+    # identical split to every doc — the property Spark's seed-based
+    # df.sample does NOT have.
+    again = {
+        r.doc_id: r.split
+        for r in queries["sample_hash_bucket"](spark, SF_SMOKE)
+        .repartition(7)
+        .collect()
+    }
+    assert rows == again
+    # Rough proportions: each holdout ~5.1% (13/256); tolerate small-n noise.
+    n = len(rows)
+    for label in ("test", "valid"):
+        frac = sum(1 for s in rows.values() if s == label) / n
+        assert 0.005 < frac < 0.15, (label, frac)
+
+
+def test_hash_split_plan_has_no_shuffle(spark, queries):
+    plan = plan_of(queries["sample_hash_bucket"](spark, SF_SMOKE))
+    assert shuffles(plan) == 0
+
+
+# --------------------------------------------------------- text ngrams
+
+
+def test_ngram_counts_topk_bounds(spark, queries):
+    from pyspark.sql import functions as F
+
+    df = queries["text_ngram_counts"](spark, SF_SMOKE)
+    per_lang = {
+        r.lang: r.n_rows
+        for r in df.groupBy("lang").agg(F.count("*").alias("n_rows")).collect()
+    }
+    assert per_lang, "no languages produced"
+    assert all(1 <= v <= 15 for v in per_lang.values()), per_lang
+
+
+# ----------------------------------------------------------- kNN join
+
+
+def test_knn_join_cardinality_and_bounds(spark, queries):
+    rows = queries["sim_knn_join"](spark, SF_SMOKE).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {0, 1, 2, 3, 4}
+    for pid, nbrs in by_probe.items():
+        assert len(nbrs) == 3, (pid, len(nbrs))
+        assert all(-1.000001 <= r.cos_sim <= 1.000001 for r in nbrs)
+        # Neighbors exclude the probe pool itself.
+        assert all(r.vec_id >= 5 for r in nbrs)
+
+
+def test_knn_join_probe_side_is_broadcast(spark, queries):
+    plan = plan_of(queries["sim_knn_join"](spark, SF_SMOKE))
+    # Scoring is a broadcast nested-loop over the 5-row probe side: the
+    # corpus scan itself never shuffles (the only exchange is the tiny
+    # per-probe ranking window).
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert shuffles(plan) <= 1
