@@ -211,6 +211,72 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bucket granularity for the bucketized interval join (seconds). Rule:
+#: pick g <= min interval length so each interval explodes to a bounded
+#: handful of buckets (48h / 6h = 9 here).
+_BKT_SECONDS = 6 * 3600
+_EPOCH_2024_01_01 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "join_range_bucketized",
+    oracle="""
+        WITH iv AS (
+            SELECT 'w' || CAST(i AS VARCHAR) AS label,
+                   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 HOUR * (12 * i) AS s,
+                   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 HOUR * (12 * i + 48) AS e
+            FROM range(0, 58) t(i))
+        SELECT iv.label, ev.event_type, COUNT(*) AS n_events
+        FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+        GROUP BY iv.label, ev.event_type
+    """,
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for interval joins (SURVEY.md §7 watch-list
+    item 3): 58 sliding 48-hour windows, equi-joined on a 6-hour bucket.
+
+    Each interval explodes to its covered buckets (<= 9 rows each); each
+    event computes one bucket. The theta condition becomes bucket
+    equality + a residual range filter — a HASH join Catalyst can
+    shuffle or broadcast, never the O(|events| x |intervals|) BNLJ the
+    naive theta join runs. The oracle is the plain theta join: results
+    must be identical (an event's single bucket can't duplicate a
+    match within one interval; overlapping intervals multi-match by
+    design, same as the theta join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = spark.range(58).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("label"),
+        (F.lit(_EPOCH_2024_01_01) + F.col("id") * (12 * 3600)).alias("s_sec"),
+        (F.lit(_EPOCH_2024_01_01) + F.col("id") * (12 * 3600) + 48 * 3600).alias(
+            "e_sec"
+        ),
+    )
+    ivb = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_sec div {_BKT_SECONDS}"),
+                F.expr(f"(e_sec - 1) div {_BKT_SECONDS}"),
+            )
+        ),
+    ).select(
+        "label",
+        "bucket",
+        F.timestamp_seconds("s_sec").cast("timestamp_ntz").alias("s"),
+        F.timestamp_seconds("e_sec").cast("timestamp_ntz").alias("e"),
+    )
+    evb = ev.withColumn(
+        "bucket", F.expr(f"unix_timestamp(ts) div {_BKT_SECONDS}")
+    )
+    return (
+        evb.join(F.broadcast(ivb), "bucket")
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .groupBy("label", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 @register(
     "join_asof",
     oracle="""

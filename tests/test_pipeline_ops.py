@@ -83,6 +83,47 @@ def test_knn_join_cardinality_and_bounds(spark, queries):
         assert all(r.vec_id >= 5 for r in nbrs)
 
 
+# ------------------------------------------- bucketized interval join
+
+
+def test_bucketized_interval_join_is_hash_not_bnlj(spark, queries):
+    plan = plan_of(queries["join_range_bucketized"](spark, SF_SMOKE))
+    # The whole point of the bucketization: the theta join becomes an
+    # equi-join on the bucket key (broadcast hash here; shuffle hash at
+    # scale) — never a nested loop over |events| x |intervals|.
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "HashJoin" in plan
+
+
+def test_bucketized_interval_join_matches_naive_theta(spark, queries):
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.tables import load_table
+
+    bucketized = {
+        (r.label, r.event_type): r.n_events
+        for r in queries["join_range_bucketized"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    iv = spark.range(58).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("label"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 43200)
+        .cast("timestamp_ntz")
+        .alias("s"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 43200 + 172800)
+        .cast("timestamp_ntz")
+        .alias("e"),
+    )
+    naive = {
+        (r.label, r.event_type): r.n_events
+        for r in ev.join(iv, (ev.ts >= iv.s) & (ev.ts < iv.e))
+        .groupBy("label", "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert bucketized == naive
+
+
 def test_knn_join_probe_side_is_broadcast(spark, queries):
     plan = plan_of(queries["sim_knn_join"](spark, SF_SMOKE))
     # Scoring is a broadcast nested-loop over the 5-row probe side: the
