@@ -148,6 +148,60 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- stopword/repetition
+
+#: Function-word list; the synthetic corpus vocabulary includes 'a' and
+#: 'the', the rest guard generality (ratio 0 contributions are fine).
+_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
+
+
+@register(
+    "text_stopword_repetition",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(list_filter(toks, w -> list_contains({list(_STOPWORDS)}, w)))
+                    AS DOUBLE) / len(toks) AS stop_ratio,
+               CAST(list_max(list_transform(list_distinct(toks),
+                                            w -> len(list_filter(toks, t -> t = w))))
+                    AS DOUBLE) / len(toks) AS top_frac
+        FROM t
+    """,
+)
+def text_stopword_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals the corpus filters key on: stopword ratio
+    (too low => boilerplate/code, too high => filler) and top-token
+    fraction (repetition detector). Pure higher-order array functions —
+    narrow plan, zero shuffle, whole-stage codegen; the per-doc mode is
+    O(v^2) in DISTINCT tokens, bounded by doc vocabulary, not length."""
+    docs = load_table(spark, sf_dir, "documents")
+    stoplist = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = D.tokens("text")
+    n_words = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w))).cast("double")
+        / n_words
+    )
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda t: t == w)),
+            )
+        ).cast("double")
+        / n_words
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        top_frac.alias("top_frac"),
+    )
+
+
 # ------------------------------------------------------------- kNN join
 
 _COS_KNN = S.COSINE_SQL.format(a="p.pe", b="c.embedding")
