@@ -220,3 +220,62 @@ def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("n_part").alias("n"))
     )
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: CUSTOM stateful operator via
+    applyInPandasWithState — per-user running (event count, peak value).
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    streaming aggregates can't express (arbitrary per-key state machines;
+    here a deliberately simple one so the oracle stays exact). State is a
+    (count, max) pair per user_id; each micro-batch updates it via an
+    Arrow-batched pandas kernel and emits the running totals. Both
+    emitted measures are monotone (count increases, max is a lattice
+    join), so re-aggregating the update-mode emissions with MAX yields
+    the exact final state regardless of how AvailableNow splits batches
+    — and MAX of existing doubles is FP-exact, no summation-order games.
+
+    Scale: state lives in the executor state store partitioned by
+    user_id (one shuffle); in production a TTL/timeout would evict idle
+    keys — bounded replay needs none.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    updates = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events long, max_value double",
+            "n long, mx double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = run_available_now(updates, output_mode="update")
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )
