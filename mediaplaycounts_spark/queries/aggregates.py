@@ -151,6 +151,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_sketch_merge", oracle=None)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct counting via MERGEABLE HLL sketches — the
+    100 TB pattern `agg_approx_distinct` hides inside one expression,
+    made explicit: build per-(type, day) Datasketches HLL sketches of
+    user_id (level 1: daily batch jobs each emit a tiny sketch), then
+    union the sketches per type and estimate (level 2: the cross-day
+    rollup touches only |types| x |days| sketch blobs, never re-reads
+    the raw 100 TB). Deterministic (no RNG) but sketch-binary-specific,
+    so rows-only; tests bound the estimate error vs exact distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("n_users_est"),
+        )
+    )
+
+
 @register(
     "agg_percentile",
     oracle="""

@@ -144,6 +144,33 @@ def test_approx_distinct_within_rsd_of_exact(spark):
         assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
 
 
+def test_hll_sketch_merge_matches_exact_within_tolerance(spark):
+    """Per-day sketches unioned across days must estimate the same
+    distinct-user counts as a direct exact pass — the mergeability
+    property that lets the 100 TB rollup read sketch blobs, not raw
+    data. lgK=14 keeps relative error well under 2%."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.event_type: r.n_users_est
+        for r in e.queries()["agg_hll_sketch_merge"](spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
+
+
 def test_frame_sample_stride_and_digests(spark):
     """Frame kernel: ceil(len/64) frames, every 2nd emitted, digests
     match hand-computed md5 of the char slices."""
