@@ -15,10 +15,16 @@ Modules are grouped by §2 section:
                  multimodal, text analysis)
 - pipeline     — §2.J training-pipeline extensions (hash split, cube,
                  n-grams, kNN join)
+- analytics    — §2.J log-analytics classics (cohort retention, funnel,
+                 exact-moment variance)
+- curation     — §2.J corpus curation (PII redaction, Gopher quality,
+                 rank-band filter, stratified sample, contamination)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
+    curation,
     expressions,
     joins,
     llm,

@@ -1,0 +1,169 @@
+"""Log-analytics classics the reference's domain implies but never had.
+
+The reference answers "plays per file per day" (REF GetData::date_range,
+SURVEY.md §3.2) — the canonical next questions a play-log analyst asks
+are cohort retention ("of users first seen on day D, how many came back
+k days later?") and funnels ("how many users did view -> click ->
+purchase, in order?"). Both are pure DataFrame compositions over the
+`events` table, SQL-oracled.
+
+`agg_variance_exact` extends the FP-stabilization strategy
+(queries/_helpers.py) from sums/averages to second moments: population
+variance from exact integer cents moments (n, Σc, Σc²), so the result
+is bit-identical across engines and partitionings — Spark's native
+`var_pop` is a streaming double accumulation whose value depends on
+partition order, which would fail the driver's value-hash.
+
+100 TB posture: retention/funnel shuffle on user_id only (hash keys are
+near-uniform user ids — no skew); variance is a single partial+final
+hash aggregate on integer columns, all map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.queries._helpers import cents
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+# ------------------------------------------------------ cohort retention
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+        WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+             coh AS (SELECT user_id, MIN(d) AS cohort
+                     FROM daily GROUP BY user_id)
+        SELECT coh.cohort,
+               CAST(date_diff('day', coh.cohort, daily.d) AS BIGINT)
+                 AS day_offset,
+               COUNT(DISTINCT daily.user_id) AS n_users
+        FROM daily JOIN coh ON daily.user_id = coh.user_id
+        GROUP BY coh.cohort, day_offset
+    """,
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    per days-since-first-seen. Two shuffles, both on user_id (cohort
+    assignment reuses the join's hash partitioning under AQE); the final
+    (cohort, offset) grid is tiny regardless of input scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        # Midnight timestamps, not DateType: pandas dtype parity with
+        # DuckDB's fetchdf on the driver's compare (same rule as
+        # agg_daily_playcount).
+        "user_id",
+        F.date_trunc("DAY", "ts").alias("d"),
+    )
+    coh = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(coh, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------- funnel
+
+
+@register(
+    "agg_funnel_steps",
+    oracle="""
+        WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+                   FROM events e JOIN v ON e.user_id = v.user_id
+                   WHERE e.event_type = 'click' AND e.ts > v.t_view
+                   GROUP BY e.user_id),
+             p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+                   FROM events e JOIN c ON e.user_id = c.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                   GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user advances a step
+    only with an event strictly after their previous step's first event.
+    Each stage filters by type BEFORE joining (the join input is ~1/5 of
+    events), joins on user_id, and re-aggregates; the three final counts
+    are single-row aggregates crossed together."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+# ------------------------------------------------- exact-moment variance
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+        WITH m AS (SELECT event_type,
+                          COUNT(*) AS n,
+                          SUM(CAST(round(value * 100, 0) AS BIGINT)) AS s1,
+                          SUM(CAST(round(value * 100, 0) AS BIGINT)
+                              * CAST(round(value * 100, 0) AS BIGINT)) AS s2
+                   FROM events GROUP BY event_type)
+        SELECT event_type, n,
+               round(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_value,
+               round((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                     / n / 10000.0, 6) AS var_pop,
+               round(sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                          / n / 10000.0), 6) AS std_pop
+        FROM m
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/stddev of `events.value` per type from exact
+    integer moments (n, Σcents, Σcents²): order-independent, map-side
+    combinable, bit-identical across engines. Σc² of 490.02-max values
+    stays < 2^63 up to ~3.8e12 rows per group; past that, promote s2 to
+    DECIMAL(38,0) partial sums."""
+    ev = load_table(spark, sf_dir, "events")
+    c = cents("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    var_raw = (F.col("s2").cast("double") - s1d * s1d / F.col("n")) / F.col("n") / 10000.0
+    return m.select(
+        "event_type",
+        "n",
+        F.round(s1d / F.col("n") / 100.0, 6).alias("mean_value"),
+        F.round(var_raw, 6).alias("var_pop"),
+        F.round(F.sqrt(var_raw), 6).alias("std_pop"),
+    )

@@ -1,0 +1,303 @@
+"""Corpus-curation operators: the filters a 100 TB training-data
+pipeline runs between raw crawl and tokenizer (north-star mandate
+`BASELINE.json:6` — text analysis / dedup / sampling beyond §2.I/J).
+
+- `text_pii_redact` — regex PII detection + redaction. The synthetic
+  corpus has no PII, so each doc is prefixed with a deterministic fake
+  contact line derived from doc_id; the regexes then have real work to
+  do and the oracle still value-hashes. Patterns are kept in the
+  RE2 ∩ Java-regex common subset so Spark and DuckDB compile them
+  identically.
+- `text_gopher_quality` — Gopher-style per-doc quality rules (word
+  count band, mean word length band, stopword floor) with exact
+  integer/float math (sums of int lengths; one final double division).
+- `filter_quality_rank` — per-language percentile band keep-filter done
+  in pure integer arithmetic (20*rn > cnt AND 20*rn <= 19*cnt ==
+  percent-rank in (5%, 95%]) — no float thresholds to disagree on.
+- `sample_stratified` — per-language sampling at different rates via
+  md5-prefix thresholds: deterministic, shuffle-free, stable under
+  re-runs and repartitioning (same rationale as `sample_hash_bucket`).
+- `text_contamination_overlap` — train/benchmark n-gram overlap: per
+  training doc, how many of its distinct token trigrams appear in any
+  benchmark doc. THE decontamination primitive: benchmark trigram set
+  is small -> broadcast; the corpus side never shuffles until the tiny
+  per-doc count aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.operators import dedup as D
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+# ------------------------------------------------------------------ PII
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   'Contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' ' || text AS raw
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT)
+                 AS n_phones,
+               regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM synth
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails/phones in one narrow projection
+    (scan -> project, zero shuffle; regex eval stays in codegen). Spark's
+    regexp_replace is global by default; DuckDB needs the explicit 'g'."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+# -------------------------------------------------------- Gopher rules
+
+#: Word-count band and stopword floor tuned to the synthetic corpus so
+#: both keep- and drop- branches are exercised; the mean-word-length
+#: band mirrors Gopher's [3, 10].
+_MIN_WORDS, _MAX_WORDS = 30, 70
+_MIN_MWL, _MAX_MWL = 3.0, 6.0
+_STOP_FLOOR = 2
+_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                   FROM documents),
+             m AS (SELECT doc_id, lang,
+                          CAST(len(toks) AS BIGINT) AS n_words,
+                          CAST(list_sum(list_transform(toks, w -> len(w)))
+                               AS DOUBLE) / len(toks) AS mwl,
+                          CAST(len(list_filter(toks,
+                                   w -> list_contains({list(_STOPWORDS)}, w)))
+                               AS BIGINT) AS stop_count
+                   FROM t)
+        SELECT doc_id, lang, n_words, round(mwl, 6) AS mean_word_len,
+               stop_count,
+               CAST(n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                    AND mwl >= {_MIN_MWL} AND mwl <= {_MAX_MWL}
+                    AND stop_count >= {_STOP_FLOOR} AS BIGINT) AS keep
+        FROM m
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: word-count band, mean-word-length band,
+    stopword floor -> keep flag (emitted as 0/1 BIGINT so the value-hash
+    never depends on boolean serialization). All metrics are exact
+    integer sums with one final double division; narrow plan, zero
+    shuffle, fully codegen'd higher-order array functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    stoplist = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = D.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mwl = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / F.size(toks)
+    )
+    stop_count = F.size(
+        F.filter(toks, lambda w: F.array_contains(stoplist, w))
+    ).cast("long")
+    keep = (
+        n_words.between(_MIN_WORDS, _MAX_WORDS)
+        & (mwl >= _MIN_MWL)
+        & (mwl <= _MAX_MWL)
+        & (stop_count >= _STOP_FLOOR)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        stop_count.alias("stop_count"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+# --------------------------------------------------- percentile band keep
+
+
+@register(
+    "filter_quality_rank",
+    oracle="""
+        WITH r AS (SELECT doc_id, lang, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY n_chars, doc_id) AS rn,
+                          COUNT(*) OVER (PARTITION BY lang) AS cnt
+                   FROM documents)
+        SELECT doc_id, lang, n_chars
+        FROM r WHERE 20 * rn > cnt AND 20 * rn <= 19 * cnt
+    """,
+)
+def filter_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile band filter: drop the shortest 5% and
+    longest 5% of docs by n_chars. The band test is pure integer
+    arithmetic on (row_number, count) — engines can't disagree on a
+    float percentile interpolation that was never computed. One shuffle
+    on lang; at 100 TB swap row_number for a two-pass approx-quantile
+    threshold to avoid the single-partition-per-lang window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("cnt"),
+        )
+        .filter((20 * F.col("rn") > F.col("cnt")) & (20 * F.col("rn") <= 19 * F.col("cnt")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ----------------------------------------------------- stratified sample
+
+#: md5-prefix keep thresholds per language: en 128/256 = 50%,
+#: zh 26/256 ~ 10%, others 77/256 ~ 30% — up/down-weighting languages is
+#: exactly how corpus mixes are tuned.
+_RATE_HEX = {"en": "80", "zh": "1a"}
+_RATE_DEFAULT = "4d"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE lang WHEN 'en' THEN '{_RATE_HEX["en"]}'
+                        WHEN 'zh' THEN '{_RATE_HEX["zh"]}'
+                        ELSE '{_RATE_DEFAULT}' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep iff the md5 prefix of the
+    stable doc key falls under the stratum's threshold. Same plan shape
+    as sample_hash_bucket (scan -> filter, zero shuffle, no RNG state);
+    a doc's fate is a pure function of (doc_id, lang) — reproducible
+    across re-runs, cluster sizes, and late-arriving partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = (
+        F.when(F.col("lang") == "en", _RATE_HEX["en"])
+        .when(F.col("lang") == "zh", _RATE_HEX["zh"])
+        .otherwise(_RATE_DEFAULT)
+    )
+    return docs.filter(prefix < threshold).select("doc_id", "lang", "source")
+
+
+# ------------------------------------------------ contamination overlap
+
+#: Benchmark membership: doc_id % 97 == 0 (~1% of the corpus) — stands
+#: in for "the eval set" without needing an extra table.
+_BENCH_MOD = 97
+_CONTAM_FLOOR = 3
+
+
+@register(
+    "text_contamination_overlap",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+             tg AS (SELECT DISTINCT doc_id,
+                           unnest(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                             AS trigram
+                    FROM toks WHERE len(t) >= 3),
+             bench AS (SELECT DISTINCT trigram FROM tg
+                       WHERE doc_id % {_BENCH_MOD} = 0),
+             hits AS (SELECT tg.doc_id, COUNT(*) AS n_shared
+                      FROM tg JOIN bench USING (trigram)
+                      WHERE tg.doc_id % {_BENCH_MOD} <> 0
+                      GROUP BY tg.doc_id)
+        SELECT d.doc_id,
+               COALESCE(h.n_shared, 0) AS n_shared,
+               CAST(COALESCE(h.n_shared, 0) >= {_CONTAM_FLOOR} AS BIGINT)
+                 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {_BENCH_MOD} <> 0
+    """,
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training doc, the number of its
+    DISTINCT token trigrams that occur in any benchmark doc, plus a
+    contaminated flag. Per-doc dedup happens BEFORE the explode
+    (array_distinct — no shuffle spent on DISTINCT); the benchmark
+    trigram set is broadcast, so the training side's only shuffle is the
+    tiny per-doc hit count. At 100 TB the benchmark set (real eval
+    suites are < 1 GB of trigrams) still broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = D.tokens("text")
+    trigrams = docs.filter(F.size(t) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> concat(element_at(split(text, ' '), i), ' ',"
+                    "             element_at(split(text, ' '), i + 1), ' ',"
+                    "             element_at(split(text, ' '), i + 2)))"
+                )
+            )
+        ).alias("trigram"),
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = trigrams.filter(is_bench).select("trigram").distinct()
+    hits = (
+        trigrams.filter(~is_bench)
+        .join(F.broadcast(bench), "trigram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= _CONTAM_FLOOR)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

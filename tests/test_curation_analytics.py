@@ -1,0 +1,129 @@
+"""Semantics + plan-shape tests for the analytics/curation extensions.
+
+Value parity vs DuckDB is covered by tools/check_correctness.py; these
+pin the invariants the oracle can't express — funnel monotonicity,
+retention-matrix structure, sampling stability under repartitioning —
+and the physical-plan claims each docstring makes (zero-shuffle narrow
+ops, broadcast contamination join).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.test_plans import plan_of, shuffles
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+# ------------------------------------------------------------ analytics
+
+
+def test_funnel_counts_are_monotone(spark, queries):
+    row = queries["agg_funnel_steps"](spark, SF_SMOKE).collect()[0]
+    assert row.n_view >= row.n_click_after_view >= row.n_purchase_after_click
+    assert row.n_view > 0
+
+
+def test_retention_matrix_structure(spark, queries):
+    rows = queries["agg_retention_cohorts"](spark, SF_SMOKE).collect()
+    assert all(r.day_offset >= 0 for r in rows)
+    # Every cohort has its day-0 cell, and it is the cohort's max cell
+    # (a user can't return on day k without existing on day 0).
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, {})[r.day_offset] = r.n_users
+    for cohort, cells in by_cohort.items():
+        assert 0 in cells, cohort
+        assert cells[0] == max(cells.values()), cohort
+
+
+def test_variance_matches_float_reference(spark, queries):
+    from mediaplaycounts_spark.tables import load_table
+
+    got = {
+        r.event_type: r
+        for r in queries["agg_variance_exact"](spark, SF_SMOKE).collect()
+    }
+    vals: dict = {}
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r.event_type, []).append(round(r.value * 100) / 100)
+    for et, xs in vals.items():
+        mean = sum(xs) / len(xs)
+        var = sum((x - mean) ** 2 for x in xs) / len(xs)
+        assert got[et].n == len(xs)
+        assert math.isclose(got[et].mean_value, mean, abs_tol=1e-4)
+        assert math.isclose(got[et].var_pop, var, rel_tol=1e-6, abs_tol=1e-4)
+        assert math.isclose(got[et].std_pop, math.sqrt(var), abs_tol=1e-4)
+
+
+# ------------------------------------------------------------- curation
+
+
+def test_pii_redaction_is_complete(spark, queries):
+    df = queries["text_pii_redact"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert all(r.n_emails >= 1 and r.n_phones >= 1 for r in rows)
+    assert all("<EMAIL>" in r.redacted and "<PHONE>" in r.redacted for r in rows)
+    assert not any("@example.com" in r.redacted for r in rows)
+    assert shuffles(plan_of(df)) == 0
+
+
+def test_gopher_keep_flag_matches_rules(spark, queries):
+    df = queries["text_gopher_quality"](spark, SF_SMOKE)
+    rows = df.collect()
+    kept = [r for r in rows if r.keep == 1]
+    assert 0 < len(kept) < len(rows)  # both branches exercised
+    for r in rows:
+        expect = (
+            30 <= r.n_words <= 70
+            and 3.0 <= r.mean_word_len <= 6.0
+            and r.stop_count >= 2
+        )
+        # mean_word_len is rounded to 6dp; the band edges are far from
+        # any real corpus value, so the rounded check is equivalent.
+        assert bool(r.keep) == expect, r
+    assert shuffles(plan_of(df)) == 0
+
+
+def test_quality_rank_band_cardinality(spark, queries):
+    from mediaplaycounts_spark.tables import load_table
+
+    per_lang_total: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents").groupBy("lang").count().collect()
+    ):
+        per_lang_total[r.lang] = r["count"]
+    kept: dict = {}
+    for r in queries["filter_quality_rank"](spark, SF_SMOKE).collect():
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    for lang, cnt in per_lang_total.items():
+        # 20*rn > cnt AND 20*rn <= 19*cnt keeps floor(19c/20) - floor(c/20).
+        assert kept.get(lang, 0) == (19 * cnt) // 20 - cnt // 20, lang
+
+
+def test_stratified_sample_is_stable_and_stratified(spark, queries):
+    df = queries["sample_stratified"](spark, SF_SMOKE)
+    first = {r.doc_id for r in df.collect()}
+    again = {r.doc_id for r in df.repartition(7).collect()}
+    assert first == again  # pure function of doc_id — no RNG state
+    assert shuffles(plan_of(df)) == 0
+
+
+def test_contamination_excludes_benchmark_and_broadcasts(spark, queries):
+    df = queries["text_contamination_overlap"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all((r.contaminated == 1) == (r.n_shared >= 3) for r in rows)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # bench trigram set never shuffles
