@@ -19,6 +19,8 @@ Modules are grouped by §2 section:
                  exact-moment variance)
 - curation     — §2.J corpus curation (PII redaction, Gopher quality,
                  rank-band filter, stratified sample, contamination)
+- modern       — §2.J Spark-4 surface (max_by argmax, unpivot melt,
+                 VariantType JSON access)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
@@ -28,6 +30,7 @@ from mediaplaycounts_spark.queries import (  # noqa: F401
     expressions,
     joins,
     llm,
+    modern,
     pipeline,
     scans,
     setops,

@@ -1,0 +1,131 @@
+"""Modern Spark-4 relational surface: argmax aggregates, wide<->long
+reshape, and VariantType semi-structured access.
+
+The reference's API returns "the count for file F" — the dual question
+("which file/user topped day D?") is an argmax aggregate, here done
+with `max_by` over a tie-proof composite ordering instead of a window
+(one hash aggregate, no sort, no row_number shuffle — the cheapest
+argmax at scale).
+
+`json_variant_extract` routes `events.props` through Spark 4's
+VariantType (`parse_json` -> `variant_get`): the open-schema path for
+semi-structured ingest — unlike `from_json(schema)`, new keys arrive
+without a schema migration, and shredded variant storage keeps
+extraction columnar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.queries._helpers import cents
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+# ---------------------------------------------------------------- argmax
+
+
+@register(
+    "agg_argmax_daily",
+    oracle="""
+        WITH per_user AS (
+            SELECT date_trunc('day', ts) AS day, user_id,
+                   SUM(CAST(round(value * 100, 0) AS BIGINT)) AS total_c
+            FROM events GROUP BY day, user_id)
+        SELECT day,
+               max_by(user_id, total_c * 1000000 - user_id) AS top_user,
+               CAST(MAX(total_c) AS DOUBLE) / 100.0 AS top_value
+        FROM per_user GROUP BY day
+    """,
+)
+def agg_argmax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day, the user with the highest exact value total. Ties are
+    impossible by construction: the max_by ordering is the composite
+    integer total_cents*1e6 - user_id (prefer the smaller user id), so
+    both engines pick the identical winner — bare max_by under ties is
+    engine-nondeterministic and would fail the value-hash. Two hash
+    aggregates, no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        F.date_trunc("DAY", "ts").alias("day"), "user_id"
+    ).agg(F.sum(cents("value")).alias("total_c"))
+    return per_user.groupBy("day").agg(
+        F.max_by("user_id", F.col("total_c") * 1000000 - F.col("user_id")).alias(
+            "top_user"
+        ),
+        (F.max("total_c").cast("double") / 100.0).alias("top_value"),
+    )
+
+
+# --------------------------------------------------------------- unpivot
+
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "reshape_unpivot",
+    oracle=f"""
+        WITH wide AS (
+            SELECT date_trunc('day', ts) AS day,
+                   {", ".join(
+                       f"COUNT(*) FILTER (event_type = '{t}') AS {t}"
+                       for t in _TYPES
+                   )}
+            FROM events GROUP BY day)
+        SELECT day, event_type, n
+        FROM wide UNPIVOT (n FOR event_type IN ({", ".join(_TYPES)}))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt: pivot the daily per-type counts wide (one column
+    per event type, zero-filled), then unpivot back to (day, event_type,
+    n). The melt is a narrow projection — each input row explodes to 5
+    output rows with no shuffle beyond the pivot's aggregate. Zero-fill
+    before the melt so neither engine's null-dropping UNPIVOT semantics
+    can diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .pivot("event_type", list(_TYPES))
+        .count()
+        .select(
+            "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _TYPES]
+        )
+    )
+    return wide.unpivot("day", list(_TYPES), "event_type", "n")
+
+
+# ---------------------------------------------------------------- variant
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema JSON access via VariantType: parse once
+    (`parse_json`), extract typed paths (`variant_get`) with no
+    StructType declared — new props keys need no schema change. The
+    extraction is codegen'd JVM-side; aggregation over the extracted
+    BIGINT is exact integer math."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

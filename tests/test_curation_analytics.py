@@ -127,3 +127,52 @@ def test_contamination_excludes_benchmark_and_broadcasts(spark, queries):
     assert all((r.contaminated == 1) == (r.n_shared >= 3) for r in rows)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan  # bench trigram set never shuffles
+
+
+# ------------------------------------------------------- modern surface
+
+
+def test_argmax_matches_window_formulation(spark, queries):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.queries._helpers import cents
+    from mediaplaycounts_spark.tables import load_table
+
+    got = {
+        r.day: (r.top_user, r.top_value)
+        for r in queries["agg_argmax_daily"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_user = ev.groupBy(F.date_trunc("DAY", "ts").alias("day"), "user_id").agg(
+        F.sum(cents("value")).alias("c")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("c"), "user_id")
+    expect = {
+        r.day: (r.user_id, r.c / 100.0)
+        for r in per_user.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_unpivot_roundtrips_long_counts(spark, queries):
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.tables import load_table
+
+    df = queries["reshape_unpivot"](spark, SF_SMOKE)
+    total = df.agg(F.sum("n")).collect()[0][0]
+    assert total == load_table(spark, SF_SMOKE, "events").count()
+    days = df.select("day").distinct().count()
+    assert df.count() == days * 5  # zero-filled: every (day, type) cell
+
+
+def test_variant_extract_stays_jvm_side(spark, queries):
+    df = queries["json_variant_extract"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.event_type: r for r in df.collect()}
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+    assert all(0 <= r.min_k <= r.max_k <= 99 for r in rows.values())
