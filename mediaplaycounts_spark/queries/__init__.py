@@ -21,6 +21,8 @@ Modules are grouped by §2 section:
                  rank-band filter, stratified sample, contamination)
 - modern       — §2.J Spark-4 surface (max_by argmax, unpivot melt,
                  VariantType JSON access)
+- timeseries   — §2.J time-series repair (integer-exact gap-fill
+                 interpolation, 3-sigma anomaly flags)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
@@ -35,6 +37,7 @@ from mediaplaycounts_spark.queries import (  # noqa: F401
     scans,
     setops,
     streaming,
+    timeseries,
     udfs,
     windows,
 )

@@ -1,0 +1,192 @@
+"""Time-series repair + anomaly operators over the daily play grid.
+
+The reference's API zero-fills missing days when serving a date range
+(REF GetData::date_range, SURVEY.md §3.2 stage 4). These operators
+extend that idea from "fill with 0" to the two next things a log
+analyst needs on a daily metric series:
+
+- `ts_gapfill_interpolate` — rebuild a dense per-type daily series and
+  LINEARLY interpolate missing days from the nearest observed
+  neighbors (edges carry the nearest value). Interpolation is done in
+  exact int64 cents arithmetic — ``(pc*(tot-off) + nc*off) div tot`` —
+  so Spark and the DuckDB oracle agree bit-for-bit; a double lerp would
+  be at the mercy of each engine's rounding.
+- `agg_anomaly_flag` — flag days whose total deviates from the type's
+  mean by more than 3 sigma. The test ``|t - mean| > 3*sigma`` is
+  algebraically cleared of divisions: ``(D*t - S)^2 > 9*(D*S2 - S^2)``
+  over exact integer moments (D days, S = sum of daily cents totals,
+  S2 = sum of squares), so the flag is order-independent and
+  bit-identical across engines — no sqrt, no FP variance.
+
+100 TB posture: both shuffle once on (event_type, day) — the grid after
+that is O(types x days), tiny regardless of input scale. The window
+functions in the gap-fill run per event_type over that tiny grid, not
+over raw events. Moment sums: daily cents totals up to ~2^40 keep
+``S2 < 2^63`` through ~8e6 days/type; past that promote the moment
+columns to DECIMAL(38,0) partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.queries._helpers import cents
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+_DAILY_SQL = """
+        SELECT event_type, date_trunc('day', ts) AS d,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) exact cents total of `events.value`."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("d")
+    ).agg(F.sum(cents("value")).alias("c"))
+
+
+# ------------------------------------------------------------- gap fill
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+        days AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+                 FROM bounds),
+        spine AS (SELECT t.event_type, days.d
+                  FROM (SELECT DISTINCT event_type FROM daily) t
+                  CROSS JOIN days),
+        j AS (SELECT s.event_type, s.d, daily.c
+              FROM spine s LEFT JOIN daily
+                ON s.event_type = daily.event_type AND s.d = daily.d),
+        w AS (SELECT event_type, d, c,
+              last_value(c IGNORE NULLS) OVER pw AS pc,
+              last_value(CASE WHEN c IS NOT NULL THEN d END IGNORE NULLS)
+                  OVER pw AS pd,
+              first_value(c IGNORE NULLS) OVER nw AS nc,
+              first_value(CASE WHEN c IS NOT NULL THEN d END IGNORE NULLS)
+                  OVER nw AS nd
+              FROM j
+              WINDOW pw AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     nw AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, d,
+               CAST(COALESCE(c,
+                             (pc * (date_diff('day', pd, nd)
+                                    - date_diff('day', pd, d))
+                              + nc * date_diff('day', pd, d))
+                             // NULLIF(date_diff('day', pd, nd), 0),
+                             pc, nc) AS DOUBLE) / 100.0 AS filled_value,
+               CAST(c IS NULL AS BIGINT) AS was_gap
+        FROM w
+    """,
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event_type with integer-exact linear
+    interpolation of missing days (calendar spine from the global
+    min/max day; leading/trailing gaps carry the nearest neighbor).
+
+    Plan shape: one (type, day) hash agg over events, then all spine /
+    window work happens on the O(types x days) grid. The spine is built
+    with ``sequence`` + ``explode`` from a 1-row bounds aggregate —
+    no driver-side date loop, no collect.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("d")
+    )
+    spine = daily.select("event_type").distinct().crossJoin(days)
+    j = spine.join(daily, ["event_type", "d"], "left")
+
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nw = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("c").isNotNull(), F.col("d"))
+    w = j.select(
+        "event_type",
+        "d",
+        "c",
+        F.last("c", ignorenulls=True).over(pw).alias("pc"),
+        F.last(obs_d, ignorenulls=True).over(pw).alias("pd"),
+        F.first("c", ignorenulls=True).over(nw).alias("nc"),
+        F.first(obs_d, ignorenulls=True).over(nw).alias("nd"),
+    )
+    # Exact integer lerp; NULLIF guards ANSI div-by-zero on observed rows
+    # (where pd == nd), which COALESCE then resolves via c itself.
+    interp = F.expr(
+        "(pc * (datediff(nd, pd) - datediff(d, pd)) + nc * datediff(d, pd))"
+        " div nullif(datediff(nd, pd), 0)"
+    )
+    return w.select(
+        "event_type",
+        "d",
+        (F.coalesce("c", interp, "pc", "nc").cast("double") / 100.0).alias(
+            "filled_value"
+        ),
+        F.col("c").isNull().cast("bigint").alias("was_gap"),
+    )
+
+
+# ------------------------------------------------------- anomaly flags
+
+
+@register(
+    "agg_anomaly_flag",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        m AS (SELECT event_type, COUNT(*) AS nd,
+                     SUM(c) AS s1, SUM(c * c) AS s2
+              FROM daily GROUP BY event_type)
+        SELECT daily.event_type, daily.d,
+               CAST(daily.c AS DOUBLE) / 100.0 AS daily_total,
+               CAST((m.nd * daily.c - m.s1) * (m.nd * daily.c - m.s1)
+                    > 9 * (m.nd * m.s2 - m.s1 * m.s1) AS BIGINT) AS is_anomaly
+        FROM daily JOIN m ON daily.event_type = m.event_type
+    """,
+)
+def agg_anomaly_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma daily-total anomaly flags per event_type, decided entirely
+    in int64 moment arithmetic: ``(D*t - S)^2 > 9*(D*S2 - S^2)`` is
+    ``|t - mean| > 3*sigma_pop`` with both sides multiplied by ``D^2``.
+
+    The per-type moment table is tiny — Catalyst broadcasts it back onto
+    the daily grid (itself the output of one hash agg over events), so
+    the whole operator is one shuffle + one broadcast join.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    dev = F.col("nd") * F.col("c") - F.col("s1")
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "d",
+            (F.col("c").cast("double") / 100.0).alias("daily_total"),
+            (
+                dev * dev
+                > 9 * (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1"))
+            )
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+    )
