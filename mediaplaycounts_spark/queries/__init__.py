@@ -23,6 +23,8 @@ Modules are grouped by §2 section:
                  VariantType JSON access)
 - timeseries   — §2.J time-series repair (integer-exact gap-fill
                  interpolation, 3-sigma anomaly flags)
+- storage      — §2.J storage layout (Z-order clustering, ORC scan,
+                 dynamic partition pruning)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
@@ -36,6 +38,7 @@ from mediaplaycounts_spark.queries import (  # noqa: F401
     pipeline,
     scans,
     setops,
+    storage,
     streaming,
     timeseries,
     udfs,

@@ -1,0 +1,55 @@
+"""Storage-layout operator tests: Morton-key algebra and the physical
+plans the docstrings promise (range-partition clustering, ORC predicate
+pushdown, a dynamic-pruning subquery on the partitioned scan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.test_plans import plan_of
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_zorder_key_is_exact_morton_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.queries.storage import zorder_key
+
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (65535, 0), (0, 65535), (65535, 65535)], "a long, b long"
+    ).select(zorder_key(F.col("a"), F.col("b")).alias("z"))
+    got = [r.z for r in df.collect()]
+    assert got == [
+        0b101,            # a occupies even bit positions
+        0b1010,           # b occupies odd bit positions
+        0x55555555,
+        0xAAAAAAAA,
+        0xFFFFFFFF,
+    ]
+
+
+def test_zorder_plan_range_partitions_on_key(spark, queries):
+    plan = plan_of(queries["sort_zorder_cluster"](spark, SF_SMOKE))
+    assert "rangepartitioning(zval" in plan
+    assert "Sort" in plan
+
+
+def test_orc_scan_pushes_predicate(spark, queries):
+    plan = plan_of(queries["scan_orc"](spark, SF_SMOKE))
+    assert "Scan orc" in plan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_dpp_scan_has_dynamic_pruning_and_prunes(spark, queries):
+    df = queries["join_dpp_partition_pruned"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower()
+    years = sorted(r.o_year for r in df.collect())
+    assert years == [1995, 1996]
