@@ -301,3 +301,69 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------ URL canonicalization
+
+#: Deterministic synthetic URL per doc (the corpus has no URLs): host
+#: case varies by parity, ~1% path collision space per (source, lang),
+#: and tracking-query / fragment / trailing-slash noise by residue —
+#: so canonicalization has real work and real duplicates to find.
+_URL_SQL = """
+    'https://' ||
+    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+    '.Example.COM/' || lang || '/page-' || CAST(doc_id % 100 AS STRING) ||
+    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+"""
+
+#: RE2 ∩ Java-regex canonicalization passes, applied in order: strip
+#: fragment, strip utm-only query, strip trailing slash; lowercase last.
+_URL_STRIP = (r"#.*$", r"\?utm_[^#]*$", r"/+$")
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+        c AS (SELECT doc_id,
+                     lower(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(url, '{_URL_STRIP[0]}', ''),
+                           '{_URL_STRIP[1]}', ''),
+                         '{_URL_STRIP[2]}', '')) AS canon_url
+              FROM u)
+        SELECT canon_url,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_dupes
+        FROM c GROUP BY canon_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: normalize crawl URLs (drop fragment,
+    drop utm-only tracking query, drop trailing slash, lowercase) and
+    collapse to one keeper per canonical URL (min doc_id) with the
+    duplicate count. Regexes stay in the RE2 ∩ Java common subset so
+    both engines rewrite identically.
+
+    Plan: the synthesis + three regexp_replace passes + lower are one
+    narrow codegen projection; the only shuffle is the final groupBy on
+    the canonical key. At 100 TB this is the first pass of crawl dedup
+    — run before any content hashing, since it needs no text IO at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_URL_SQL).alias("url"))
+    canon = F.col("url")
+    for pat in _URL_STRIP:
+        canon = F.regexp_replace(canon, pat, "")
+    return (
+        u.select("doc_id", F.lower(canon).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )

@@ -13,7 +13,7 @@ cosine >= 0.3.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.operators import dedup as D
@@ -446,3 +446,56 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     probe = S.probe_vector(em, "vec_id", "embedding", 0)
     return S.topk_ivf(em, "vec_id", "embedding", probe, k=20, n_cells=8)
+
+
+# ------------------------------------------------------------- TF-IDF
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+        WITH toks AS (SELECT doc_id, lang,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM documents),
+        t AS (SELECT * FROM toks WHERE word <> ''),
+        cnt AS (SELECT lang, word, COUNT(*) AS tf
+                FROM t GROUP BY lang, word),
+        dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                  FROM t GROUP BY word),
+        s AS (SELECT cnt.lang, cnt.word, cnt.tf, dfreq.df,
+                     (cnt.tf * 1000000) // dfreq.df AS score
+              FROM cnt JOIN dfreq USING (word)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, word ASC) AS rn
+              FROM s)
+        SELECT lang, word, tf, df, score FROM r WHERE rn <= 10
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 distinguishing terms by an integer-exact
+    TF-IDF surrogate: ``score = tf * 1e6 div df`` (reciprocal document
+    frequency in parts-per-million instead of a log idf, so the ranking
+    is pure int64 arithmetic — no cross-engine libm drift). Word-order
+    tie-break makes the top-10 cut deterministic.
+
+    Plan: one explode feeding two hash aggs — (lang, word) term counts
+    and per-word distinct-doc counts — joined back on word; the window
+    runs on the aggregated vocabulary, never on raw tokens. At 100 TB
+    the vocabulary table is the only shuffled payload (~Zipf-bounded),
+    and the df side is a candidate for a broadcast under AQE.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    cnt = toks.groupBy("lang", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    s = cnt.join(dfreq, "word").withColumn(
+        "score", F.expr("(tf * 1000000) div df")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "word", "tf", "df", "score")
+    )
