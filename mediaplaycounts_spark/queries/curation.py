@@ -26,7 +26,7 @@ pipeline runs between raw crawl and tokenizer (north-star mandate
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.operators import dedup as D
@@ -366,4 +366,103 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_id"),
             F.count("*").alias("n_dupes"),
         )
+    )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+#: Exactly-10-word boilerplate lines (one per doc_id % 3) prepended to
+#: every doc before chunking: with a 10-word chunk size the boilerplate
+#: IS chunk 0, so corpus-wide paragraph dedup has real, known work
+#: (CCNet-style boilerplate removal) on an otherwise-synthetic corpus.
+_BOILERPLATE_SQL = """
+    CASE doc_id % 3
+      WHEN 0 THEN 'please subscribe to our daily newsletter and follow us today'
+      WHEN 1 THEN 'all rights reserved please contact the publisher for reuse terms'
+      ELSE 'click here to read the full article on our site'
+    END
+"""
+
+_PARA_WORDS = 10
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+        WITH aug AS (SELECT doc_id,
+                            ({_BOILERPLATE_SQL}) || ' ' || text AS text
+                     FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / {_PARA_WORDS}.0)
+                                            AS BIGINT))) AS pos
+                FROM toks),
+        paras AS (SELECT doc_id, pos,
+                         array_to_string(
+                           list_slice(t, pos * {_PARA_WORDS} + 1,
+                                      pos * {_PARA_WORDS} + {_PARA_WORDS}),
+                           ' ') AS para
+                  FROM idx),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY para
+                                 ORDER BY doc_id, pos) AS rn
+                   FROM paras),
+        kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+        tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id),
+        ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(para, ' ' ORDER BY pos) AS clean_text
+               FROM kept GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_paras,
+               COALESCE(ka.n_kept, 0) AS n_kept,
+               COALESCE(ka.clean_text, '') AS clean_text
+        FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup: chunk each doc into 10-word
+    paragraphs, keep only the FIRST corpus-wide occurrence of each
+    paragraph (ordered by doc_id, then position), and reassemble docs
+    from their surviving paragraphs. The planted boilerplate line is
+    kept once in its lowest-doc_id host and stripped everywhere else.
+
+    Plan: chunking is one narrow higher-order projection
+    (`transform(sequence)` + `slice` + `array_join`, all codegen); the
+    first-occurrence choice is one window over the paragraph hash key;
+    reassembly is a per-doc sort-free `array_sort(collect_list(struct))`.
+    At 100 TB, partition the window by a 64-bit paragraph hash (the
+    natural shuffle key — near-uniform), and the reassembly shuffle is
+    keyed by doc_id; nothing ever materializes the corpus driver-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.expr(_BOILERPLATE_SQL), F.lit(" "), F.col("text")).alias("text"),
+    )
+    paras = aug.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {_PARA_WORDS}.0) as int) - 1),"
+                f" i -> array_join(slice(split(text, ' '), i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+            )
+        ).alias("pos", "para"),
+    )
+    first = Window.partitionBy("para").orderBy("doc_id", "pos")
+    ranked = paras.withColumn("rn", F.row_number().over(first))
+    kept = ranked.filter(F.col("rn") == 1)
+    tot = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.para,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

@@ -42,3 +42,24 @@ def test_url_canonical_covers_all_docs_and_normalizes(spark, queries):
         assert not u.endswith("/")
         assert u.startswith("https://")
         assert r.keeper_id >= 0
+
+
+def test_paragraph_dedup_strips_boilerplate_except_first_host(spark, queries):
+    from mediaplaycounts_spark.queries.curation import _BOILERPLATE_SQL  # noqa: F401
+
+    bps = {
+        0: "please subscribe to our daily newsletter and follow us today",
+        1: "all rights reserved please contact the publisher for reuse terms",
+        2: "click here to read the full article on our site",
+    }
+    rows = queries["dedup_paragraphs"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for residue, bp in bps.items():
+        hosts = [r.doc_id for r in rows if bp in r.clean_text]
+        keeper = min(r.doc_id for r in rows if r.doc_id % 3 == residue)
+        assert hosts == [keeper], (residue, hosts[:5])
+    for r in rows:
+        assert r.n_kept <= r.n_paras
+        # Every non-keeper loses at least its boilerplate paragraph.
+        if r.doc_id not in {min(x.doc_id for x in rows if x.doc_id % 3 == k) for k in bps}:
+            assert r.n_kept <= r.n_paras - 1, r.doc_id
