@@ -21,7 +21,7 @@ hash aggregate on integer columns, all map-side combinable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.queries._helpers import cents
@@ -166,4 +166,108 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1d / F.col("n") / 100.0, 6).alias("mean_value"),
         F.round(var_raw, 6).alias("var_pop"),
         F.round(F.sqrt(var_raw), 6).alias("std_pop"),
+    )
+
+
+# ------------------------------------------------- gaps-and-islands streaks
+
+
+@register(
+    "win_streak_runs",
+    oracle="""
+        WITH daily AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                       FROM events),
+        g AS (SELECT user_id, d,
+                     CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+                          AS BIGINT)
+                     - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS grp
+              FROM daily),
+        runs AS (SELECT user_id, grp, COUNT(*) AS len,
+                        MIN(d) AS streak_start
+                 FROM g GROUP BY user_id, grp)
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               MIN(streak_start) AS first_day
+        FROM runs GROUP BY user_id
+    """,
+)
+def win_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-
+    islands): epoch_day(d) - row_number() is constant within a
+    consecutive run, so runs fall out of one groupBy on that integer
+    key — no self-joins, no iteration, all date/int arithmetic.
+
+    Plan: distinct (user, day) grid -> one window partitioned by
+    user_id -> two hash aggs. Everything shuffles on user_id once; the
+    run-key trick keeps streak detection O(n) and order-exact, where a
+    lag-based loop would serialize per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("DAY", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    epoch_day = F.datediff(F.col("d").cast("date"), F.to_date(F.lit("1970-01-01")))
+    g = daily.withColumn(
+        "grp", epoch_day.cast("long") - F.row_number().over(w)
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )
+
+
+# ------------------------------------------------------ value histogram
+
+_HIST_WIDTH_CENTS = 5000  # 50.00-wide buckets over events.value
+
+
+@register(
+    "agg_histogram_value",
+    oracle=f"""
+        WITH b AS (SELECT event_type,
+                          CAST(round(value * 100, 0) AS BIGINT)
+                            // {_HIST_WIDTH_CENTS} AS bucket
+                   FROM events)
+        SELECT event_type, bucket,
+               CAST(bucket * {_HIST_WIDTH_CENTS} AS DOUBLE) / 100.0 AS lo,
+               CAST((bucket + 1) * {_HIST_WIDTH_CENTS} AS DOUBLE) / 100.0 AS hi,
+               COUNT(*) AS n
+        FROM b GROUP BY event_type, bucket
+    """,
+)
+def agg_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type: bucket boundaries
+    computed in integer cents (floor division), so bucket assignment is
+    exact on both engines — `width_bucket` over doubles would put
+    boundary values on different sides per-engine rounding.
+
+    One map-side-combinable hash agg; the output is O(types x buckets)
+    regardless of input scale — the standard first look at any metric's
+    distribution at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        f"cast(round(value * 100, 0) as bigint) div {_HIST_WIDTH_CENTS}"
+    ).alias("bucket")
+    return (
+        ev.select("event_type", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH_CENTS / 100.0)
+            .cast("double")
+            .alias("lo"),
+            ((F.col("bucket") + 1) * _HIST_WIDTH_CENTS / 100.0)
+            .cast("double")
+            .alias("hi"),
+            "n",
+        )
     )

@@ -176,3 +176,35 @@ def test_variant_extract_stays_jvm_side(spark, queries):
     rows = {r.event_type: r for r in df.collect()}
     assert set(rows) == {"click", "error", "purchase", "signup", "view"}
     assert all(0 <= r.min_k <= r.max_k <= 99 for r in rows.values())
+
+
+# --------------------------------------------- streaks + histogram
+
+
+def test_streaks_hand_computed(spark, tmp_path, queries):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1)
+    # user 1: days 0,1,2 then 5,6 -> longest 3, two streaks.
+    # user 2: day 0 only -> longest 1, one streak.
+    rows = [(i, t0 + dt.timedelta(days=d), u, "view", 1.0)
+            for i, (u, d) in enumerate([(1, 0), (1, 1), (1, 2), (1, 5), (1, 6), (2, 0)])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: r for r in queries["win_streak_runs"](spark, str(tmp_path)).collect()}
+    assert out[1].longest_streak == 3 and out[1].n_streaks == 2
+    assert out[2].longest_streak == 1 and out[2].n_streaks == 1
+    assert out[1].first_day.date() == dt.date(2024, 5, 1)
+
+
+def test_histogram_buckets_partition_counts(spark, queries):
+    from mediaplaycounts_spark.tables import load_table
+
+    rows = queries["agg_histogram_value"](spark, SF_SMOKE).collect()
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        assert r.hi - r.lo == 50.0
+        assert r.n > 0
