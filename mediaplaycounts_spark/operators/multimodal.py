@@ -166,3 +166,61 @@ def fake_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         feature_batches, IMAGE_FEATURE_SCHEMA
     )
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_idx bigint, start_char bigint, n_chars bigint, "
+    "chunk_md5 string"
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """Overlapping-window chunking: the audio feature-frame template
+    (window length + hop stride, hop < window => 50% overlap here).
+
+    One row in -> ``ceil(max(L-window,0)/hop)+1`` chunks out, each with
+    its offset, length, and content digest. Payloads are text (no audio
+    codecs in this container), so the kernel is fully implemented and
+    reproducible in ANSI SQL; a production kernel swaps the char slice
+    for PCM frame extraction + MFCC/filterbank math and keeps the
+    schema, the window/hop arithmetic, and the Arrow batching unchanged.
+    """
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, starts, lens, digests = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n_chunks = (max(len(text) - window, 0) + hop - 1) // hop + 1
+                for i in range(n_chunks):
+                    chunk = text[i * hop : i * hop + window]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(i * hop)
+                    lens.append(len(chunk))
+                    digests.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "start_char": starts,
+                    "n_chars": lens,
+                    "chunk_md5": digests,
+                }
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "chunk_idx": "int64",
+                    "start_char": "int64",
+                    "n_chars": "int64",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(chunk_batches, AUDIO_CHUNK_SCHEMA)

@@ -499,3 +499,33 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("lang", "word", "tf", "df", "score")
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+        WITH n AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        idx AS (SELECT doc_id, text,
+                       unnest(range(0,
+                           (greatest(L - 64, 0) + 31) // 32 + 1)) AS chunk_idx
+                FROM n)
+        SELECT doc_id, chunk_idx,
+               chunk_idx * 32 AS start_char,
+               CAST(len(substr(text, chunk_idx * 32 + 1, 64)) AS BIGINT)
+                 AS n_chars,
+               md5(substr(text, chunk_idx * 32 + 1, 64)) AS chunk_md5
+        FROM idx
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style overlapping windows (64-char window, 32-char hop)
+    over each payload via the Arrow mapInPandas kernel — one row in,
+    ceil(max(L-64,0)/32)+1 chunks out, each offset+digest typed. Full
+    value oracle: the window/hop arithmetic and md5 digests reproduce
+    exactly in SQL (operators/multimodal.py::chunk_audio).
+
+    At 100 TB the kernel is embarrassingly parallel (no shuffle at
+    all); output fan-out is ~L/hop rows per doc, so downstream aggs
+    should pre-combine map-side — which Spark's hash agg does."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.chunk_audio(docs)

@@ -63,3 +63,24 @@ def test_paragraph_dedup_strips_boilerplate_except_first_host(spark, queries):
         # Every non-keeper loses at least its boilerplate paragraph.
         if r.doc_id not in {min(x.doc_id for x in rows if x.doc_id % 3 == k) for k in bps}:
             assert r.n_kept <= r.n_paras - 1, r.doc_id
+
+
+def test_audio_chunks_window_hop_arithmetic(spark, queries):
+    from mediaplaycounts_spark.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    rows = queries["multimodal_audio_chunks"](spark, SF_SMOKE).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        L = len(texts[doc_id])
+        assert len(chunks) == (max(L - 64, 0) + 31) // 32 + 1
+        chunks.sort(key=lambda r: r.chunk_idx)
+        for i, c in enumerate(chunks):
+            assert c.start_char == i * 32
+            assert c.n_chars == min(64, L - i * 32)
