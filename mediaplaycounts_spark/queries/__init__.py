@@ -25,6 +25,7 @@ Modules are grouped by §2 section:
                  interpolation, 3-sigma anomaly flags)
 - storage      — §2.J storage layout (Z-order clustering, ORC scan,
                  dynamic partition pruning)
+- graph        — §2.J graph propagation (integer-exact PageRank)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
@@ -32,6 +33,7 @@ from mediaplaycounts_spark.queries import (  # noqa: F401
     analytics,
     curation,
     expressions,
+    graph,
     joins,
     llm,
     modern,

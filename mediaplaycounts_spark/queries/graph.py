@@ -1,0 +1,105 @@
+"""Graph propagation: integer-exact PageRank over a real bipartite graph.
+
+`dedup_clusters` (operators/dedup.py) already exercises iterative
+label propagation; this adds WEIGHTED iterative propagation — PageRank
+— over the customer<->supplier graph that actually exists in the data
+(distinct (o_custkey, l_suppkey) trading pairs via orders x lineitem).
+
+Determinism strategy (same family as queries/_helpers.py): ranks live
+in integer parts-per-million and every step is int64 arithmetic —
+``r'(v) = 150000 + 850 * SUM(r(u) div deg(u)) div 1000`` is the classic
+0.15/0.85 damped update with both divisions floored identically on both
+engines, so three unrolled iterations hash-match a DuckDB CTE chain
+exactly. Float PageRank would drift per summation order and could never
+be value-hashed.
+
+100 TB posture: each iteration is one shuffle keyed by dst (near-
+uniform node ids); degrees are computed once and re-joined (at scale,
+broadcast if the node set is small or bucket both sides on node id).
+Unrolling 3 iterations keeps the whole thing one Catalyst plan — AQE
+sizes every exchange; for many iterations, localCheckpoint per round
+bounds plan growth (see dedup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+_N_ITERS = 3
+
+_ITER_SQL = """
+        r{next} AS (SELECT e.dst AS node,
+                  CAST(150000 + 850 * SUM(r{cur}.r // deg.d) // 1000
+                       AS BIGINT) AS r
+           FROM e JOIN r{cur} ON e.src = r{cur}.node
+                  JOIN deg ON e.src = deg.src
+           GROUP BY e.dst)"""
+
+
+def _pagerank_oracle() -> str:
+    iters = ",".join(
+        _ITER_SQL.format(cur=i, next=i + 1) for i in range(_N_ITERS)
+    )
+    return f"""
+        WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey),
+        e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+              UNION ALL
+              SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        {iters}
+        SELECT node AS node_id,
+               CAST(node % 2 AS BIGINT) AS is_supplier,
+               r AS rank_ppm
+        FROM r{_N_ITERS}
+    """
+
+
+@register("graph_pagerank_int", oracle=_pagerank_oracle())
+def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 iterations, 0.15/0.85 in ppm integers) on the
+    undirected customer<->supplier trading graph. Node encoding keeps
+    the bipartite sides disjoint (cust -> 2c, supp -> 2s+1); every rank
+    update is floored int64 math, so the result is bit-identical to the
+    unrolled DuckDB CTE oracle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c2 = (F.col("o_custkey") * 2).alias("src")
+    s2 = (F.col("l_suppkey") * 2 + 1).alias("dst")
+    e = pairs.select(c2, s2).unionAll(
+        pairs.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+        )
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    for _ in range(_N_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div d")).alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            F.expr("cast(150000 + (850 * s) div 1000 as bigint)").alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("node_id"),
+        (F.col("node") % 2).cast("long").alias("is_supplier"),
+        F.col("r").alias("rank_ppm"),
+    )

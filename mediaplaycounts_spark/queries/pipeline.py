@@ -249,3 +249,82 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("probe_id", "vec_id", "cos_sim")
     )
+
+
+# ------------------------------------------------------- heavy hitters
+
+#: Support threshold: a word is a heavy hitter if it is >= 1/200th
+#: (0.5%) of all tokens. The Misra-Gries stage uses the same k, so its
+#: per-partition survivors are a guaranteed superset of the global
+#: heavy hitters (pigeonhole: an item with global share >= 1/k must
+#: exceed the local 1/k floor in at least one partition).
+_MG_K = 200
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents),
+        tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        c AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word)
+        SELECT c.word, c.n,
+               (c.n * 1000000) // tot.n_total AS share_ppm
+        FROM c, tot
+        WHERE c.n * {_MG_K} >= tot.n_total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item detection with bounded memory: per-partition
+    Misra-Gries (k=200 counters) proposes candidates, then ONE
+    exact recount over the candidate semi-join confirms them — the
+    output is exactly the words with share >= 1/k, so the oracle is
+    plain SQL despite the sketchy middle.
+
+    This is the 100 TB shape for top-k frequent items: the full
+    (word, count) vocabulary never shuffles — only <= k survivors per
+    partition (tiny, broadcastable) and the recount of that candidate
+    subset. A plain groupBy-all-words works at sf0.1 but ships the
+    entire Zipf tail through the exchange for no reason.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("word"))
+
+    def misra_gries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < _MG_K:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"word": list(counters)})
+
+    cands = toks.mapInPandas(misra_gries, "word string").distinct()
+    counts = (
+        toks.join(F.broadcast(cands), "word", "leftsemi")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = toks.agg(F.count("*").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * _MG_K >= F.col("n_total"))
+        .select(
+            "word",
+            "n",
+            F.expr("(n * 1000000) div n_total").alias("share_ppm"),
+        )
+    )

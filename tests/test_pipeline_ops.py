@@ -131,3 +131,34 @@ def test_knn_join_probe_side_is_broadcast(spark, queries):
     # per-probe ranking window).
     assert nodes(plan, "BroadcastNestedLoopJoin") == 1
     assert shuffles(plan) <= 1
+
+
+def test_heavy_hitters_equals_bruteforce(spark, queries):
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.tables import load_table
+
+    got = {(r.word, r.n) for r in queries["agg_heavy_hitters"](spark, SF_SMOKE).collect()}
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    n_total = toks.count()
+    exact = {
+        (r.word, r.n)
+        for r in toks.groupBy("word").agg(F.count("*").alias("n")).collect()
+        if r.n * 200 >= n_total
+    }
+    assert got == exact
+    assert len(got) > 0
+
+
+def test_pagerank_structure(spark, queries):
+    rows = queries["graph_pagerank_int"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert {r.is_supplier for r in rows} == {0, 1}
+    # Damping floor: every node holds at least the 0.15 teleport mass.
+    assert all(r.rank_ppm >= 150000 for r in rows)
+    # Suppliers serve many customers -> highest-rank node is a supplier.
+    top = max(rows, key=lambda r: r.rank_ppm)
+    assert top.is_supplier == 1
