@@ -466,3 +466,43 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# --------------------------------------------------- rare-word density
+
+
+@register(
+    "text_rarity_score",
+    oracle="""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents),
+        freq AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word)
+        SELECT toks.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(1000000 // freq.n) AS BIGINT) AS rarity_score
+        FROM toks JOIN freq ON toks.word = freq.word
+        GROUP BY toks.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-word density score per doc: sum over token occurrences of
+    ``1e6 div corpus_freq(word)`` — the integer-exact stand-in for a
+    unigram-LM surprisal sum (a log would reintroduce libm drift; the
+    reciprocal keeps the same ordering signal: rare tokens contribute
+    big, stopwords contribute ~0). Used as a quality/novelty filter
+    axis alongside Gopher rules.
+
+    Plan: explode -> one vocabulary hash agg -> join back -> per-doc
+    sum. The vocabulary side is Zipf-bounded, so at 100 TB it
+    broadcast-joins; the per-doc agg shuffles on doc_id once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = toks.groupBy("word").agg(F.count("*").alias("n"))
+    return (
+        toks.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.expr("1000000 div n")).cast("long").alias("rarity_score"),
+        )
+    )

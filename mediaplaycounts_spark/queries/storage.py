@@ -186,3 +186,53 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price_cents",
         )
     )
+
+
+# ------------------------------------------------------ schema evolution
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+        WITH v1 AS (SELECT o_orderkey, o_totalprice,
+                           CAST(NULL AS VARCHAR) AS o_orderpriority,
+                           1 AS batch
+                    FROM orders WHERE o_orderkey % 2 = 0),
+        v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS batch
+               FROM orders WHERE o_orderkey % 2 = 1),
+        m AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        SELECT batch,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
+               COUNT(o_orderpriority) AS n_with_priority
+        FROM m GROUP BY batch
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 written BEFORE a column existed,
+    batch 2 written after — `mergeSchema=true` unions the file schemas
+    and back-fills the missing column with NULLs, exactly the
+    append-only lakehouse upgrade path (the reference's fixed MySQL DDL
+    had no answer to this, SURVEY.md §2.1).
+
+    At 100 TB: schema merge is a FOOTER-only operation (no data read)
+    but still O(files) on the driver — production tables should pin the
+    canonical schema in a catalog and use mergeSchema only for
+    discovery/backfill audits like this one."""
+    out = str(SCRATCH / f"evo_orders_{uuid.uuid4().hex[:12]}")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.parquet(f"{out}/batch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(f"{out}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("batch").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    )

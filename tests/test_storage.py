@@ -53,3 +53,11 @@ def test_dpp_scan_has_dynamic_pruning_and_prunes(spark, queries):
     assert "dynamicpruning" in plan.lower()
     years = sorted(r.o_year for r in df.collect())
     assert years == [1995, 1996]
+
+
+def test_schema_evolution_backfills_nulls(spark, queries):
+    rows = {r.batch: r for r in queries["scan_schema_evolution"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_with_priority == 0          # column didn't exist yet
+    assert rows[2].n_with_priority == rows[2].n  # fully populated
+    assert rows[1].n > 0 and rows[2].n > 0

@@ -84,3 +84,13 @@ def test_audio_chunks_window_hop_arithmetic(spark, queries):
         for i, c in enumerate(chunks):
             assert c.start_char == i * 32
             assert c.n_chars == min(64, L - i * 32)
+
+
+def test_rarity_score_bounds(spark, queries):
+    from mediaplaycounts_spark.tables import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    rows = queries["text_rarity_score"](spark, SF_SMOKE).collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 < r.rarity_score <= r.n_tokens * 1_000_000
