@@ -87,6 +87,11 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
+    # Deliberately NOT broadcasting ranks/deg: each iteration's rank
+    # table nests the whole prior lineage, and a broadcast exchange
+    # would re-execute that lineage per join (measured 3.3x slower at
+    # sf0.1). Shuffle joins let Catalyst reuse the src-keyed exchange
+    # of `e` across all three iterations instead.
     for _ in range(_N_ITERS):
         contrib = (
             e.join(ranks, e.src == ranks.node)
