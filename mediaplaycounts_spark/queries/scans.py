@@ -222,3 +222,83 @@ def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty"))
     )
+
+
+# ------------------------------------------------- small-file compaction
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 64-way fragmented table (the classic
+    streaming-ingest pathology — one file per micro-batch per key) is
+    rewritten into 4 right-sized files with one `repartition`, then the
+    compacted copy is re-aggregated to prove no rows were lost or
+    duplicated. `test_compaction_reduces_file_count` pins the actual
+    file counts.
+
+    At 100 TB compaction is the maintenance job that keeps scan
+    parallelism healthy: target file size = `maxPartitionBytes`
+    (128 MB), schedule per partition, and use dynamic partition
+    overwrite so each date partition compacts idempotently in place."""
+    frag = str(SCRATCH / f"frag_orders_{uuid.uuid4().hex[:12]}")
+    compact = str(SCRATCH / f"compact_orders_{uuid.uuid4().hex[:12]}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+# ------------------------------------------- incremental partial merge
+
+
+@register(
+    "agg_incremental_daily_merge",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_incremental_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-(day, type) PARTIAL aggregates
+    are materialized day-partitioned (what a nightly job appends), and
+    the running per-type totals are computed by merging partials —
+    counts sum, cents sums sum — without ever re-scanning raw events.
+    Integer-cents partials make the merge exact and order-independent
+    (a double partial would drift per merge order).
+
+    At 100 TB this is THE pattern for cross-period rollups: the merge
+    reads O(days x types) partial rows instead of the raw fact table
+    (same architecture as agg_hll_sketch_merge, with exact sums)."""
+    out = str(SCRATCH / f"partials_{uuid.uuid4().hex[:12]}")
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        F.date_trunc("DAY", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("p_n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("p_cents"),
+    )
+    partials.write.mode("overwrite").partitionBy("day").parquet(out)
+    merged = spark.read.parquet(out)
+    return merged.groupBy("event_type").agg(
+        F.sum("p_n").alias("n_events"),
+        F.sum("p_cents").alias("sum_value_cents"),
+    )

@@ -61,3 +61,19 @@ def test_schema_evolution_backfills_nulls(spark, queries):
     assert rows[1].n_with_priority == 0          # column didn't exist yet
     assert rows[2].n_with_priority == rows[2].n  # fully populated
     assert rows[1].n > 0 and rows[2].n > 0
+
+
+def test_compaction_reduces_file_count(spark, queries):
+    import glob
+    import os
+
+    from mediaplaycounts_spark.queries.scans import SCRATCH
+
+    before = set(glob.glob(f"{SCRATCH}/frag_orders_*"))
+    queries["sink_compact_small_files"](spark, SF_SMOKE).collect()
+    frag = (set(glob.glob(f"{SCRATCH}/frag_orders_*")) - before).pop()
+    compact = max(
+        glob.glob(f"{SCRATCH}/compact_orders_*"), key=os.path.getmtime
+    )
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+    assert len(glob.glob(f"{compact}/part-*.parquet")) == 4
