@@ -176,3 +176,55 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
         zscore, "doc_id bigint, lang string, n_chars bigint, z double"
     )
+
+
+# ------------------------------------------------ Python UDTF (Spark 3.5+)
+
+
+@register(
+    "udtf_lateral_split",
+    oracle="""
+        WITH toks AS (SELECT doc_id,
+                             string_split(text, ' ') AS t
+                      FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(0, (len(t) + 19) // 20)) AS span_idx
+                FROM toks)
+        SELECT doc_id, span_idx,
+               array_to_string(
+                   list_slice(t, span_idx * 20 + 1, span_idx * 20 + 20), ' ')
+                 AS span_text,
+               CAST(least(20, len(t) - span_idx * 20) AS BIGINT) AS n_words
+        FROM idx
+    """,
+)
+def udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ `@udtf`) applied LATERALLY: each document
+    row expands into 20-word spans through a real Python table function
+    — the arbitrary-fanout escape hatch (parsers, segmenters) that
+    `explode` can't express when the expansion logic is imperative.
+    Registered and invoked through SQL `LATERAL`, so it composes with
+    the relational layer like any table.
+
+    One row-wise Python process per executor core; at 100 TB prefer the
+    codegen'd higher-order chunking (`dedup_paragraphs`) when the
+    expansion IS expressible — this key exists for when it isn't."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="span_idx bigint, span_text string, n_words bigint")
+    class SpanSplitter:
+        def eval(self, text: str):  # noqa: ANN001
+            words = text.split(" ")
+            n_spans = (len(words) + 19) // 20
+            for i in range(n_spans):
+                span = words[i * 20 : (i + 1) * 20]
+                yield i, " ".join(span), len(span)
+
+    spark.udtf.register("span_splitter", SpanSplitter)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.span_idx, s.span_text, s.n_words
+        FROM docs_udtf d, LATERAL span_splitter(d.text) s
+        """
+    )
