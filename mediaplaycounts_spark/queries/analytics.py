@@ -271,3 +271,76 @@ def agg_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------- last-touch attribution
+
+
+@register(
+    "agg_attribution_last_touch",
+    oracle="""
+        WITH ce AS (SELECT event_id, user_id, ts, event_type
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+        w AS (SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'click' THEN ts END
+                                IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS t_last_click
+              FROM ce)
+        SELECT event_id AS purchase_id, user_id, ts AS t_purchase,
+               t_last_click,
+               CAST(t_last_click IS NOT NULL AS BIGINT) AS attributed,
+               CASE WHEN t_last_click IS NOT NULL
+                    THEN CAST(date_diff('second', t_last_click, ts) AS BIGINT)
+               END AS seconds_since_click
+        FROM w WHERE event_type = 'purchase'
+    """,
+)
+def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent click strictly before it (ties broken by
+    event_id, identically on both engines). One running
+    `last(ignorenulls)` window does per-event as-of matching WITHOUT a
+    self-join — the same union+window trick as `join_asof`, applied
+    within one table.
+
+    Plan: filter to the two event types BEFORE the shuffle (~2/5 of
+    rows), one user_id-keyed window, then a narrow filter projection.
+    At 100 TB the user_id partitioning is near-uniform; no skew, no
+    broadcast, one exchange total."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            t_last_click.alias("t_last_click"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("t_purchase"),
+            "t_last_click",
+            F.col("t_last_click").isNotNull().cast("bigint").alias("attributed"),
+            F.when(
+                F.col("t_last_click").isNotNull(),
+                (
+                    F.unix_timestamp("ts") - F.unix_timestamp("t_last_click")
+                ).cast("bigint"),
+            ).alias("seconds_since_click"),
+        )
+    )

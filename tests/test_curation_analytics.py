@@ -208,3 +208,15 @@ def test_histogram_buckets_partition_counts(spark, queries):
     for r in rows:
         assert r.hi - r.lo == 50.0
         assert r.n > 0
+
+
+def test_attribution_last_touch_invariants(spark, queries):
+    rows = queries["agg_attribution_last_touch"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert any(r.attributed == 1 for r in rows)
+    for r in rows:
+        if r.attributed:
+            assert r.t_last_click <= r.t_purchase
+            assert r.seconds_since_click >= 0
+        else:
+            assert r.t_last_click is None and r.seconds_since_click is None
