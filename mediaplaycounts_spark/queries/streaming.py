@@ -279,3 +279,53 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.max("max_value").alias("max_value"),
     )
+
+
+#: Static dim for the stream-static join: engagement weight per type.
+_TYPE_WEIGHTS = (
+    ("view", 1),
+    ("click", 3),
+    ("signup", 5),
+    ("purchase", 10),
+    ("error", 0),
+)
+
+
+@register(
+    "stream_join_static_dim",
+    oracle="""
+        WITH w(event_type, weight) AS (VALUES
+            ('view', 1), ('click', 3), ('signup', 5),
+            ('purchase', 10), ('error', 0))
+        SELECT date_trunc('day', e.ts) AS ws, e.event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(*) * w.weight AS BIGINT) AS weighted_n
+        FROM events e JOIN w ON e.event_type = w.event_type
+        GROUP BY ws, e.event_type, w.weight
+    """,
+)
+def stream_join_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM joins a static
+    engagement-weight dim (broadcast — static side never re-scans per
+    micro-batch), then aggregates per tumbling day. This is a REAL
+    Structured Streaming run drained via Trigger.AvailableNow, not a
+    batch twin — stream-static inner joins are stateless, so the
+    result is exactly the batch join and stays SQL-oracled.
+
+    At 100 TB the static side is the slowly-changing dim snapshot
+    (category membership, user attributes); stateless enrichment adds
+    ZERO state-store footprint, unlike stream-stream joins."""
+    dim = spark.createDataFrame(list(_TYPE_WEIGHTS), "event_type string, weight int")
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type", "weight")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("ws"),
+        "event_type",
+        "n",
+        (F.col("n") * F.col("weight")).cast("long").alias("weighted_n"),
+    )

@@ -220,3 +220,11 @@ def test_attribution_last_touch_invariants(spark, queries):
             assert r.seconds_since_click >= 0
         else:
             assert r.t_last_click is None and r.seconds_since_click is None
+
+
+def test_stream_static_join_weights(spark, queries):
+    rows = queries["stream_join_static_dim"](spark, SF_SMOKE).collect()
+    weights = {"view": 1, "click": 3, "signup": 5, "purchase": 10, "error": 0}
+    assert {r.event_type for r in rows} == set(weights)
+    for r in rows:
+        assert r.weighted_n == r.n * weights[r.event_type]
