@@ -529,3 +529,115 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     should pre-combine map-side — which Spark's hash agg does."""
     docs = load_table(spark, sf_dir, "documents")
     return M.chunk_audio(docs)
+
+
+# ------------------------------------------------- MMR diversification
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 8
+
+
+def _mmr_oracle() -> str:
+    cos_p = S.COSINE_SQL.format(a="e.embedding", b="p.pv")
+    cos_s1 = S.COSINE_SQL.format(a="c.embedding", b="s1.embedding")
+    cos_sel = S.COSINE_SQL.format(a="c.embedding", b="s.embedding")
+    return f"""
+        WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+        cand AS (SELECT e.vec_id, round({cos_p}, 6) AS rel, e.embedding
+                 FROM embeddings e, p
+                 ORDER BY rel DESC, e.vec_id LIMIT {_MMR_CAND}),
+        s1 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        r1 AS (SELECT c.vec_id, c.rel, c.embedding,
+                      round({_MMR_LAMBDA} * c.rel
+                            - {1 - _MMR_LAMBDA:.1f} * ({cos_s1}), 6) AS score
+               FROM cand c, s1 WHERE c.vec_id <> s1.vec_id),
+        s2 AS (SELECT * FROM r1 ORDER BY score DESC, vec_id LIMIT 1),
+        sel12 AS (SELECT vec_id, embedding FROM s1
+                  UNION ALL SELECT vec_id, embedding FROM s2),
+        m2 AS (SELECT c.vec_id, c.rel, MAX({cos_sel}) AS max_sim
+               FROM cand c, sel12 s
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM sel12)
+               GROUP BY c.vec_id, c.rel),
+        r2 AS (SELECT vec_id, rel,
+                      round({_MMR_LAMBDA} * rel
+                            - {1 - _MMR_LAMBDA:.1f} * max_sim, 6) AS score
+               FROM m2),
+        s3 AS (SELECT * FROM r2 ORDER BY score DESC, vec_id LIMIT 1)
+        SELECT vec_id, 1 AS sel_rank, rel, rel AS mmr_score FROM s1
+        UNION ALL SELECT vec_id, 2 AS sel_rank, rel, score FROM s2
+        UNION ALL SELECT vec_id, 3 AS sel_rank, rel, score FROM s3
+    """
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance retrieval: greedy top-3 from the
+    probe's top-8 candidates, each pick maximizing
+    ``lambda*relevance - (1-lambda)*max_sim_to_already_selected``
+    (lambda=0.7). The greedy loop is unrolled into three deterministic
+    argmax stages (rounded scores, vec_id tie-break), so the whole
+    thing is one Catalyst plan with a DuckDB CTE twin — no driver-side
+    iteration over collect().
+
+    At 100 TB the candidate stage is the ANN path (sim_ann_lsh/ivf);
+    MMR itself only ever touches the k-candidate set, so its cost is
+    O(k^2) dot products on a handful of rows regardless of corpus
+    size."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
+
+    cand = (
+        S.topk_bruteforce(em, "vec_id", "embedding", probe, k=_MMR_CAND)
+        .withColumnRenamed("cos_sim", "rel")
+        .join(em.select("vec_id", "embedding"), "vec_id")
+    )
+    vec = S.as_double("embedding")
+
+    s1 = cand.orderBy(F.desc("rel"), "vec_id").limit(1)
+    sel1 = s1.select(
+        F.col("vec_id").alias("sel_id"), F.col("embedding").alias("sel_vec")
+    )
+    r1 = (
+        cand.crossJoin(F.broadcast(sel1))
+        .filter(F.col("vec_id") != F.col("sel_id"))
+        .select(
+            "vec_id",
+            "rel",
+            "embedding",
+            F.round(
+                lam * F.col("rel") - mu * S.cosine(vec, S.as_double("sel_vec")), 6
+            ).alias("score"),
+        )
+    )
+    s2 = r1.orderBy(F.desc("score"), "vec_id").limit(1)
+    sel12 = sel1.unionAll(
+        s2.select(
+            F.col("vec_id").alias("sel_id"), F.col("embedding").alias("sel_vec")
+        )
+    )
+    m2 = (
+        cand.join(
+            F.broadcast(sel12.select("sel_id")), cand.vec_id == F.col("sel_id"), "leftanti"
+        )
+        .crossJoin(F.broadcast(sel12))
+        .groupBy("vec_id", "rel")
+        .agg(F.max(S.cosine(vec, S.as_double("sel_vec"))).alias("max_sim"))
+    )
+    r2 = m2.select(
+        "vec_id",
+        "rel",
+        F.round(lam * F.col("rel") - mu * F.col("max_sim"), 6).alias("score"),
+    )
+    s3 = r2.orderBy(F.desc("score"), "vec_id").limit(1)
+
+    one = F.lit(1).cast("int")
+    return (
+        s1.select("vec_id", one.alias("sel_rank"), "rel", F.col("rel").alias("mmr_score"))
+        .unionAll(
+            s2.select("vec_id", (one * 2).alias("sel_rank"), "rel", F.col("score").alias("mmr_score"))
+        )
+        .unionAll(
+            s3.select("vec_id", (one * 3).alias("sel_rank"), "rel", F.col("score").alias("mmr_score"))
+        )
+    )

@@ -94,3 +94,17 @@ def test_rarity_score_bounds(spark, queries):
     assert len(rows) == n_docs
     for r in rows:
         assert 0 < r.rarity_score <= r.n_tokens * 1_000_000
+
+
+def test_mmr_selection_invariants(spark, queries):
+    rows = sorted(
+        queries["sim_mmr_diversify"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.sel_rank for r in rows] == [1, 2, 3]
+    assert len({r.vec_id for r in rows}) == 3
+    # Rank 1 is pure relevance (the probe itself, cos=1.0 to vec 0).
+    assert rows[0].mmr_score == rows[0].rel == 1.0
+    # Later picks pay a similarity penalty: score <= lambda * rel.
+    for r in rows[1:]:
+        assert r.mmr_score <= 0.7 * r.rel + 1e-9
