@@ -641,3 +641,54 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             s3.select("vec_id", (one * 3).alias("sel_rank"), "rel", F.col("score").alias("mmr_score"))
         )
     )
+
+
+# ------------------------------------------- edit-distance near-dup
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+        WITH d AS (SELECT doc_id, lang,
+                          substr(text, 1, 12) AS block_key,
+                          substr(text, 1, 64) AS head
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        FROM d a JOIN d b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 16
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: docs sharing a 12-char prefix block
+    are compared by Levenshtein distance over their 64-char heads; pairs
+    within distance 16 are emitted with the exact distance. Integer DP
+    distance — engines cannot disagree.
+
+    The blocking discipline is the same as every near-dup op here
+    (SCALE.md): the quadratic comparison runs only INSIDE prefix
+    blocks, whose size is bounded by content locality; the block join
+    is a plain hash equi-join. At 100 TB, widen the block key or
+    pre-filter with MinHash candidates before paying the DP cost."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("block_key"),
+        F.substring("text", 1, 64).alias("head"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 16)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
