@@ -42,6 +42,7 @@ ALLOWED = {
     "agg_heavy_hitters": "candidate set crossJoin with 1-row total",
     "scan_tsv_log": "tiny fixture union",
     "ts_gapfill_interpolate": "calendar spine x type list: both sides tiny by construction (O(types x days) grid)",
+    "sim_mmr_diversify": "greedy argmax stages crossJoin 1-row broadcast selected sets over the k-candidate table",
 }
 
 
