@@ -329,3 +329,66 @@ def stream_join_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") * F.col("weight")).cast("long").alias("weighted_n"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id,
+               CAST(date_diff('second', c.ts, p.ts) AS BIGINT)
+                 AS secs_to_purchase
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the clicks STREAM joins the
+    purchases STREAM on user_id with a 1-hour event-time band, both
+    sides watermarked so the state store evicts clicks older than the
+    bound — a REAL AvailableNow run drained in append mode (inner
+    interval joins emit exactly the batch result on bounded replay,
+    so the key stays SQL-oracled against a batch self-join).
+
+    At 100 TB this is the attribution pipeline's online form: state
+    per side is bounded by watermark x arrival rate, keyed by user_id
+    (near-uniform); the time-band predicate is what keeps the join
+    from being an unbounded cross of the two streams."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("t_click"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("t_purchase"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("t_purchase") >= F.col("t_click"))
+        & (F.col("t_purchase") <= F.col("t_click") + F.expr("interval 1 hour")),
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_click")
+        ).cast("bigint").alias("secs_to_purchase"),
+    )

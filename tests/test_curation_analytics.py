@@ -228,3 +228,10 @@ def test_stream_static_join_weights(spark, queries):
     assert {r.event_type for r in rows} == set(weights)
     for r in rows:
         assert r.weighted_n == r.n * weights[r.event_type]
+
+
+def test_stream_stream_join_band(spark, queries):
+    rows = queries["stream_stream_join"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.secs_to_purchase <= 3600
