@@ -328,3 +328,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * 1000000) div n_total").alias("share_ppm"),
         )
     )
+
+
+# ------------------------------------------------- exact k-per-group sample
+
+
+_K_PER_GROUP = 20
+
+
+@register(
+    "sample_k_per_group",
+    oracle=f"""
+        WITH r AS (SELECT doc_id, lang,
+                          row_number() OVER (
+                              PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+                            AS rn
+                   FROM documents)
+        SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+        FROM r WHERE rn <= {_K_PER_GROUP}
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language sample, deterministically: rank docs
+    inside each language by the md5 of their key (a fixed pseudo-random
+    order) and keep the first k. Unlike rate-based sampling
+    (`sample_stratified`), the output size is exact — the eval-set
+    construction primitive — and unlike seeded `df.sample` it is
+    stable under re-runs, repartitioning, and data relayout.
+
+    One lang-keyed window; at 100 TB pre-filter with a generous
+    md5-threshold pass first (shuffle-free) so the window only ranks a
+    small superset of k per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _K_PER_GROUP)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
+    )

@@ -235,3 +235,30 @@ def test_stream_stream_join_band(spark, queries):
     assert len(rows) > 0
     for r in rows:
         assert 0 <= r.secs_to_purchase <= 3600
+
+
+def test_streaming_checkpoint_is_exactly_once(spark, tmp_path):
+    """Re-running an AvailableNow stream against an unchanged source
+    with the SAME checkpoint must add zero rows to the sink."""
+    from mediaplaycounts_spark.streaming.jobs import read_events_stream
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, SF_SMOKE)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    run_once()
+    n2 = spark.read.parquet(sink).count()
+    assert n1 > 0
+    assert n2 == n1  # checkpoint replays nothing

@@ -162,3 +162,15 @@ def test_pagerank_structure(spark, queries):
     # Suppliers serve many customers -> highest-rank node is a supplier.
     top = max(rows, key=lambda r: r.rank_ppm)
     assert top.is_supplier == 1
+
+
+def test_sample_k_per_group_exact_and_stable(spark, queries):
+    rows = queries["sample_k_per_group"](spark, SF_SMOKE).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert all(len(ids) == 20 for ids in by_lang.values())
+    again = queries["sample_k_per_group"](spark, SF_SMOKE).collect()
+    assert {(r.lang, r.doc_id) for r in again} == {
+        (r.lang, r.doc_id) for r in rows
+    }
