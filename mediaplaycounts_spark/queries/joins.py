@@ -388,3 +388,43 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN s.ts IS NOT NULL
+                     AND date_diff('second', s.ts, e.ts) <= 86400
+                    THEN s.ts END AS signup_ts,
+               CAST(s.ts IS NOT NULL
+                    AND date_diff('second', s.ts, e.ts) <= 86400
+                    AS BIGINT) AS matched
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                        WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (pandas `merge_asof` tolerance
+    semantics): the latest signup at-or-before each event matches only
+    if it is <= 24 h old — older matches are nulled, NOT replaced by an
+    even older row. Same union+window formulation as `join_asof`
+    (one user-keyed shuffle, no row explosion); the tolerance is one
+    extra projection on top.
+
+    At 100 TB the tolerance is also the state bound: a streaming
+    deployment of this op keeps only 24 h of right-side state per key
+    (cf. stream_stream_join's watermark band)."""
+    base = join_asof(spark, sf_dir)
+    fresh = F.col("signup_ts").isNotNull() & (
+        (F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")) <= 86400
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("signup_ts")).alias("signup_ts"),
+        fresh.cast("bigint").alias("matched"),
+    )

@@ -195,3 +195,101 @@ def test_connected_components_equals_union_find(spark):
             for r in connected_components(nodes_df, edges_df).collect()
         }
         assert got == expect, seed
+
+
+def test_gapfill_equals_bruteforce_lerp(spark, tmp_path):
+    """Distributed gap-fill == per-series brute-force integer lerp, for
+    random sparse daily series (edges carry nearest neighbor)."""
+    import datetime as dt
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["ts_gapfill_interpolate"]
+    t0 = dt.datetime(2024, 1, 1)
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        rows, series = [], {}
+        eid = 0
+        for ti, typ in enumerate(["view", "click"]):
+            for d in range(20):
+                if rng.random() < 0.5:
+                    v = round(float(rng.integers(1, 10000)) / 100, 2)
+                    rows.append((eid, t0 + dt.timedelta(days=d), 1, typ, v))
+                    series.setdefault(typ, {})[d] = round(v * 100)
+                    eid += 1
+        if not rows:
+            continue
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double",
+        )
+        sf = str(tmp_path / f"gf{seed}")
+        df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        got = {
+            (r.event_type, r.d.date()): r.filled_value
+            for r in q(spark, sf).collect()
+        }
+        all_days = sorted({d for s in series.values() for d in s})
+        lo, hi = all_days[0], all_days[-1]
+        for typ, obs in series.items():
+            days = sorted(obs)
+            for d in range(lo, hi + 1):
+                if d in obs:
+                    expect = obs[d]
+                else:
+                    prevs = [x for x in days if x < d]
+                    nexts = [x for x in days if x > d]
+                    if prevs and nexts:
+                        pd_, nd = prevs[-1], nexts[0]
+                        pc, nc = obs[pd_], obs[nd]
+                        expect = (pc * (nd - d) + nc * (d - pd_)) // (nd - pd_)
+                    elif prevs:
+                        expect = obs[prevs[-1]]
+                    else:
+                        expect = obs[nexts[0]]
+                key = (typ, (t0 + dt.timedelta(days=d)).date())
+                assert got[key] == expect / 100, (seed, typ, d)
+
+
+def test_streaks_equal_bruteforce_runs(spark, tmp_path):
+    """Gaps-and-islands streak detection == brute-force run-length scan
+    over random per-user day sets."""
+    import datetime as dt
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["win_streak_runs"]
+    t0 = dt.datetime(2024, 1, 1)
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        rows, days_by_user = [], {}
+        eid = 0
+        for u in range(1, 5):
+            for d in range(25):
+                if rng.random() < 0.4:
+                    rows.append((eid, t0 + dt.timedelta(days=d), u, "view", 1.0))
+                    days_by_user.setdefault(u, set()).add(d)
+                    eid += 1
+        if not rows:
+            continue
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double",
+        )
+        sf = str(tmp_path / f"st{seed}")
+        df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        got = {r.user_id: r for r in q(spark, sf).collect()}
+        for u, days in days_by_user.items():
+            ds = sorted(days)
+            runs, cur = [], 1
+            for a, b in zip(ds, ds[1:]):
+                if b == a + 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            assert got[u].longest_streak == max(runs), (seed, u)
+            assert got[u].n_streaks == len(runs), (seed, u)
