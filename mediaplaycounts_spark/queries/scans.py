@@ -302,3 +302,57 @@ def agg_incremental_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_n").alias("n_events"),
         F.sum("p_cents").alias("sum_value_cents"),
     )
+
+
+@register(
+    "scan_jdbc",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM orders
+        WHERE o_totalprice >= 100000.0
+        GROUP BY o_orderstatus
+    """,
+)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC as a SOURCE with the two features that matter at scale:
+    PARALLEL partitioned reads (partitionColumn/numPartitions stripe
+    the table into 4 concurrent range queries — a single-connection
+    read would bottleneck every executor behind one socket) and
+    predicate pushdown (the filter lands in each stripe's WHERE, so
+    the database does the filtering, not Spark).
+
+    Embedded Derby again (driver ships with Spark); production swaps
+    the URL. Stripes here are o_custkey ranges; pick a clustered,
+    evenly-distributed column or the stripes skew."""
+    db = SCRATCH / f"derby_src_{uuid.uuid4().hex[:12]}"
+    url = f"jdbc:derby:{db};create=true"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.format("jdbc").option("url", url).option("dbtable", "orders_src").option(
+        "driver", "org.apache.derby.jdbc.EmbeddedDriver"
+    ).mode("overwrite").save()
+    hi = o.agg(F.max("o_custkey")).head()[0]
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_src")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("partitionColumn", "o_custkey")
+        .option("lowerBound", 1)
+        .option("upperBound", int(hi) + 1)
+        .option("numPartitions", 4)
+        .load()
+    )
+    return (
+        back.filter(F.col("o_totalprice") >= 100000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )

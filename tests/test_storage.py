@@ -77,3 +77,12 @@ def test_compaction_reduces_file_count(spark, queries):
     )
     assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
     assert len(glob.glob(f"{compact}/part-*.parquet")) == 4
+
+
+def test_jdbc_scan_pushdown_and_stripes(spark, queries):
+    df = queries["scan_jdbc"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    # Predicate reaches the JDBC source (database-side filtering).
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    rows = {r.o_orderstatus: r.n for r in df.collect()}
+    assert sum(rows.values()) > 0
