@@ -344,3 +344,60 @@ def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seconds_since_click"),
         )
     )
+
+
+# --------------------------------------------- exact-moment correlation
+
+
+@register(
+    "agg_corr_exact",
+    oracle="""
+        WITH m AS (SELECT l_returnflag,
+                          COUNT(*) AS n,
+                          SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sx,
+                          SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+                          SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                              * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+                          SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                              * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sxx,
+                          SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                              * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                     6) AS corr_qty_price
+        FROM m
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs price per returnflag) from exact
+    integer moments — n, Σx, Σy, Σxy, Σx², Σy² in int64 cents — so the
+    partial-aggregable shuffle payload is six integers per group and
+    the final double formula is evaluated identically on both engines
+    (Spark's native `corr` is a streaming double accumulation, partition-
+    order-dependent — unhashable). Extends the agg_variance_exact
+    moment strategy to covariance. Σ(x·y) of cents pairs stays < 2^63
+    through ~10^5-cent values x ~10^9 rows; past that promote to
+    DECIMAL(38,0) partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cx = cents("l_quantity")
+    cy = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(cx).alias("sx"),
+        F.sum(cy).alias("sy"),
+        F.sum(cx * cy).alias("sxy"),
+        F.sum(cx * cx).alias("sxx"),
+        F.sum(cy * cy).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - sxd * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - syd * F.col("sy")
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(num / den, 6).alias("corr_qty_price")
+    )

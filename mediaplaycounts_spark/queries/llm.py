@@ -692,3 +692,54 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+# ------------------------------------------------- embedding centroids
+
+
+@register(
+    "agg_embedding_centroid",
+    oracle="""
+        WITH p AS (SELECT label,
+                          unnest(range(0, len(embedding))) AS pos,
+                          unnest(embedding) AS x
+                   FROM embeddings),
+        g AS (SELECT label, pos,
+                     SUM(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                       AS s,
+                     COUNT(*) AS n
+              FROM p GROUP BY label, pos)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(pos AS BIGINT) AS pos,
+               round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS component,
+               n AS n_vectors
+        FROM g
+    """,
+)
+def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, emitted long-format
+    (label, dimension, component): each float32 component is quantized
+    to integer micro-units BEFORE summing, so the distributed mean is
+    order-independent and bit-identical to the oracle — a raw float sum
+    would differ per partition order. This is the class-prototype /
+    coarse-quantizer primitive (the IVF trainer in
+    operators/similarity.py uses the same posexplode+avg shape).
+
+    Plan: posexplode -> ONE (label, pos) hash agg (map-side combined;
+    shuffle carries |labels| x dim integer partials, not vectors)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    p = em.select(
+        "label", F.posexplode(S.as_double("embedding")).alias("pos", "x")
+    )
+    q = F.round(F.col("x") * 1_000_000, 0).cast("long")
+    g = p.groupBy("label", "pos").agg(
+        F.sum(q).alias("s"), F.count("*").alias("n")
+    )
+    return g.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("s").cast("double") / F.col("n") / 1_000_000.0, 6).alias(
+            "component"
+        ),
+        F.col("n").alias("n_vectors"),
+    )

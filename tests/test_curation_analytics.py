@@ -262,3 +262,21 @@ def test_streaming_checkpoint_is_exactly_once(spark, tmp_path):
     n2 = spark.read.parquet(sink).count()
     assert n1 > 0
     assert n2 == n1  # checkpoint replays nothing
+
+
+def test_corr_exact_in_range(spark, queries):
+    rows = queries["agg_corr_exact"](spark, SF_SMOKE).collect()
+    assert len(rows) == 3  # returnflags A, N, R
+    for r in rows:
+        assert -1.0 <= r.corr_qty_price <= 1.0
+
+
+def test_embedding_centroid_grid(spark, queries):
+    rows = queries["agg_embedding_centroid"](spark, SF_SMOKE).collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert set(by_label) == set(range(10))
+    for label, comps in by_label.items():
+        assert len(comps) == 64, label  # one row per dimension
+        assert len({c.n_vectors for c in comps}) == 1  # same count each dim
