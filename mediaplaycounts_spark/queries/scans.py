@@ -356,3 +356,79 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- Python DataSource (Spark 4)
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+        WITH days AS (SELECT unnest(generate_series(0, 364)) AS day_idx)
+        SELECT CAST(date_trunc('month',
+                               DATE '2024-01-01' + day_idx * INTERVAL 1 DAY)
+                    AS DATE) AS month,
+               COUNT(*) AS n_days,
+               CAST(SUM(day_idx) AS BIGINT) AS sum_idx
+        FROM days GROUP BY month
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source (Spark 4 DataSource API): a calendar
+    generator implemented entirely in Python — schema declaration,
+    4-way input partitioning, per-partition row iterators — registered
+    and consumed through the standard `spark.read.format(...)` surface.
+    This is the extension point for bespoke feeds (internal APIs,
+    proprietary formats) when no JVM connector exists; partition
+    planning keeps the read parallel like any native source.
+
+    The calendar itself is the date-spine utility every date_range
+    query needs (REF GetData::date_range zero-fill, SURVEY.md §3.2)."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class CalendarReader(DataSourceReader):
+        def __init__(self, options):
+            self.start = dt.date.fromisoformat(
+                options.get("start", "2024-01-01")
+            )
+            self.days = int(options.get("days", "365"))
+            self.n_parts = 4
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            for i in range(partition.value, self.days, self.n_parts):
+                yield (self.start + dt.timedelta(days=i), i)
+
+    class CalendarSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pycalendar"
+
+        def schema(self):
+            return "day date, day_idx bigint"
+
+        def reader(self, schema):
+            return CalendarReader(self.options)
+
+    spark.dataSource.register(CalendarSource)
+    cal = (
+        spark.read.format("pycalendar")
+        .option("start", "2024-01-01")
+        .option("days", "365")
+        .load()
+    )
+    return (
+        cal.groupBy(F.date_trunc("MONTH", "day").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("day_idx").alias("sum_idx"),
+        )
+    )

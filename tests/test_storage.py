@@ -86,3 +86,23 @@ def test_jdbc_scan_pushdown_and_stripes(spark, queries):
     assert "PushedFilters" in plan and "o_totalprice" in plan
     rows = {r.o_orderstatus: r.n for r in df.collect()}
     assert sum(rows.values()) > 0
+
+
+def test_python_datasource_partitions(spark, queries):
+    import datetime as dt
+
+    df = queries["scan_python_datasource"](spark, SF_SMOKE)
+    rows = {r.month: r for r in df.collect()}
+    assert len(rows) == 12
+    assert sum(r.n_days for r in rows.values()) == 365
+    assert rows[dt.date(2024, 2, 1)].n_days == 29  # leap year
+    # The generator itself must parallelize: 4 input partitions.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    cal = (
+        spark.read.format("pycalendar")
+        .option("start", "2024-01-01")
+        .option("days", "365")
+        .load()
+    )
+    assert cal.rdd.getNumPartitions() == 4
