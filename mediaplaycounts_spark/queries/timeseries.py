@@ -190,3 +190,71 @@ def agg_anomaly_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ------------------------------------------------------- trend slopes
+
+
+@register(
+    "agg_trend_slope",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        m AS (SELECT event_type,
+                     COUNT(*) AS n,
+                     SUM(date_diff('day', DATE '1970-01-01', CAST(d AS DATE)))
+                       AS sx,
+                     SUM(c) AS sy,
+                     SUM(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+                         * c) AS sxy,
+                     SUM(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+                         * date_diff('day', DATE '1970-01-01', CAST(d AS DATE)))
+                       AS sxx
+              FROM daily GROUP BY event_type)
+        SELECT event_type, n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     / 100.0, 6) AS slope_per_day,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                        * sx)
+                     / n / 100.0, 6) AS intercept
+        FROM m
+    """,
+)
+def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares trend per event_type: slope/intercept
+    of the daily-total series over epoch-day x, computed from five
+    exact int64 moments (n, Σx, Σy, Σxy, Σx²) — the same moment
+    discipline as agg_corr_exact, so the distributed fit is
+    order-independent and oracle-exact. This is the "are plays
+    trending up?" question the reference's dashboard users asked of
+    last_30/last_90 deltas, answered properly.
+
+    One hash agg over the tiny daily grid; slope math is a final
+    5-integer formula per type."""
+    daily = _daily_cents(spark, sf_dir)
+    x = F.datediff(F.col("d").cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+        "long"
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(x * F.col("c")).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope_raw = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope_raw / 100.0, 6).alias("slope_per_day"),
+        F.round((syd - slope_raw * F.col("sx")) / F.col("n") / 100.0, 6).alias(
+            "intercept"
+        ),
+    )

@@ -74,3 +74,18 @@ def test_anomaly_flags_exactly_the_spike(spark, tmp_path, queries):
     flagged = {r.d.date() for r in out if r.is_anomaly == 1}
     assert flagged == {dt.date(2024, 3, 12)}
     assert len(out) == 12
+
+
+def test_trend_slope_closed_form(spark, tmp_path, queries):
+    # Perfect line: value = 1.00 * (day+1) -> slope 1.00/day exactly.
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", float(i + 1))
+        for i in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = queries["agg_trend_slope"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 10
+    assert r.slope_per_day == 1.0
