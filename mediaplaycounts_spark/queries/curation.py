@@ -497,12 +497,17 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins; the per-doc agg shuffles on doc_id once."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    freq = toks.groupBy("word").agg(F.count("*").alias("n"))
+    # Single pass: reduce to (doc, word) counts once; both the corpus
+    # frequency and the per-doc sum derive from that small table, so the
+    # raw token stream is exploded exactly once and the join carries
+    # vocabulary-sized rows.
+    dw = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    freq = dw.groupBy("word").agg(F.sum("c").alias("n"))
     return (
-        toks.join(freq, "word")
+        dw.join(freq, "word")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.expr("1000000 div n")).cast("long").alias("rarity_score"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.expr("c * (1000000 div n)")).cast("long").alias("rarity_score"),
         )
     )

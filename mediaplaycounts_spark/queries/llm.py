@@ -488,8 +488,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    cnt = toks.groupBy("lang", "word").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # Single pass over the exploded tokens: reduce to (word, lang, doc)
+    # counts first, then derive BOTH aggregates from that small table —
+    # the raw corpus is scanned/exploded once, and the two re-aggs only
+    # shuffle vocabulary-sized data.
+    wld = toks.groupBy("word", "lang", "doc_id").agg(F.count("*").alias("c"))
+    cnt = wld.groupBy("lang", "word").agg(F.sum("c").alias("tf"))
+    dfreq = wld.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     s = cnt.join(dfreq, "word").withColumn(
         "score", F.expr("(tf * 1000000) div df")
     )
