@@ -392,3 +392,69 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("t_purchase") - F.unix_timestamp("t_click")
         ).cast("bigint").alias("secs_to_purchase"),
     )
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+        WITH days AS (SELECT unnest(generate_series(0, 364)) AS day_idx)
+        SELECT CAST(date_trunc('month',
+                               DATE '2024-01-01' + day_idx * INTERVAL 1 DAY)
+                    AS DATE) AS month,
+               COUNT(*) AS n_days,
+               CAST(SUM(day_idx) AS BIGINT) AS sum_idx
+        FROM days GROUP BY month
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python data source (Spark 4 SimpleDataSourceStreamReader):
+    a calendar tick source implemented in pure Python — offset
+    management (`initialOffset`/`read`/`readBetweenOffsets` for
+    replay) — consumed through `spark.readStream.format(...)` and
+    drained with Trigger.AvailableNow. The bounded source reports all
+    available ticks per poll, so the drain is deterministic and the
+    key stays SQL-oracled.
+
+    This is the streaming twin of `scan_python_datasource`: the same
+    extension point when the feed is a live API/queue with no JVM
+    connector. Offsets checkpoint like any source — `readBetweenOffsets`
+    is what makes micro-batch replay exactly-once."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    n_days = 365
+    t0 = dt.date(2024, 1, 1)
+
+    class CalReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"idx": 0}
+
+        def read(self, start):
+            s = int(start["idx"])
+            rows = [(t0 + dt.timedelta(days=i), i) for i in range(s, n_days)]
+            return iter(rows), {"idx": n_days}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (t0 + dt.timedelta(days=i), i)
+                for i in range(int(start["idx"]), int(end["idx"]))
+            )
+
+    class CalStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pycalendar_stream"
+
+        def schema(self):
+            return "day date, day_idx bigint"
+
+        def simpleStreamReader(self, schema):
+            return CalReader()
+
+    spark.dataSource.register(CalStreamSource)
+    cal = spark.readStream.format("pycalendar_stream").load()
+    agg = cal.groupBy(
+        F.date_trunc("MONTH", "day").cast("date").alias("month")
+    ).agg(F.count("*").alias("n_days"), F.sum("day_idx").alias("sum_idx"))
+    return run_available_now(agg, output_mode="complete")
