@@ -129,3 +129,86 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ------------------------------------------------- SQL pipe syntax
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        WHERE user_id % 2 = 0
+        GROUP BY event_type
+        HAVING COUNT(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same relational
+    plan written as a linear pipeline — FROM |> WHERE |> AGGREGATE |>
+    WHERE(having) — compiled by the same Catalyst rules as classic SQL
+    (this is purely parser surface; the physical plan is identical, so
+    everything in PLAN_AUDIT.md applies unchanged)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_pipe")
+    return spark.sql(
+        """
+        FROM events_pipe
+        |> WHERE user_id % 2 = 0
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+           GROUP BY event_type
+        |> WHERE n > 10
+        |> SELECT event_type, n, sum_cents
+        """
+    )
+
+
+# ------------------------------------------------- collation grouping
+
+
+@register(
+    "string_collation_group",
+    oracle="""
+        WITH s AS (SELECT doc_id,
+                          CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                               WHEN doc_id % 3 = 1 THEN source
+                               ELSE concat(upper(substr(source, 1, 1)),
+                                           substr(source, 2)) END AS src_mixed
+                   FROM documents)
+        SELECT lower(src_mixed) AS src_key, COUNT(*) AS n
+        FROM s GROUP BY src_key
+    """,
+)
+def string_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a mixed-case
+    source column groups case-insensitively under UTF8_LCASE — the
+    collation travels WITH the column through the aggregate, so no
+    normalizing projection is needed mid-plan (the output key is
+    lowercased only for the engine-neutral oracle comparison).
+
+    At 100 TB collations beat `lower()`-everywhere because the scan,
+    the shuffle key, and any join keys agree on equality without
+    rewriting every expression — one declaration at the column level."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("source", 1, 1)), F.expr("substr(source, 2)")
+            )
+        )
+    )
+    s = docs.select(mixed.alias("src_mixed")).select(
+        F.expr("src_mixed COLLATE UTF8_LCASE").alias("src_ci")
+    )
+    return (
+        s.groupBy("src_ci")
+        .agg(F.count("*").alias("n"))
+        .select(F.lower(F.col("src_ci")).alias("src_key"), "n")
+    )
