@@ -401,3 +401,58 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", "n", F.round(num / den, 6).alias("corr_qty_price")
     )
+
+
+# --------------------------------------------------- Gini concentration
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+        WITH t AS (SELECT event_type, user_id,
+                          SUM(CAST(round(value * 100, 0) AS BIGINT)) AS x
+                   FROM events GROUP BY event_type, user_id),
+        r AS (SELECT event_type, x,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY x, user_id) AS rn
+              FROM t),
+        m AS (SELECT event_type, COUNT(*) AS n,
+                     SUM(x) AS sx, SUM(rn * x) AS srx
+              FROM r GROUP BY event_type)
+        SELECT event_type, n,
+               round(CAST(2 * srx AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
+                     - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+        FROM m
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user engagement concentration, per
+    event_type — "is spend dominated by whales?" — via the sorted-rank
+    identity ``G = 2*Σ(i·x_i)/(n·Σx) − (n+1)/n`` with ranks assigned by
+    one deterministic window (total, then user_id tie-break). All
+    moments are int64 (Σx, Σ rank·x), one final double formula, so the
+    statistic value-hashes across engines.
+
+    Plan: one (type, user) hash agg, one type-keyed window over the
+    user-totals grid (O(users) rows, not O(events)), one tiny moment
+    agg. The reference's Zipfian "popular files" skew (SURVEY.md §4.2)
+    is exactly what this measures."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("event_type", "user_id").agg(F.sum(cents("value")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    r = t.withColumn("rn", F.row_number().over(w))
+    m = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rn") * F.col("x")).alias("srx"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            (2 * F.col("srx")).cast("double") / (nd * F.col("sx"))
+            - (nd + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -280,3 +280,25 @@ def test_embedding_centroid_grid(spark, queries):
     for label, comps in by_label.items():
         assert len(comps) == 64, label  # one row per dimension
         assert len({c.n_vectors for c in comps}) == 1  # same count each dim
+
+
+def test_gini_bounds_and_extremes(spark, tmp_path, queries):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 7, 1)
+    # 'view': perfectly equal 4 users -> G = 0.
+    rows = [(i, t0, u, "view", 10.0) for i, u in enumerate(range(1, 5))]
+    # 'click': one whale among 4 users -> G = (n-1)/n * ... high.
+    rows += [(10 + u, t0, u, "click", 0.01) for u in range(1, 4)]
+    rows.append((14, t0, 4, "click", 1000.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.event_type: r for r in queries["agg_gini_concentration"](spark, str(tmp_path)).collect()}
+    assert out["view"].gini == 0.0
+    assert out["click"].gini > 0.7
+    for r in out.values():
+        assert 0.0 <= r.gini < 1.0
