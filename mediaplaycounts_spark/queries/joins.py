@@ -428,3 +428,41 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("signup_ts")).alias("signup_ts"),
         fresh.cast("bigint").alias("matched"),
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 1) o
+        WHERE c.c_custkey <= 50
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's single most
+    expensive order, written as a per-row dependent subquery — the SQL
+    surface users reach for before they learn the window formulation.
+    Catalyst DECORRELATES it (DecorrelateInnerQuery) into the same
+    join+window plan `win_topk_per_group` builds by hand, so the
+    lateral form costs nothing extra at scale — one shuffle, no
+    N+1 re-execution (the reference's category loop, SURVEY.md §3.3,
+    was exactly the un-decorrelated version of this)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_l")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_l")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer_l c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders_l
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 1) o
+        WHERE c.c_custkey <= 50
+        """
+    )

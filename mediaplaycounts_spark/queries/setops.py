@@ -103,3 +103,33 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_custkey").subtract(
         o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     )
+
+
+@register(
+    "setop_union_by_name_missing",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS src
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS src
+        FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: `unionByName(allowMissingColumns=True)`
+    aligns by COLUMN NAME and null-fills columns one side lacks — the
+    batch twin of `scan_schema_evolution`'s read-side merge, and the
+    correct tool when appending a pre-migration extract to a
+    post-migration one (positional `union` would silently misalign).
+    Narrow, zero-shuffle, order-preserving per side."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", F.lit("v2").alias("src")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "src"
+    )

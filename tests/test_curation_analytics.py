@@ -302,3 +302,22 @@ def test_gini_bounds_and_extremes(spark, tmp_path, queries):
     assert out["click"].gini > 0.7
     for r in out.values():
         assert 0.0 <= r.gini < 1.0
+
+
+def test_lateral_topn_decorrelates(spark, queries):
+    from tests.test_plans import plan_of
+
+    df = queries["join_lateral_topn"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan  # decorrelated, not N+1
+    rows = queries["join_lateral_topn"](spark, SF_SMOKE).collect()
+    assert len({r.c_custkey for r in rows}) == len(rows)  # one order each
+
+
+def test_union_by_name_nullfills(spark, queries):
+    rows = queries["setop_union_by_name_missing"](spark, SF_SMOKE).collect()
+    v1 = [r for r in rows if r.src == "v1"]
+    v2 = [r for r in rows if r.src == "v2"]
+    assert v1 and v2
+    assert all(r.o_orderpriority is None for r in v1)
+    assert all(r.o_orderpriority is not None for r in v2)
