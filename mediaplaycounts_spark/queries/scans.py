@@ -432,3 +432,35 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("day_idx").alias("sum_idx"),
         )
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle=f"""
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               CAST(size AS BIGINT) AS n_bytes,
+               md5(decode(content)) AS content_md5
+        FROM read_blob('{FIXTURE_DIR}/*.tsv')
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingest (`binaryFile` source): each dump file
+    arrives as one (path, length, content BINARY) row — the ingest
+    surface for opaque media payloads (images/audio/video) where the
+    file, not the line, is the record. Metadata-only projections
+    (path, length) skip reading content entirely; the md5 here forces
+    the read on purpose to prove content fidelity vs the oracle.
+
+    At 100 TB: binaryFile is for many-small-opaque-files ingest
+    (bounded by `maxPartitionBytes` per task); line-oriented dumps go
+    through the splittable CSV path (`scan_tsv_log`) instead."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{FIXTURE_DIR}/*.tsv")
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )
+    return files
