@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from mediaplaycounts_spark.queries._helpers import (
     REVENUE_E4_SQL,
+    cents,
     davg,
     davg_sql,
     dsum,
@@ -333,4 +334,74 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
         F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "agg_bitwise_bool",
+    oracle="""
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100, 0) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_type,
+               COUNT(*) AS n,
+               bit_and(c) AS c_and,
+               bit_or(c) AS c_or,
+               bit_xor(c) AS c_xor,
+               bool_and(c >= 0) AS all_nonneg,
+               bool_or(c > 50000) AS any_big
+        FROM e GROUP BY event_type
+    """,
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise + boolean aggregates (BIT_AND/OR/XOR, BOOL_AND/OR) per
+    event type over exact integer cents — the flag-mask / invariant-
+    check aggregate family (e.g. "did every event in this group satisfy
+    P?", "union of permission bits seen").
+
+    All five are partial-aggregatable (associative + commutative), so
+    the plan is one map-side-combined hash aggregate — the same
+    single-shuffle shape as SUM, at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = cents("value")
+    return ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.bit_and("c").alias("c_and"),
+        F.bit_or("c").alias("c_or"),
+        F.bit_xor("c").alias("c_xor"),
+        F.bool_and(F.col("c") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("c") > 50000).alias("any_big"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+        WITH d AS (SELECT DISTINCT lang, source FROM documents)
+        SELECT lang,
+               string_agg(source, ',' ORDER BY source) AS sources,
+               COUNT(*) AS n_sources
+        FROM d GROUP BY lang
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 `LISTAGG ... WITHIN GROUP`):
+    the distinct sources feeding each language corpus, as one sorted
+    CSV cell — the manifest/provenance-summary aggregate.
+
+    WITHIN GROUP (ORDER BY source) makes the concatenation order part
+    of the query semantics, not an accident of partition arrival order
+    — without it listagg output is nondeterministic under parallelism
+    (same trap as collect_list). Distinct-first keeps the agg input at
+    |lang x source| rows, so the sort inside each group is tiny no
+    matter how many documents exist.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", "source").distinct()
+    return d.groupBy("lang").agg(
+        F.expr("listagg(source, ',') WITHIN GROUP (ORDER BY source)").alias(
+            "sources"
+        ),
+        F.count("*").alias("n_sources"),
     )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mediaplaycounts_spark.queries._helpers import REVENUE_E4_SQL, revenue_e4
+from mediaplaycounts_spark.queries._helpers import REVENUE_E4_SQL, cents, revenue_e4
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -465,4 +465,50 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 1) o
         WHERE c.c_custkey <= 50
         """
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH o AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                               ELSE o_orderstatus END AS nk,
+                          o_totalprice
+                   FROM orders),
+        d(st, label) AS (VALUES ('F', 'finished'), ('O', 'open'),
+                                (NULL, 'unknown'))
+        SELECT d.label, COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM o JOIN d ON o.nk IS NOT DISTINCT FROM d.st
+        GROUP BY d.label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL dim rows instead of silently dropping — the
+    sentinel-bucket pattern for dirty dimension keys (unknown status,
+    unparseable category) where a plain equi-join would lose rows and
+    an outer-join + COALESCE would double-handle the sentinel.
+
+    EqualNullSafe is a valid hash-join key in Spark (NULL hashes to a
+    regular bucket), so with the 3-row dim broadcast this stays a
+    BroadcastHashJoin — zero shuffle on the fact side, identical to
+    the plain broadcast-dim plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("nk"),
+        cents("o_totalprice").alias("c"),
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), (None, "unknown")],
+        "st string, label string",
+    )
+    j = o.join(F.broadcast(dim), o["nk"].eqNullSafe(dim["st"]), "inner")
+    return j.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sum_cents"),
     )

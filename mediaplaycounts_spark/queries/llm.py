@@ -748,3 +748,48 @@ def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").alias("n_vectors"),
     )
+
+
+@register(
+    "array_exists_forall",
+    oracle="""
+        SELECT label,
+               CAST(SUM(CASE WHEN len(list_filter(embedding,
+                                                  x -> x > 0.4)) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_has_big,
+               CAST(SUM(CASE WHEN len(list_filter(embedding,
+                                                  x -> x <= -0.45)) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_all_gt,
+               CAST(SUM(len(list_filter(embedding, x -> x > 0.2)))
+                    AS BIGINT) AS n_pos_total
+        FROM embeddings GROUP BY label
+    """,
+)
+def array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates (EXISTS / FORALL / FILTER) over
+    the embedding column: per label, how many vectors spike above 0.4,
+    how many stay entirely above -0.45, and the total count of
+    components above 0.2 — the feature-gating primitives for embedding
+    QA (dead-dimension and outlier screens before ANN indexing).
+
+    All three lambdas run JVM-side inside codegen over the Arrow-read
+    array column — no Python, no explode: the per-row work is a tight
+    loop over 64 floats, and the only shuffle is the final tiny
+    groupBy(label). Comparisons are pure predicates on the identical
+    float32 values both engines read, so no FP-accumulation drift
+    exists.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_row = emb.select(
+        "label",
+        F.exists("embedding", lambda x: x > 0.4).cast("long").alias("has_big"),
+        F.forall("embedding", lambda x: x > -0.45).cast("long").alias("all_gt"),
+        F.size(F.filter("embedding", lambda x: x > 0.2))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    return per_row.groupBy("label").agg(
+        F.sum("has_big").alias("n_has_big"),
+        F.sum("all_gt").alias("n_all_gt"),
+        F.sum("n_pos").alias("n_pos_total"),
+    )

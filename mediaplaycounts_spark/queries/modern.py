@@ -212,3 +212,51 @@ def string_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.lower(F.col("src_ci")).alias("src_key"), "n")
     )
+
+
+# -------------------------------------------- subquery decorrelation
+
+
+@register(
+    "sql_subquery_decorrelate",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey = 1)
+    """,
+)
+def sql_subquery_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery SQL surface: EXISTS (-> left-semi join),
+    IN (-> left-semi against the nation filter), and a correlated
+    scalar COUNT subquery (-> decorrelated to an aggregate + left
+    outer join with null->0). The reference answers the category
+    question with an N+1 per-file loop (REF GetData::category_*,
+    SURVEY.md §3.3); Catalyst's RewriteCorrelatedScalarSubquery +
+    RewritePredicateSubquery turn the same intent written as plain SQL
+    into three joins in ONE plan — no per-row re-execution anywhere.
+
+    Scale: orders aggregates once on o_custkey (single shuffle), the
+    nation IN-list broadcasts, and AQE picks broadcast vs SMJ for the
+    semi joins by runtime size.
+    """
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT COUNT(*) FROM orders_sq o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation_sq
+                                WHERE n_regionkey = 1)
+        """
+    )

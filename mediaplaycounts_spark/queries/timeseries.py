@@ -258,3 +258,120 @@ def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ------------------------------------------------------------ OHLC bars
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+        WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          CAST(round(value * 100, 0) AS BIGINT) AS c,
+                          ts, event_id
+                   FROM events),
+        w AS (SELECT event_type, day, c,
+                     first_value(c) OVER (
+                         PARTITION BY event_type, day ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS o,
+                     last_value(c) OVER (
+                         PARTITION BY event_type, day ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS cl
+              FROM e)
+        SELECT event_type, day,
+               CAST(MIN(o) AS DOUBLE) / 100.0 AS open,
+               CAST(MAX(c) AS DOUBLE) / 100.0 AS high,
+               CAST(MIN(c) AS DOUBLE) / 100.0 AS low,
+               CAST(MIN(cl) AS DOUBLE) / 100.0 AS close,
+               COUNT(*) AS n_events
+        FROM w GROUP BY event_type, day
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (type, day) open/high/low/close of the
+    event value stream — the canonical time-series bar compaction
+    (metrics dashboards, rate monitoring over play logs).
+
+    Open/close are first/last IN EVENT-TIME ORDER with event_id as the
+    total-order tie-break, computed with ordered full-frame windows so
+    both engines see the identical deterministic row; high/low are
+    plain min/max cents. One shuffle on (event_type, day); the window
+    and the final aggregate share that partitioning, so the bar build
+    costs a single exchange at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_trunc("DAY", "ts").alias("day"),
+        cents("value").alias("c"),
+        "ts",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rows = e.select(
+        "event_type",
+        "day",
+        "c",
+        F.first("c").over(w).alias("o"),
+        F.last("c").over(w).alias("cl"),
+    )
+    return rows.groupBy("event_type", "day").agg(
+        (F.min("o").cast("double") / 100.0).alias("open"),
+        (F.max("c").cast("double") / 100.0).alias("high"),
+        (F.min("c").cast("double") / 100.0).alias("low"),
+        (F.min("cl").cast("double") / 100.0).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ------------------------------------------------------- integer EWMA
+
+
+@register(
+    "ts_ewma_int",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        l AS (SELECT event_type,
+                     list(CAST(c AS BIGINT) * 1000 ORDER BY d) AS m,
+                     COUNT(*) AS n_days
+              FROM daily GROUP BY event_type)
+        SELECT event_type, n_days,
+               CAST(list_reduce(m, (a, b) -> (b + 3 * a) // 4) AS BIGINT)
+                 AS ewma_millicents
+        FROM l
+    """,
+)
+def ts_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/4) of the daily
+    cents total per type, folded in EXACT int64 milli-cents:
+    s_1 = m_1; s_i = (m_i + 3*s_{{i-1}}) >> 2. A float EWMA would
+    accumulate engine-specific rounding; the integer recurrence (shift
+    = floor-div-4 on non-negative state) is bit-identical to DuckDB's
+    list_reduce with `// 4`.
+
+    The fold is inherently sequential in day order, but it runs over
+    the per-type DAILY grid (O(days) elements after the one groupBy
+    shuffle), not over raw events — collect_list + aggregate on a
+    30-element array per type, regardless of input scale. State stays
+    < 2^63 while daily totals stay < 2^52 milli-cents.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    per_type = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).alias("s")
+    )
+    m = F.transform(F.col("s"), lambda x: x["c"] * 1000)
+    return per_type.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice(m, 2, F.size("s") - 1),
+            F.element_at(m, 1),
+            lambda acc, x: F.shiftright(x + 3 * acc, 2),
+        ).alias("ewma_millicents"),
+    )
