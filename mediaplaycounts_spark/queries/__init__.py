@@ -26,9 +26,13 @@ Modules are grouped by §2 section:
 - storage      — §2.J storage layout (Z-order clustering, ORC scan,
                  dynamic partition pruning)
 - graph        — §2.J graph propagation (integer-exact PageRank)
+- advanced     — §2.J advanced surface (recursive CTE, XML scan,
+                 rolling distinct, sweep-line concurrency, triangles,
+                 exact mode/skewness, FILTER-clause aggregates)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
+    advanced,
     aggregates,
     analytics,
     curation,
