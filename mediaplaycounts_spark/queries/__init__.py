@@ -29,6 +29,9 @@ Modules are grouped by §2 section:
 - advanced     — §2.J advanced surface (recursive CTE, XML scan,
                  rolling distinct, sweep-line concurrency, triangles,
                  exact mode/skewness, FILTER-clause aggregates)
+- statistics   — §2.J statistical surface (multi-distinct, kurtosis,
+                 entropy, rolling median, value RANGE frames, weekly
+                 resample, Zipf fit)
 """
 
 from mediaplaycounts_spark.queries import (  # noqa: F401
@@ -44,6 +47,7 @@ from mediaplaycounts_spark.queries import (  # noqa: F401
     pipeline,
     scans,
     setops,
+    statistics,
     storage,
     streaming,
     timeseries,

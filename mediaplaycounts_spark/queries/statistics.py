@@ -1,0 +1,414 @@
+"""Statistical surface: one-pass multi-distinct, exact higher moments
+(kurtosis), order-stabilized Shannon entropy, rolling median, value-based
+RANGE frames, weekly resample, and a Zipf-law fit over word frequencies.
+
+Shared discipline (SURVEY.md §2 FP note): every floating result is
+derived from exact int64 partials (counts, cents, 1e6/1e9-quantized log
+terms) so the final double arithmetic is a short, identically-
+parenthesized formula on exactly-representable inputs — bit-equal across
+engines and partition orders. The reference computes none of these (its
+only aggregate is a per-day SUM, REF LogProcessor/GetData); they are the
+north-star analytics layer a log-analytics engine needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.operators import dedup as D
+from mediaplaycounts_spark.queries._helpers import cents
+from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.tables import load_table
+
+# ------------------------------------------------- multi-distinct
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_types,
+               COUNT(DISTINCT user_id)
+                 FILTER (WHERE event_type = 'purchase') AS n_purchasers
+        FROM events
+        GROUP BY day
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several exact COUNT(DISTINCT) columns in ONE grouped pass —
+    Catalyst rewrites the multi-distinct into a single Expand (one row
+    replicated per distinct-aggregate) + two-level aggregate, so k
+    distinct metrics cost one extra projection, not k scans of the fact
+    table. The filtered distinct (purchasers) rides the same Expand via
+    a null-padded conditional column.
+
+    Scale: Expand multiplies shuffle rows by the number of distinct
+    specs (×3 here) — bounded and predictable; when even that is too
+    much at 100 TB the sketch path (`agg_approx_distinct`,
+    `agg_hll_sketch_merge`) replaces exact distincts."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchasers"),
+    )
+
+
+# ------------------------------------------------- exact kurtosis
+
+
+@register(
+    "agg_kurtosis_exact",
+    oracle="""
+        WITH m AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s1,
+                   CAST(SUM(v*v) AS BIGINT) AS s2,
+                   CAST(SUM(v*v*v) AS BIGINT) AS s3,
+                   CAST(SUM(v*v*v*v) AS BIGINT) AS s4
+            FROM (SELECT event_type,
+                         CAST(round(value, 0) AS BIGINT) AS v FROM events)
+            GROUP BY event_type)
+        SELECT event_type, n,
+               round((CAST(s4 AS DOUBLE) / n
+                      - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                      + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)
+                      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     / ((CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                        * (CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n)))
+                     - 3, 6) AS kurtosis
+        FROM m
+    """,
+)
+def agg_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess kurtosis per event_type from exact int64 moments
+    (n, Σv, Σv², Σv³, Σv⁴) — the fourth rung of the moment ladder
+    (variance → correlation → skewness → kurtosis). Native `kurtosis()`
+    streams doubles in partition order and is unhashable across
+    engines; exact integer partials + one fixed-parenthesization double
+    formula is order-independent.
+
+    Overflow bound: |v| ≲ 10³ here so Σv⁴ ≤ 10¹²·rows — int64-safe to
+    ~10⁶ rows/group; beyond that promote s4 to DECIMAL(38,0) partials
+    (still partial-agg safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value"), 0).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    e1 = F.col("s1").cast("double") / nd
+    e2 = F.col("s2").cast("double") / nd
+    e3 = F.col("s3").cast("double") / nd
+    e4 = F.col("s4").cast("double") / nd
+    m2 = e2 - e1 * e1
+    m4 = e4 - F.lit(4) * e1 * e3 + F.lit(6) * e1 * e1 * e2 - F.lit(3) * e1 * e1 * e1 * e1
+    return m.select(
+        "event_type", "n", F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurtosis")
+    )
+
+
+# ------------------------------------------------- Shannon entropy
+
+
+@register(
+    "agg_entropy_shannon",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, COUNT(*) AS c
+            FROM events GROUP BY day, event_type),
+        t AS (
+            SELECT day, c,
+                   CAST(SUM(c) OVER (PARTITION BY day) AS BIGINT) AS n
+            FROM c)
+        SELECT day, MIN(n) AS n_events,
+               round(CAST(CAST(SUM(CAST(round(
+                         (CAST(c AS DOUBLE) / n)
+                         * ln(CAST(n AS DOUBLE) / c) * 1e9, 0) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 1e9, 6) AS entropy_nats
+        FROM t GROUP BY day
+    """,
+)
+def agg_entropy_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Shannon entropy of the event-type mix, −Σ p·ln p —
+    the canonical drift/diversity monitor over a log stream. Each
+    type's term p·ln(1/p) is computed from exact integer counts then
+    quantized to int64 nano-units BEFORE the final sum, so the
+    cross-term addition is integer and order-independent — summing 5
+    raw doubles would hash differently depending on which engine adds
+    them in which order.
+
+    Scale: two hash aggregates keyed (day, type) → (day) plus one
+    day-partitioned window for the totals; type cardinality is tiny so
+    the second stage is a few rows per day regardless of fact volume."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("DAY", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("day"))
+    t = c.select("day", "c", n.alias("n"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    return t.groupBy("day").agg(
+        F.min("n").alias("n_events"),
+        F.round(F.sum(term).cast("double") / F.lit(1e9), 6).alias("entropy_nats"),
+    )
+
+
+# ------------------------------------------------- rolling median
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS tot_cents
+            FROM events GROUP BY event_type, day)
+        SELECT event_type, day,
+               CAST(2 * median(tot_cents) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS med2_cents
+        FROM d
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN of daily revenue per event type —
+    a holistic (non-decomposable) rolling aggregate Spark has no native
+    frame function for. Formulation: `collect_list` over the row frame,
+    `array_sort`, pick the middle — and emit 2×median so the even-count
+    interpolated midpoint stays exact int64 (no .5 doubles to hash).
+
+    Scale: the frame is bounded (7 rows) so per-row state is O(7), not
+    O(partition); the window partitions by event_type over pre-
+    aggregated daily rows — thousands of rows per type even at 100 TB
+    of raw events, because the daily rollup upstream collapses volume
+    before any sort."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).alias("tot_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("tot_cents").over(w))
+    med2 = F.expr(
+        """
+        CASE WHEN size(_arr) % 2 = 1
+             THEN 2 * element_at(_arr, CAST((size(_arr) + 1) DIV 2 AS INT))
+             ELSE element_at(_arr, CAST(size(_arr) DIV 2 AS INT))
+                  + element_at(_arr, CAST(size(_arr) DIV 2 + 1 AS INT))
+        END
+        """
+    )
+    return (
+        d.withColumn("_arr", arr)
+        .withColumn("med2_cents", med2)
+        .select("event_type", "day", "med2_cents")
+    )
+
+
+# ------------------------------------------------- value RANGE frame
+
+
+@register(
+    "win_range_value_frame",
+    oracle="""
+        WITH o AS (SELECT o_orderkey, o_orderpriority,
+                          CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS price_cents
+                   FROM orders)
+        SELECT o_orderkey, o_orderpriority, price_cents,
+               COUNT(*) OVER w AS band_n,
+               CAST(SUM(price_cents) OVER w AS BIGINT) AS band_sum_cents
+        FROM o
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_cents
+                     RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+    """,
+)
+def win_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame (not time): for every order, the count
+    and cents-sum of same-priority orders priced within ±$10,000 —
+    a density/peer-band metric expressed as one window instead of a
+    quadratic band self-join. RANGE frames are defined on the ORDER BY
+    *value*, so tied prices land in each other's frames regardless of
+    row order — deterministic where a ROWS frame would not be.
+
+    Scale: one shuffle on the partition key + a per-partition sort;
+    the frame is resolved by two binary searches per row over the
+    sorted run (Spark keeps a sliding lower/upper bound — O(n log n)
+    total), vs O(n²) for the equivalent band self-join."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents("o_totalprice").alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_cents")
+        .rangeBetween(-1_000_000, 1_000_000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "price_cents",
+        F.count("*").over(w).alias("band_n"),
+        F.sum("price_cents").over(w).alias("band_sum_cents"),
+    )
+
+
+# ------------------------------------------------- weekly resample
+
+
+@register(
+    "ts_resample_weekly",
+    oracle="""
+        WITH wk AS (
+            SELECT event_type,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS wk_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type, week)
+        SELECT event_type, week, wk_cents, n_events,
+               COALESCE(lag(wk_cents) OVER (PARTITION BY event_type
+                                            ORDER BY week), 0) AS prev_cents,
+               wk_cents - COALESCE(lag(wk_cents) OVER (
+                   PARTITION BY event_type ORDER BY week), wk_cents)
+                 AS delta_cents
+        FROM wk
+    """,
+)
+def ts_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log → ISO-week resample (both engines truncate weeks to
+    Monday) with week-over-week deltas. The first week's delta is
+    pinned to 0 via COALESCE(lag, current) — an engine-agnostic
+    sentinel instead of a NULL whose hash treatment could differ.
+
+    Scale: the resample is one hash aggregate (map-side partials make
+    the shuffle carry week-level rows only); the lag window then runs
+    over ~52 rows/type/year — trivially small, whatever the raw
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(
+        F.sum(cents("value")).alias("wk_cents"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("wk_cents").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "wk_cents",
+        "n_events",
+        F.coalesce(prev, F.lit(0)).alias("prev_cents"),
+        (F.col("wk_cents") - F.coalesce(prev, F.col("wk_cents"))).alias(
+            "delta_cents"
+        ),
+    )
+
+
+# ------------------------------------------------- Zipf exponent
+
+
+@register(
+    "text_zipf_exponent",
+    oracle="""
+        WITH f AS (
+            SELECT lang, w, COUNT(*) AS f
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY lang, w),
+        r AS (
+            SELECT lang,
+                   CAST(round(ln(CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY f DESC, w ASC)
+                     AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(f AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY f DESC, w ASC) AS rk
+            FROM f),
+        m AS (
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM r WHERE rk <= 100 GROUP BY lang)
+        SELECT lang, n AS n_terms,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        FROM m
+    """,
+)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per language: least-squares slope of
+    ln(frequency) against ln(rank) over each language's top-100 words —
+    the standard sanity check that a text corpus is natural language
+    (slope ≈ −1) rather than boilerplate or spam. Log terms are
+    quantized to int64 micro-units before the moment sums, so the
+    regression inputs are exact integers and the closed-form slope is a
+    single deterministic double division (same stabilization as
+    `agg_trend_slope`, extended to log-log space).
+
+    Scale: word counting is the dominant cost (explode + hash agg —
+    identical shape to `text_tokenize_wordcount`); ranking windows run
+    over vocabulary-sized tables, and the regression reduces 100
+    rows/lang. Overflow: x,y ≤ ln(1e9)·1e6 ≈ 2·10⁷ → Σx·y over 100
+    terms ≤ 4·10¹⁶, int64-safe with 200× margin."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select("lang", F.explode(D.tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("f").desc(), F.col("w").asc())
+    r = f.select(
+        "lang",
+        F.row_number().over(wr).alias("rk"),
+        F.col("f"),
+    ).filter(F.col("rk") <= 100)
+    x = F.round(F.log(F.col("rk").cast("double")) * 1e6, 0).cast("long")
+    y = F.round(F.log(F.col("f").cast("double")) * 1e6, 0).cast("long")
+    m = r.select("lang", x.alias("x"), y.alias("y")).groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "lang",
+        F.col("n").alias("n_terms"),
+        F.round(num / den, 4).alias("zipf_slope"),
+    )

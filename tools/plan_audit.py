@@ -36,6 +36,7 @@ ALLOWED = {
     "sim_knn_join": "broadcast probe BNLJ: probe side is a 5-row batch",
     "sim_topk_probe": "probe vector broadcast, corpus never moves",
     "agg_funnel_steps": "three 1-row aggregates crossed together",
+    "graph_triangle_count": "two 1-row count aggregates crossed for the summary row",
     "udf_scalar_py": "the documented row-wise UDF escape hatch",
     "udtf_lateral_split": "the documented Python table-function escape hatch",
     "agg_variance_exact": "single-row moment tables crossed",
