@@ -21,29 +21,33 @@ from pyspark.sql import types as T
 
 from mediaplaycounts_spark.session import configure
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet (bounded replay source)."""
+    """Streaming scan of the events parquet (bounded replay source).
+
+    Layout detection mirrors the batch loader (tables.load_table): the
+    testdata has shipped ``ts`` both as TIMESTAMP(NANOS)-read-as-long and
+    as native ``timestamp[us]``. One batch read of the parquet footer
+    decides which conversion applies, so batch and stream can never
+    disagree about the timeline (tests/test_streaming.py parity guard).
+    """
     configure(spark)
+    base = sf_dir.rstrip("/")
+    # One-off footer read — schema only, no data scan.
+    batch_schema = spark.read.parquet(f"{base}/events.parquet").schema
     # The streaming parquet source requires a directory path; point it
     # at sf_dir and glob-filter down to the events file.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
+        .parquet(base)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        # Legacy layout: TIMESTAMP(NANOS) surfaced as long nanos.
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Native timestamp[us] (NTZ in the footer): present as TimestampType —
+    # watermarks need an instant type; the session is pinned UTC so values
+    # equal the batch/oracle NTZ view.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:

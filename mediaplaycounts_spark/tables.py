@@ -83,7 +83,7 @@ def events_between(
         ).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
-    else:  # pragma: no cover - future-proof for µs-native files
+    else:  # µs-native files (driver layout since r1 regen)
         raw = raw.filter(
             (F.col("ts") >= F.lit(start_day).cast("timestamp_ntz"))
             & (F.col("ts") < F.lit(end_day_exclusive).cast("timestamp_ntz"))

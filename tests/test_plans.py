@@ -85,20 +85,45 @@ def test_filter_predicate_fully_pushed(spark, queries):
     assert "GreaterThanOrEqual(l_shipdate" in plan
 
 
-def test_events_range_prunes_on_raw_nanos(spark):
-    """The ts range predicate must hit PushedFilters as raw INT64 nanos;
-    filtering after timestamp_micros(ts div 1000) would scan everything
+def test_events_range_prunes_native_us(spark):
+    """µs-native events files (the driver's current layout): the ts range
+    must reach PushedFilters as timestamp bounds, not a post-scan Filter
     (SURVEY.md §7 watch-list item 0)."""
     from mediaplaycounts_spark.tables import events_between
 
     plan = plan_of(events_between(spark, SF_SMOKE, "2024-01-10", "2024-01-12"))
-    # Nanos files push the raw INT64 bound; µs-native files (the driver
-    # regenerated testdata as timestamp[us]) push a timestamp bound.
-    # Either way the range must reach PushedFilters, not a post-scan Filter.
     assert re.search(
-        r"PushedFilters: \[.*GreaterThanOrEqual\(ts,(17\d+|2024-01-10)", plan
+        r"PushedFilters: \[.*GreaterThanOrEqual\(ts,2024-01-10", plan
     )
-    assert re.search(r"LessThan\(ts,(17\d+|2024-01-12)", plan)
+    assert re.search(r"PushedFilters: \[.*LessThan\(ts,2024-01-12", plan)
+
+
+def test_events_range_prunes_on_raw_nanos(spark, tmp_path):
+    """Legacy TIMESTAMP(NANOS)-as-long layout: the ts range predicate must
+    hit PushedFilters as raw INT64 nanos; filtering after
+    timestamp_micros(ts div 1000) would scan everything. The driver
+    regenerated testdata as µs-native, so this branch gets its own tiny
+    bigint-ts fixture to stay covered (ADVICE r1)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.tables import events_between
+
+    t0 = int(
+        dt.datetime(2024, 1, 9, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000_000
+    rows = [(i, t0 + i * 3_600 * 1_000_000_000) for i in range(96)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_between(spark, str(tmp_path), "2024-01-10", "2024-01-12")
+    plan = plan_of(out)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(ts,17\d+", plan)
+    assert re.search(r"PushedFilters: \[.*LessThan\(ts,17\d+", plan)
+    # And the conversion is value-correct: 48 hourly rows in [10th, 12th).
+    assert out.count() == 48
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
 
 
 # ------------------------------------------------------------- joins
