@@ -62,29 +62,106 @@ IMAGE_FEATURE_SCHEMA = (
     "doc_id bigint, width int, height int, n_channels int, feature array<float>"
 )
 
+#: Output contract of the REAL decode path (all BIGINT for oracle parity).
+IMAGE_DECODE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_channels bigint, "
+    "n_px_bytes bigint, r_sum bigint, g_sum bigint, b_sum bigint"
+)
+
+
+def synth_ppm_bytes(doc_id: int) -> bytes:
+    """Deterministic P6 PPM payload for ``doc_id`` (uncompressed RGB).
+
+    Dimensions and pixel values are closed-form functions of doc_id so a
+    SQL oracle can recompute the decoder's outputs without decoding:
+    width = 8 + id%9, height = 8 + (id//9)%9, pixel[i] = (id*7+i*13)%256.
+    """
+    import numpy as np
+
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id // 9) % 9
+    i = np.arange(w * h * 3, dtype=np.int64)
+    px = ((doc_id * 7 + i * 13) % 256).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
 
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """STUB — image decode requires PIL/opencv, absent in this container.
+    """REAL image decode: binary P6 PPM -> dims + per-channel pixel sums.
 
-    The production kernel decodes each payload to HxWxC uint8 and
-    computes a feature vector; the Spark-side contract (schema,
-    batching, partitioning) is what the engine defines and tests.
+    Pure stdlib + numpy (no PIL/opencv in this container, so the fixture
+    format is uncompressed PPM — the header grammar, including ``#``
+    comments and arbitrary whitespace, is parsed for real, and pixels go
+    through ``np.frombuffer``/reshape exactly as a JPEG kernel's output
+    would). Swapping in a compressed codec changes only this function.
     """
-    raise NotImplementedError(
-        "image decode requires an image library (PIL/opencv) not present "
-        "in this environment; see extract_binary_meta for the implemented "
-        "Arrow-batched template"
-    )
+    import numpy as np
+
+    rows = []
+    for raw in payloads:
+        b = bytes(raw)
+        if not b.startswith(b"P6"):
+            raise ValueError("not a binary PPM (P6) payload")
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # header comment runs to EOL
+                pos = b.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1  # exactly one whitespace byte separates header from raster
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+        n = w * h * 3
+        if len(b) - pos < n:
+            raise ValueError("truncated PPM raster")
+        px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        rows.append(
+            {
+                "width": w,
+                "height": h,
+                "n_channels": 3,
+                "n_px_bytes": n,
+                "r_sum": int(sums[0]),
+                "g_sum": int(sums[1]),
+                "b_sum": int(sums[2]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def with_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic PPM payload as an opaque binary column."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "payload": [synth_ppm_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(enc, f"{id_col} bigint, payload binary")
 
 
 def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas plumbing for the stubbed image kernel (schema-typed)."""
+    """Arrow-batched decode + channel-statistics extraction (real kernel)."""
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield decode_image_batch(pdf["payload"]).assign(doc_id=pdf[id_col])
+            out = decode_image_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
+            yield out
 
-    return df.select(id_col, "payload").mapInPandas(feature_batches, IMAGE_FEATURE_SCHEMA)
+    return df.select(id_col, "payload").mapInPandas(
+        feature_batches, IMAGE_DECODE_SCHEMA
+    )
 
 
 FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string"

@@ -377,14 +377,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(docs, "doc_id", "text", frame_chars=64, stride=2)
 
 
-@register("multimodal_image_features", oracle=None)
+@register(
+    "multimodal_image_features",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 9) % 9 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, w * h * 3 - 1)) AS i
+            FROM dims
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS n_channels,
+               CAST(COUNT(*) AS BIGINT) AS n_px_bytes,
+               CAST(SUM(CASE WHEN i % 3 = 0
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS r_sum,
+               CAST(SUM(CASE WHEN i % 3 = 1
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS g_sum,
+               CAST(SUM(CASE WHEN i % 3 = 2
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS b_sum
+        FROM px GROUP BY doc_id, w, h
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic-fake image decode + 16-bin byte-histogram features
-    (rows-only: the fake decode has no ANSI twin; determinism is pinned
-    by tests). The complete decode->feature pipeline the real image
-    kernel drops into."""
+    """REAL image decode over opaque binary payloads: deterministic P6
+    PPM images (header + raw RGB raster) are attached per doc, then a
+    pure numpy mapInPandas kernel parses the header and computes dims +
+    per-channel pixel sums. Fully value-oracled: payload dims and pixel
+    values are closed-form in doc_id, so DuckDB recomputes the decoder's
+    outputs from first principles (encode->decode roundtrip is the
+    assertion). Swap the PPM parse for a JPEG codec and the plumbing —
+    schema, Arrow batching, partition preservation — is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.fake_image_features(M.with_binary_payload(docs), "doc_id")
+    return M.extract_image_features(M.with_ppm_payload(docs, "doc_id"), "doc_id")
 
 
 @register(

@@ -112,11 +112,39 @@ def test_multimodal_binary_meta(spark):
     assert row["content_md5"] == hashlib.md5(b"hello").hexdigest()
 
 
-def test_image_decode_is_stubbed(spark):
+def test_image_decode_roundtrip_handwritten_ppm(spark):
+    """Real decoder: hand-written 2x1 P6 PPM (with a header comment)
+    decodes to the exact dims and channel sums; junk raises."""
     import pandas as pd
 
-    with pytest.raises(NotImplementedError):
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    row = M.decode_image_batch(pd.Series([ppm])).iloc[0]
+    assert (row.width, row.height, row.n_channels) == (2, 1, 3)
+    assert (row.r_sum, row.g_sum, row.b_sum) == (50, 70, 90)
+    assert row.n_px_bytes == 6
+    with pytest.raises(ValueError):
         M.decode_image_batch(pd.Series([b"xx"]))
+    with pytest.raises(ValueError):  # truncated raster
+        M.decode_image_batch(pd.Series([b"P6\n2 1\n255\n\x00"]))
+
+
+def test_image_synth_decode_matches_closed_form(spark):
+    """Encoder->decoder roundtrip agrees with the closed-form oracle
+    arithmetic for a couple of doc_ids."""
+    import pandas as pd
+
+    for doc_id in (0, 123):
+        w, h = 8 + doc_id % 9, 8 + (doc_id // 9) % 9
+        row = M.decode_image_batch(
+            pd.Series([M.synth_ppm_bytes(doc_id)])
+        ).iloc[0]
+        assert (row.width, row.height) == (w, h)
+        want = {0: 0, 1: 0, 2: 0}
+        for i in range(w * h * 3):
+            want[i % 3] += (doc_id * 7 + i * 13) % 256
+        assert (row.r_sum, row.g_sum, row.b_sum) == (
+            want[0], want[1], want[2],
+        )
 
 
 def test_approx_distinct_within_rsd_of_exact(spark):
