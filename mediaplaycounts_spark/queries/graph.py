@@ -83,26 +83,37 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("dst"),
         )
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("d"))
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    # Materialize the edge list ONCE, src-partitioned, and truncate its
+    # lineage (r2 fix for the r1 bench regression): without this, every
+    # iteration's join re-executes the orders x lineitem distinct. The
+    # same localCheckpoint pattern bounds plan growth in dedup_clusters.
+    # Degrees are folded into the rank table BEFORE the edge join, so
+    # each iteration touches the (large) edge list exactly once —
+    # contribution c = r div deg is per-node, cheaper to compute on the
+    # node table than after fanning out to edges.
+    e = e.repartition("src").localCheckpoint()
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    # Deliberately NOT broadcasting ranks/deg: a broadcast exchange
+    # re-executes rank lineage per join (measured 3.3x slower at sf0.1);
+    # shuffle joins reuse the src-keyed exchange of `e` across rounds.
+    contrib = deg.select(
+        F.col("src").alias("node"),
+        F.expr("cast(1000000 div d as bigint)").alias("c"),
     )
-    # Deliberately NOT broadcasting ranks/deg: each iteration's rank
-    # table nests the whole prior lineage, and a broadcast exchange
-    # would re-execute that lineage per join (measured 3.3x slower at
-    # sf0.1). Shuffle joins let Catalyst reuse the src-keyed exchange
-    # of `e` across all three iterations instead.
-    for _ in range(_N_ITERS):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .join(deg, "src")
+    for it in range(_N_ITERS):
+        summed = (
+            e.join(contrib, e.src == contrib.node)
             .groupBy("dst")
-            .agg(F.sum(F.expr("r div d")).alias("s"))
+            .agg(F.sum("c").alias("s"))
         )
-        ranks = contrib.select(
+        ranks = summed.select(
             F.col("dst").alias("node"),
             F.expr("cast(150000 + (850 * s) div 1000 as bigint)").alias("r"),
         )
+        if it < _N_ITERS - 1:  # final round needs no contribution table
+            contrib = ranks.join(deg, ranks.node == deg.src).select(
+                "node", F.expr("cast(r div d as bigint)").alias("c")
+            )
     return ranks.select(
         F.col("node").alias("node_id"),
         (F.col("node") % 2).cast("long").alias("is_supplier"),
