@@ -138,12 +138,38 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)
+def _bound_vs_exact_distinct(result_col: str):
+    """Bound factory: per-type estimate within 5x the configured rsd
+    (rsd=0.01 -> 5%) of the exact distinct-user count, every group."""
+
+    def bound(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
+        exact = {
+            r.event_type: r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        got = {r["event_type"]: r[result_col] for r in result.collect()}
+        assert set(got) == set(exact), (sorted(got), sorted(exact))
+        for t, n in exact.items():
+            assert abs(got[t] - n) <= max(1, 0.05 * n), (t, got[t], n)
+        return f"estimate within 5% of exact distinct for all {len(exact)} groups"
+
+    return bound
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,
+    bound=_bound_vs_exact_distinct("n_users_approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct per type — the 100 TB substitute for exact distinct.
 
-    rsd=0.01; rows-only check (approximation is engine-specific, so no
-    value oracle; row count per group is stable).
+    rsd=0.01; no ANSI value oracle (approximation is engine-specific) —
+    the registered bound asserts each estimate within 5% of the exact
+    distinct count instead.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -152,7 +178,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_merge", oracle=None)
+@register(
+    "agg_hll_sketch_merge",
+    oracle=None,
+    bound=_bound_vs_exact_distinct("n_users_est"),
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct counting via MERGEABLE HLL sketches — the
     100 TB pattern `agg_approx_distinct` hides inside one expression,

@@ -188,12 +188,48 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_by_hash(docs, "doc_id", "text")
 
 
-@register("dedup_near_minhash", oracle=None)
+def _exact_allpairs_jaccard(spark: SparkSession, sf_dir: str, threshold: float):
+    """Corpus-wide exact 2-gram Jaccard pairs (constant block — O(n²),
+    bound-check-at-small-SF only)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("one", F.lit(1))
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "one", n=2, threshold=threshold
+    )
+
+
+def _bound_minhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
+    """Recall floor vs exact ground truth: with 8 bands x 2 rows the
+    S-curve gives P(candidate) ≥ 1-(1-0.09)^8 ≈ 0.53 at J=0.3 and ≈1
+    above 0.5; measured recall@J≥0.3 is 1.0 at sf0.01. Assert ≥ 0.9
+    (evidence-based, far above the theoretical floor would be flaky the
+    other way). Precision is 1.0 BY CONSTRUCTION (exact-Jaccard verify
+    stage) — asserted too: every reported pair must appear in the exact
+    pair set at the same threshold."""
+    got = {(r.id_a, r.id_b) for r in result.collect()}
+    exact_low = {
+        (r.id_a, r.id_b)
+        for r in _exact_allpairs_jaccard(spark, sf_dir, 0.05).collect()
+    }
+    assert got <= exact_low, f"false positives: {sorted(got - exact_low)[:5]}"
+    exact_hi = {
+        (r.id_a, r.id_b)
+        for r in _exact_allpairs_jaccard(spark, sf_dir, 0.3).collect()
+    }
+    hit = len(exact_hi & got)
+    assert hit >= 0.9 * len(exact_hi), (hit, len(exact_hi))
+    return (
+        f"precision 1.0 ({len(got)} pairs all exact-verified); "
+        f"recall@J>=0.3 {hit}/{len(exact_hi)}"
+    )
+
+
+@register("dedup_near_minhash", oracle=None, bound=_bound_minhash)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates -> exact-Jaccard-verified near-dup pairs.
 
-    rows-only: the band-collision candidate set is hash-family-specific
-    (no ANSI twin); the jaccard column itself is exact integer math.
+    No ANSI twin (the band-collision candidate set is hash-family-
+    specific); the registered bound asserts precision 1.0 vs the exact
+    all-pairs Jaccard set and recall ≥ 0.9 on pairs with J ≥ 0.3.
     """
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
@@ -225,10 +261,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=2, threshold=0.05)
 
 
-@register("dedup_simhash", oracle=None)
+def _bound_simhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
+    """Separation margin: fingerprints of exactly-near documents (exact
+    2-gram Jaccard ≥ 0.5) must be close in Hamming space while random
+    pairs sit near 32/2 bits apart. Measured at sf0.01: near mean 2.7 /
+    max 5, random mean 18.4 — asserted with generous slack (near mean
+    ≤ 8, near max ≤ 16, random mean ≥ 12)."""
+    import random
+    import statistics
+
+    fps = {r.doc_id: r.fingerprint for r in result.collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [
+        (r.id_a, r.id_b)
+        for r in _exact_allpairs_jaccard(spark, sf_dir, 0.5).collect()
+    ]
+    assert near, "no near pairs in corpus — bound is vacuous"
+    nh = [ham(fps[a], fps[b]) for a, b in near]
+    rng = random.Random(7)
+    ids = sorted(fps)
+    rh = [
+        ham(fps[a], fps[b])
+        for a, b in ((rng.choice(ids), rng.choice(ids)) for _ in range(2000))
+        if a != b
+    ]
+    near_mean, rand_mean = statistics.mean(nh), statistics.mean(rh)
+    assert near_mean <= 8 and max(nh) <= 16, (near_mean, max(nh))
+    assert rand_mean >= 12, rand_mean
+    return (
+        f"hamming separation: near(J>=0.5) mean {near_mean:.1f} max {max(nh)} "
+        f"vs random mean {rand_mean:.1f} over {len(near)} near pairs"
+    )
+
+
+@register("dedup_simhash", oracle=None, bound=_bound_simhash)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit frequency-weighted SimHash fingerprints (rows-only: no
-    xxhash64 twin exists in ANSI SQL)."""
+    """64-bit frequency-weighted SimHash fingerprints (no xxhash64 twin
+    exists in ANSI SQL; the registered bound asserts Hamming-space
+    separation of near vs random document pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_fingerprints(docs, "doc_id", "text")
 
@@ -299,10 +372,55 @@ def sim_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_bruteforce(em, "vec_id", "embedding", probe, k=20)
 
 
-@register("sim_ann_lsh", oracle=None)
+def _numpy_probe_cosines(spark: SparkSession, sf_dir: str) -> dict[int, float]:
+    """Independent ground truth: cosine of every vector vs probe vec 0,
+    recomputed driver-side in numpy float64 (bound-scale corpora only)."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = em.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    p = vecs[0]
+    pn = np.linalg.norm(p)
+    return {
+        i: float(v @ p / (np.linalg.norm(v) * pn)) for i, v in vecs.items()
+    }
+
+
+def _bound_ann(min_overlap: int, k: int = 20):
+    """Bound factory for ANN top-k keys: (1) returned cos_sim values
+    match an independent numpy recompute within 1e-5 (the re-rank math
+    is right); (2) the probe reports itself at cos 1.0; (3) at least
+    ``min_overlap`` of the exact top-k appear (pruning keeps real
+    neighbors, not arbitrary rows)."""
+
+    def bound(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
+        truth = _numpy_probe_cosines(spark, sf_dir)
+        got = [(r.vec_id, r.cos_sim) for r in result.collect()]
+        for vid, cs in got:
+            assert abs(cs - truth[vid]) <= 1e-5, (vid, cs, truth[vid])
+        assert got and got[0][0] == 0 and abs(got[0][1] - 1.0) <= 1e-9, got[:1]
+        sims = [cs for _, cs in got]
+        assert sims == sorted(sims, reverse=True), "not sorted by cos_sim"
+        exact_topk = {
+            i for i, _ in sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:k]
+        }
+        overlap = len(exact_topk & {vid for vid, _ in got})
+        assert overlap >= min_overlap, (overlap, min_overlap)
+        return (
+            f"cosines numpy-exact to 1e-5; probe self-match 1.0; "
+            f"{overlap}/{k} of exact top-{k} retrieved (floor {min_overlap})"
+        )
+
+    return bound
+
+
+@register("sim_ann_lsh", oracle=None, bound=_bound_ann(min_overlap=2))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (rows-only: bucket membership is
-    hash-family-specific). The 100 TB scale path for sim_topk_probe."""
+    """LSH-bucketed ANN top-k (no ANSI twin: bucket membership is
+    hash-family-specific). The 100 TB scale path for sim_topk_probe.
+    The registered bound numpy-verifies every returned cosine, the
+    probe self-match, and a retrieval floor vs the exact top-20."""
     em = load_table(spark, sf_dir, "embeddings")
     probe = S.probe_vector(em, "vec_id", "embedding", 0)
     return S.topk_lsh(em, "vec_id", "embedding", probe, k=20, num_planes=8)
@@ -467,7 +585,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
-@register("sim_ann_ivf", oracle=None)
+@register("sim_ann_ivf", oracle=None, bound=_bound_ann(min_overlap=14))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN top-k (rows-only: cell membership is quantizer-specific).
 

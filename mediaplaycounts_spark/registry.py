@@ -26,6 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Quantitative bound check for oracle-less keys: given (spark, sf_dir,
+#: result_df), raise AssertionError on violation, else return a short
+#: human-readable statement of what was asserted.
+BoundFn = Callable[[SparkSession, str, DataFrame], str]
+
 _REGISTRY: dict[str, "Query"] = {}
 
 
@@ -34,20 +39,31 @@ class Query:
     key: str
     fn: QueryFn
     oracle: str | None = None
+    bound: BoundFn | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
-def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    key: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bound: BoundFn | None = None,
+):
     """Decorator: register a graded query under ``key``.
 
-    ``oracle=None`` marks a genuinely non-SQL-expressible operator
-    (driver falls back to a rows-only check).
+    ``oracle=None`` marks a genuinely non-SQL-expressible operator (the
+    driver falls back to a rows-only check); such keys should supply a
+    ``bound`` — a quantitative assertion (error tolerance, recall floor,
+    separation margin) that tools/check_correctness.py runs in place of
+    the value oracle, so "no ANSI twin" never means "unchecked".
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in _REGISTRY:
             raise ValueError(f"duplicate query key: {key}")
-        _REGISTRY[key] = Query(key=key, fn=fn, oracle=oracle, tags=tuple(tags))
+        _REGISTRY[key] = Query(
+            key=key, fn=fn, oracle=oracle, bound=bound, tags=tuple(tags)
+        )
         return fn
 
     return deco

@@ -114,7 +114,7 @@ def main() -> int:
     spark = get_spark("check-correctness")
     con = duck_con(args.sf)
 
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_bound = 0
     for k in keys:
         if k not in qs:
             print(f"  {k}: UNKNOWN KEY")
@@ -128,7 +128,22 @@ def main() -> int:
             n_fail += 1
             continue
         if k not in oracles:
-            ok = len(sdf) >= 0
+            from mediaplaycounts_spark import registry
+
+            bound = registry.get(k).bound
+            if bound is not None:
+                try:
+                    msg = bound(spark, args.sf, qs[k](spark, args.sf))
+                except AssertionError as ex:
+                    print(f"✗ {k}: BOUND VIOLATED {str(ex)[:300]}")
+                    n_fail += 1
+                    continue
+                print(
+                    f"✓ {k}: bound-pass — {msg} "
+                    f"({len(sdf)} rows, {time.time()-t0:.1f}s)"
+                )
+                n_bound += 1
+                continue
             print(f"~ {k}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
@@ -143,7 +158,10 @@ def main() -> int:
         print(f"{mark} {k}: {msg} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
         n_pass += ok
         n_fail += not ok
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    print(
+        f"\n{n_pass} pass, {n_bound} bound-pass, {n_fail} fail, "
+        f"{n_rows_only} rows-only"
+    )
     return 1 if n_fail else 0
 
 
