@@ -11,8 +11,12 @@ the patterns that do not survive a 100x scale-up:
   for the explicitly-registered escape hatches (`udf_scalar_py`,
   `udtf_lateral_split`); Arrow paths (ArrowEvalPython / mapInPandas /
   FlatMapGroupsInPandas) are fine.
-- Exchange count — informational; flags queries whose shuffle count
-  jumped since the last audit.
+- Exchange count — ENFORCED (r2): every key has a declared
+  ``max_shuffles`` ceiling (MAX_SHUFFLES below; default 0 for keys not
+  listed). A future edit that introduces an avoidable Exchange exceeds
+  its ceiling and the audit exits nonzero. A key with shuffles but no
+  declared ceiling is also flagged — adding an operator means declaring
+  its expected shuffle budget.
 
 Usage:
     python tools/plan_audit.py [--sf /root/testdata/sf0.001] > PLAN_AUDIT.md
@@ -47,6 +51,119 @@ ALLOWED = {
 }
 
 
+#: Declared shuffle-count ceilings (r1 audited plans). Keys absent
+#: here must produce ZERO shuffles. Raising a ceiling is a reviewed
+#: act: justify the extra Exchange in the commit that does it.
+MAX_SHUFFLES = {
+    "agg_anomaly_flag": 3,
+    "agg_approx_distinct": 1,
+    "agg_argmax_daily": 2,
+    "agg_attribution_last_touch": 1,
+    "agg_bitwise_bool": 1,
+    "agg_collect_list": 1,
+    "agg_corr_exact": 1,
+    "agg_count_if_filtered": 1,
+    "agg_cube": 1,
+    "agg_daily_playcount": 1,
+    "agg_date_range_total": 1,
+    "agg_distinct_count": 2,
+    "agg_embedding_centroid": 1,
+    "agg_entropy_shannon": 2,
+    "agg_funnel_steps": 5,
+    "agg_gini_concentration": 2,
+    "agg_grouping_sets": 1,
+    "agg_heavy_hitters": 2,
+    "agg_histogram_value": 1,
+    "agg_hll_sketch_merge": 2,
+    "agg_incremental_daily_merge": 1,
+    "agg_kurtosis_exact": 1,
+    "agg_listagg": 2,
+    "agg_mode_exact": 2,
+    "agg_multi": 1,
+    "agg_multi_distinct": 2,
+    "agg_peak_concurrency": 1,
+    "agg_percentile": 1,
+    "agg_pivot": 2,
+    "agg_retention_cohorts": 3,
+    "agg_rollup": 1,
+    "agg_skewness_exact": 1,
+    "agg_trend_slope": 2,
+    "agg_variance_exact": 1,
+    "array_exists_forall": 1,
+    "dedup_embedding_cosine": 2,
+    "dedup_exact": 1,
+    "dedup_exact_hash": 1,
+    "dedup_near_minhash": 1,
+    "dedup_ngram_jaccard": 1,
+    "dedup_paragraphs": 3,
+    "dedup_simhash": 1,
+    "dedup_url_canonical": 1,
+    "filter_quality_rank": 1,
+    "graph_pagerank_int": 9,
+    "graph_triangle_count": 15,
+    "join_asof": 1,
+    "join_asof_tolerance": 1,
+    "join_cross_small": 1,
+    "join_dpp_partition_pruned": 1,
+    "join_lateral_topn": 1,
+    "join_left_outer_datespine": 1,
+    "join_null_safe": 1,
+    "join_range_bucketized": 1,
+    "join_range_interval": 1,
+    "join_skew_salted": 1,
+    "json_variant_extract": 1,
+    "reshape_unpivot": 2,
+    "sample_k_per_group": 1,
+    "scan_jdbc": 1,
+    "scan_orc": 1,
+    "scan_python_datasource": 1,
+    "scan_schema_evolution": 1,
+    "scan_tsv_log": 1,
+    "scan_xml": 1,
+    "setop_except": 1,
+    "setop_intersect": 1,
+    "setop_union_distinct": 1,
+    "sim_cosine_pairs": 1,
+    "sim_knn_join": 1,
+    "sim_mmr_diversify": 1,
+    "sink_compact_small_files": 1,
+    "sort_zorder_cluster": 1,
+    "sql_pipe_syntax": 1,
+    "sql_recursive_cte": 1,
+    "sql_subquery_decorrelate": 1,
+    "stream_dedup_stateful": 2,
+    "stream_foreachbatch_jdbc": 1,
+    "stream_session_window": 1,
+    "stream_sliding_counts": 1,
+    "stream_stateful_running_totals": 1,
+    "stream_tumbling_counts": 1,
+    "string_collation_group": 1,
+    "text_contamination_overlap": 2,
+    "text_lang_filter_stats": 1,
+    "text_ngram_counts": 2,
+    "text_rarity_score": 4,
+    "text_tfidf_topterms": 5,
+    "text_tokenize_wordcount": 1,
+    "text_zipf_exponent": 2,
+    "ts_ewma_int": 2,
+    "ts_gapfill_interpolate": 2,
+    "ts_ohlc_bars": 1,
+    "ts_resample_weekly": 2,
+    "udaf_pandas_grouped": 1,
+    "udtf_grouped_map": 1,
+    "win_cumulative": 2,
+    "win_first_last": 1,
+    "win_lag_delta": 2,
+    "win_range_value_frame": 1,
+    "win_rank_dense": 1,
+    "win_rolling_30d": 2,
+    "win_rolling_distinct": 4,
+    "win_rolling_median": 2,
+    "win_streak_runs": 2,
+    "win_topk_per_group": 2,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -62,8 +179,11 @@ def main() -> None:
     print()
     print(f"Audited at `{args.sf}`; regenerate with `python tools/plan_audit.py`.")
     print()
-    print("| key | shuffles | quadratic join | row-wise Python | verdict |")
-    print("| --- | --- | --- | --- | --- |")
+    print(
+        "| key | shuffles | max_shuffles | quadratic join "
+        "| row-wise Python | verdict |"
+    )
+    print("| --- | --- | --- | --- | --- | --- |")
     flagged = 0
     for key in sorted(qs):
         try:
@@ -73,20 +193,29 @@ def main() -> None:
                 df.explain("formatted")
             plan = buf.getvalue()
         except Exception as exc:  # streaming-only or env-gated keys
-            print(f"| `{key}` | - | - | - | not explainable: {type(exc).__name__} |")
+            print(
+                f"| `{key}` | - | - | - | - | "
+                f"not explainable: {type(exc).__name__} |"
+            )
             continue
         shuffles = len(re.findall(r"Arguments: (?:hash|range)partitioning", plan))
         quad = bool(re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan))
         pyrow = "BatchEvalPython" in plan
+        ceiling = MAX_SHUFFLES.get(key, 0)
+        problems = []
         if (quad or pyrow) and key not in ALLOWED:
-            verdict = "**FLAG**"
+            problems.append("quadratic/py-row node")
+        if shuffles > ceiling:
+            problems.append(f"shuffles {shuffles} > ceiling {ceiling}")
+        if problems:
+            verdict = f"**FLAG** — {'; '.join(problems)}"
             flagged += 1
         elif quad or pyrow:
             verdict = f"ok — {ALLOWED[key]}"
         else:
             verdict = "ok"
         print(
-            f"| `{key}` | {shuffles} | {'yes' if quad else '-'} |"
+            f"| `{key}` | {shuffles} | {ceiling} | {'yes' if quad else '-'} |"
             f" {'yes' if pyrow else '-'} | {verdict} |"
         )
     print()
