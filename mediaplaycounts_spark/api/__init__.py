@@ -8,6 +8,7 @@ fact DataFrame so a reference user can switch engines and keep their
 call sites.
 """
 
+from mediaplaycounts_spark.api.http import create_app, serve  # noqa: F401
 from mediaplaycounts_spark.api.playcounts import (  # noqa: F401
     category_date_range,
     category_last_n,

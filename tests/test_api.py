@@ -68,3 +68,77 @@ def test_out_of_range_all_zeros(spark, playcounts_fixture):
     )
     assert out["total"] == 0
     assert [c for _, c in out["counts"]] == [0, 0, 0]
+
+
+# ------------------------------------------------------ HTTP routes
+
+
+def _call(app, path):
+    """Invoke the WSGI callable in-process; return (status, json body)."""
+    import json
+
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(app({"PATH_INFO": path, "REQUEST_METHOD": "GET"}, start_response))
+    assert captured["headers"]["Content-Type"] == "application/json"
+    return captured["status"], json.loads(body)
+
+
+def test_http_file_date_range_route(spark, playcounts_fixture, members_fixture):
+    from mediaplaycounts_spark.api import create_app
+
+    app = create_app(playcounts_fixture, members_fixture, today="2024-02-10")
+    status, out = _call(
+        app, "/api/1/FilePlaycount/date_range/Steady_file.ogv/2024-01-11/2024-01-20"
+    )
+    assert status == "200 OK"
+    assert out["total"] == sum(range(10, 20))
+    assert out["counts"][0] == ["2024-01-11", 10]
+    # compact YYYYMMDD dates accepted too
+    status2, out2 = _call(
+        app, "/api/1/FilePlaycount/date_range/Steady_file.ogv/20240111/20240120"
+    )
+    assert status2 == "200 OK" and out2 == out
+
+
+def test_http_file_last_30_route(spark, playcounts_fixture, members_fixture):
+    from mediaplaycounts_spark.api import create_app
+
+    app = create_app(playcounts_fixture, members_fixture, today="2024-02-10")
+    status, out = _call(app, "/api/1/FilePlaycount/last_30/Steady file.ogv")
+    assert status == "200 OK"
+    assert out["total"] == sum(range(10, 40))
+    assert len(out["counts"]) == 30
+
+
+def test_http_category_routes(spark, playcounts_fixture, members_fixture):
+    from mediaplaycounts_spark.api import create_app
+
+    app = create_app(playcounts_fixture, members_fixture, today="2024-02-10")
+    status, out = _call(
+        app, "/api/1/CategoryPlaycount/date_range/Cat_A/2024-01-01/2024-01-03"
+    )
+    assert status == "200 OK"
+    assert out["total"] == 5  # Steady 0+1+2, gappy _+1+1
+    status, out = _call(app, "/api/1/CategoryPlaycount/last_90/Cat B")
+    assert status == "200 OK"
+    assert len(out["counts"]) == 90
+
+
+def test_http_error_routes(spark, playcounts_fixture):
+    from mediaplaycounts_spark.api import create_app
+
+    app = create_app(playcounts_fixture)  # no members snapshot
+    assert _call(app, "/api/2/Nope")[0] == "404 Not Found"
+    assert (
+        _call(app, "/api/1/FilePlaycount/date_range/f.ogv/junk/2024-01-02")[0]
+        == "400 Bad Request"
+    )
+    assert (
+        _call(app, "/api/1/CategoryPlaycount/last_30/Cat A")[0]
+        == "503 Service Unavailable"
+    )
