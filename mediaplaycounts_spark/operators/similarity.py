@@ -179,6 +179,43 @@ def topk_lsh(
     )
 
 
+def topk_lsh_multiprobe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe: list[float],
+    k: int = 20,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH ANN top-k: search the probe's bucket AND every
+    1-bit-flip neighbor bucket (num_planes+1 buckets total).
+
+    The standard recall/cost dial for hyperplane LSH: a vector whose
+    cosine is high but sits just across ONE hyperplane lands in a
+    Hamming-1 bucket, so probing those recovers most of the recall a
+    single-bucket probe loses, while still pruning
+    ~(1 - (p+1)/2^p) of the corpus before any cosine math. Same plan
+    shape as :func:`topk_lsh` — scan -> isin-filter (codegen) ->
+    TakeOrderedAndProject — just a wider filter list.
+    """
+    dim = len(probe)
+    planes = lsh_planes(num_planes, dim)
+    probe_bucket = 0
+    for j, plane in enumerate(planes):
+        d = sum(x * y for x, y in zip(probe, plane))
+        probe_bucket |= (1 if d > 0 else 0) << j
+    buckets = [probe_bucket] + [probe_bucket ^ (1 << j) for j in range(num_planes)]
+    p = F.array(*[F.lit(float(x)) for x in probe]).cast("array<double>")
+    v = as_double(vec_col)
+    return (
+        df.withColumn("bucket", lsh_bucket(v, planes))
+        .filter(F.col("bucket").isin(buckets))
+        .select(F.col(id_col), F.round(cosine(v, p), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def _assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell id by squared L2, ties to the lower id."""
     dists = []

@@ -945,3 +945,137 @@ def array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("all_gt").alias("n_all_gt"),
         F.sum("n_pos").alias("n_pos_total"),
     )
+
+
+@register("sim_ann_lsh_multiprobe", oracle=None, bound=_bound_ann(min_overlap=4))
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k: probe bucket + every 1-bit-flip
+    neighbor (9 buckets at 8 planes) — the recall/cost dial between
+    `sim_ann_lsh` (1 bucket) and `sim_topk_probe` (full scan). No ANSI
+    twin (bucket membership is hash-family-specific); the registered
+    bound numpy-verifies the cosines, the probe self-match, and a
+    retrieval floor strictly above single-probe LSH's."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+    return S.topk_lsh_multiprobe(em, "vec_id", "embedding", probe, k=20, num_planes=8)
+
+
+@register(
+    "text_perplexity_unigram",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, tok, COUNT(*) AS c_dt FROM tok GROUP BY doc_id, tok
+        ),
+        tf AS (SELECT tok, CAST(SUM(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t FROM tf)
+        SELECT dt.doc_id,
+               CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(c_dt * CAST(round(
+                         ln(CAST(t AS DOUBLE) / c_t) * 1e9, 0) AS BIGINT))
+                     AS DOUBLE) / (1e9 * SUM(c_dt)), 6) AS avg_nll_nats
+        FROM dt JOIN tf USING (tok) CROSS JOIN tot
+        GROUP BY dt.doc_id
+    """,
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model scoring: per-doc average negative
+    log-likelihood, -(1/N)·Σ ln p(tok), with p the corpus MLE unigram —
+    the classic cheap perplexity proxy for quality filtering (docs of
+    rare/garbled tokens score high, fluent text low).
+
+    Exactness: each token type's -ln p term is nano-quantized to int64
+    from exact integer counts (the agg_entropy_shannon ladder), so the
+    per-doc sum is integer and order-independent; one final double
+    division, rounded identically on both engines.
+
+    Scale: two hash aggregates — (doc, tok) then (tok) — one hash join
+    back on tok (vocab-sized, Zipf-skewed head is handled by AQE skew
+    join), and the 1-row corpus total crossed in (broadcast). No
+    Python, no windows over the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c_dt"))
+    tf = dt.groupBy("tok").agg(F.sum("c_dt").alias("c_t"))
+    tot = tf.agg(F.sum("c_t").alias("t"))
+    term = F.col("c_dt") * F.round(
+        F.log(F.col("t").cast("double") / F.col("c_t")) * F.lit(1e9), 0
+    ).cast("long")
+    return (
+        dt.join(tf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.round(
+                F.sum(term).cast("double") / (F.lit(1e9) * F.sum("c_dt")), 6
+            ).alias("avg_nll_nats"),
+        )
+    )
+
+
+@register(
+    "multimodal_embedding_quantize",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        )
+        SELECT vec_id,
+               round(scale, 9) AS scale_r,
+               array_to_string(list_transform(
+                   e, x -> CAST(CAST(floor(x / scale + 0.5) AS BIGINT)
+                                AS VARCHAR)), ',') AS q_csv,
+               CAST(list_sum(list_transform(
+                   e, x -> CAST(round(
+                       (x - CAST(floor(x / scale + 0.5) AS BIGINT) * scale)
+                       * (x - CAST(floor(x / scale + 0.5) AS BIGINT) * scale)
+                       * 1e12, 0) AS BIGINT))) AS BIGINT) AS sse_pico
+        FROM s
+    """,
+)
+def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4x storage shrink
+    every 100 TB vector corpus applies before ANN indexing: per-vector
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5) in [-127, 127],
+    plus the exact reconstruction SSE (pico-quantized int64, so the
+    per-element addition is order-independent). floor(x+0.5) instead of
+    round() dodges engine rounding-mode differences on negative halves.
+
+    All JVM-side higher-order array lambdas (transform/aggregate) over
+    the Arrow-read float column — zero Python, zero shuffle: a pure map
+    stage that parallelizes per row group."""
+    em = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    df = em.select("vec_id", e.alias("e")).select(
+        "vec_id",
+        "e",
+        (F.array_max(F.transform("e", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = F.transform(
+        "e", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")
+    )
+    err = F.transform(
+        F.arrays_zip(F.col("e"), q.alias("q")),
+        lambda z: F.round(
+            (z["e"] - z["q"] * F.col("scale"))
+            * (z["e"] - z["q"] * F.col("scale"))
+            * F.lit(1e12),
+            0,
+        ).cast("long"),
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
+        F.aggregate(err, F.lit(0).cast("long"), lambda a, x: a + x).alias("sse_pico"),
+    )

@@ -369,3 +369,71 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _K_PER_GROUP)
         .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
     )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle="""
+        WITH RECURSIVE d AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack(shard, rn, doc_id, n_tokens, bin_idx, fill) AS (
+            SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                   CASE WHEN pack.fill + d.n_tokens > 128
+                        THEN pack.bin_idx + 1 ELSE pack.bin_idx END,
+                   CASE WHEN pack.fill + d.n_tokens > 128
+                        THEN d.n_tokens ELSE pack.fill + d.n_tokens END
+            FROM d JOIN pack
+              ON d.shard = pack.shard AND d.rn = pack.rn + 1
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+               bin_idx
+        FROM pack
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing — the step that turns a deduped
+    corpus into fixed-size training sequences: docs are greedily packed
+    in doc_id order into 128-token bins (a doc that would overflow the
+    current bin starts the next one; an oversized doc gets a bin alone).
+
+    Packing is a sequential recurrence (current-bin fill) no window
+    function expresses, so it runs as an Arrow grouped-map kernel
+    (applyInPandas) per SHARD — doc_id % 8 here, a hash bucket at scale
+    — which is exactly how a 1000-executor packer works: shards pack
+    independently and in parallel, bin ids are local to a shard, and
+    no cross-shard coordination exists. One shuffle (by shard); the
+    token counting stays JVM-side. The DuckDB twin replays the same
+    recurrence as a recursive CTE, making this sequential-stateful
+    kernel fully value-oracled.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        window, bin_idx, fill = 128, 0, 0
+        bins = []
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + n > window:
+                bin_idx, fill = bin_idx + 1, n
+            else:
+                fill += n
+            bins.append(bin_idx)
+        return pdf.assign(bin_idx=pd.Series(bins, dtype="int64"))
+
+    return docs.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, n_tokens long, bin_idx long"
+    )

@@ -458,3 +458,41 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("MONTH", "day").cast("date").alias("month")
     ).agg(F.count("*").alias("n_days"), F.sum("day_idx").alias("sum_idx"))
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_restart_idempotent",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, TWICE on one checkpoint: the second
+    AvailableNow start finds the source exhausted in the checkpoint's
+    offset log and writes ZERO new rows — exactly-once across restarts,
+    proven by the oracle equality (a duplicated replay would double
+    every count). This is the property that makes the daily-cron
+    replacement safe to re-run after a crash: the parquet sink +
+    checkpoint pair, not the operator, carries the idempotence.
+
+    At 100 TB: same shape with a cloud checkpoint location; restart
+    cost is reading the offset log, not rescanning the source."""
+    run_dir = SCRATCH / f"restart_{uuid.uuid4().hex[:12]}"
+    out_dir, ckpt_dir = str(run_dir / "out"), str(run_dir / "ckpt")
+
+    for _ in range(2):  # initial run + restart on the same checkpoint
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

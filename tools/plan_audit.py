@@ -48,6 +48,7 @@ ALLOWED = {
     "scan_tsv_log": "tiny fixture union",
     "ts_gapfill_interpolate": "calendar spine x type list: both sides tiny by construction (O(types x days) grid)",
     "sim_mmr_diversify": "greedy argmax stages crossJoin 1-row broadcast selected sets over the k-candidate table",
+    "text_perplexity_unigram": "1-row corpus-total aggregate crossed in (broadcast)",
 }
 
 
@@ -161,6 +162,9 @@ MAX_SHUFFLES = {
     "win_rolling_median": 2,
     "win_streak_runs": 2,
     "win_topk_per_group": 2,
+    "text_perplexity_unigram": 6,
+    "pipeline_pack_sequences": 1,
+    "stream_restart_idempotent": 1,
 }
 
 
