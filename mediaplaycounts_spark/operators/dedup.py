@@ -204,6 +204,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.3,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs within blocks: C(A→B) = |A∩B|/|A|.
+
+    The near-superset detector Jaccard misses: when a short doc is
+    wholly embedded in a long one (quote farms, boilerplate wrappers,
+    prefix crawls), Jaccard is diluted by the big doc's size but
+    containment of the small side stays ~1. Emits both directions'
+    scores per unordered pair; same salted-block join shape (and scale
+    rationale) as :func:`ngram_jaccard_pairs`.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        shingles(text_col, n).alias("s"),
+    )
+    n_parts = max(n_salt, df.sparkSession.sparkContext.defaultParallelism * 2)
+    a = (
+        sh.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
+        .repartition(n_parts, "blk", "salt")
+        .alias("a")
+    )
+    b = sh.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    ).alias("b")
+    inter = F.size(F.array_intersect("a.s", "b.s"))
+    c_ab = inter.cast("double") / F.size("a.s").cast("double")
+    c_ba = inter.cast("double") / F.size("b.s").cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document, frequency-weighted.
 

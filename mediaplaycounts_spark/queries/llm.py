@@ -1079,3 +1079,88 @@ def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
         F.aggregate(err, F.lit(0).cast("long"), lambda a, x: a + x).alias("sse_pico"),
     )
+
+
+@register(
+    "text_dup_ngram_fraction",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1,
+                           greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(
+                           string_split(text, ' ')[i:i+2], ' ')) AS grams
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               CAST((len(grams) - len(list_distinct(grams))) * 1000000
+                    // len(grams) AS BIGINT) AS dup_ppm
+        FROM g
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate 3-grams per
+    doc (boilerplate and looped text score high), in exact integer ppm —
+    floored division on both engines, no FP anywhere.
+
+    Zero shuffle: the gram assembly and distinct-count run as codegen'd
+    higher-order array lambdas inside the scan's map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    total = F.greatest(F.size(t) - 2, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i.cast("int")),
+            F.element_at(t, (i + 1).cast("int")),
+            F.element_at(t, (i + 2).cast("int")),
+        ),
+    )
+    g = docs.select("doc_id", grams.alias("g"))
+    return g.select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("g")).cast("long").alias("n_distinct"),
+        F.expr(
+            "cast((size(g) - size(array_distinct(g))) * 1000000L"
+            " div size(g) as bigint)"
+        ).alias("dup_ppm"),
+    )
+
+
+@register(
+    "text_containment_pairs",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1,
+                           greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(
+                           string_split(text, ' ')[i:i+1], ' '))) AS s
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+                 AS containment_ab,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+                 AS containment_ba
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.3
+           OR CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection via exact 2-gram CONTAINMENT (|A∩B|/|A|),
+    lang-blocked: catches a short doc embedded in a long one, which
+    Jaccard dilutes below any usable threshold. Same salted-block join
+    scale shape as dedup_ngram_jaccard; both direction scores emitted.
+    Pure integer set sizes + one double division — bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, "doc_id", "text", "lang", n=2, threshold=0.3
+    )

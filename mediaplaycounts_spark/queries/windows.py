@@ -198,3 +198,44 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     ).distinct()
+
+
+@register(
+    "win_percent_rank_ntile",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS tot_cents
+            FROM events GROUP BY event_type, day)
+        SELECT event_type, day, tot_cents,
+               percent_rank() OVER w AS pr,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY tot_cents, day)
+    """,
+)
+def win_percent_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each day inside its event type:
+    percent_rank (exact (rank-1)/(n-1) — one double division over
+    integers, engine-identical) and ntile(4) quartile buckets. The
+    ordering key (tot_cents, day) is a total order, so ntile's
+    row-position semantics are deterministic on both engines.
+
+    One shuffle to (type, day) cents, one window partitioned by type —
+    type cardinality bounds the window's partition count, not the fact
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("tot_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("tot_cents", "day")
+    return d.select(
+        "event_type",
+        "day",
+        "tot_cents",
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -108,3 +108,37 @@ def test_mmr_selection_invariants(spark, queries):
     # Later picks pay a similarity penalty: score <= lambda * rel.
     for r in rows[1:]:
         assert r.mmr_score <= 0.7 * r.rel + 1e-9
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment_ab = 1.0
+    even though Jaccard is diluted below threshold."""
+    from mediaplaycounts_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long_, "en")], "doc_id long, text string, lang string"
+    )
+    rows = containment_pairs(df, "doc_id", "text", "lang", threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_ab == 1.0  # every 2-gram of the short doc is in the long
+    assert r.containment_ba < 0.2
+
+
+def test_dup_ngram_fraction_extremes(spark):
+    """dup_ppm is the exact floored-ppm of (n_grams - n_distinct)/n_grams
+    for every doc, and stays in [0, 1e6)."""
+    import __spark_entry__  # registry import side effect  # noqa: F401
+    import tests.conftest as c
+    from mediaplaycounts_spark.registry import get
+
+    res = get("text_dup_ngram_fraction").fn(spark, c.SF_SMOKE)
+    rows = res.collect()
+    assert rows and all(0 <= r.dup_ppm < 1_000_000 for r in rows)
+    assert all(
+        r.dup_ppm == (r.n_grams - r.n_distinct) * 1_000_000 // r.n_grams
+        for r in rows
+    )

@@ -165,6 +165,8 @@ MAX_SHUFFLES = {
     "text_perplexity_unigram": 6,
     "pipeline_pack_sequences": 1,
     "stream_restart_idempotent": 1,
+    "text_containment_pairs": 1,
+    "win_percent_rank_ntile": 2,
 }
 
 
