@@ -45,6 +45,10 @@ EXTENDED = [
     "agg_heavy_hitters",    # Misra-Gries candidates + exact recount
     "graph_pagerank_int",   # 3 iterative shuffles
     "ts_gapfill_interpolate",
+    # r2 additions (new ops; not in any prior round's numbers)
+    "text_perplexity_unigram",   # unigram LM scoring, 6-shuffle ladder
+    "pipeline_pack_sequences",   # Arrow grouped-map packing kernel
+    "multimodal_embedding_quantize",  # zero-shuffle array lambdas
 ]
 
 

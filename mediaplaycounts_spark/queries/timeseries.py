@@ -375,3 +375,71 @@ def ts_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.shiftright(x + 3 * acc, 2),
         ).alias("ewma_millicents"),
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS tot_cents
+            FROM events GROUP BY event_type, day),
+        m AS (
+            SELECT event_type, CAST(2 * median(tot_cents) AS BIGINT) AS med2
+            FROM d GROUP BY event_type),
+        dev AS (
+            SELECT d.event_type, d.day, d.tot_cents, m.med2,
+                   abs(2 * d.tot_cents - m.med2) AS dev2
+            FROM d JOIN m USING (event_type)),
+        md AS (
+            SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+            FROM dev GROUP BY event_type)
+        SELECT dev.event_type, dev.day, dev.tot_cents,
+               dev.med2 AS med2_cents, md.mad4 AS mad4_cents,
+               CAST(CASE WHEN 2 * dev.dev2 > 3 * md.mad4
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM dev JOIN md USING (event_type)
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: |x − median| > 3·MAD per event type —
+    the outlier flag that, unlike the 3-sigma rule (agg_anomaly_flag),
+    does not let the outliers inflate their own threshold.
+
+    Integer-exact medians via the 2x trick (win_rolling_median): an
+    even-count median is (a+b)/2, so 2·median = a+b is exact int64 on
+    both engines; the flag compares 2·dev2 > 3·mad4 — all integer, no
+    FP anywhere. Two median aggregates over the tiny (type, day) grid +
+    broadcast joins back; the only fact-volume shuffle is the daily
+    cents rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("tot_cents")
+    )
+    # The O(types x days) grid feeds FOUR consumers (median, dev join,
+    # MAD median, final join) — without materialization each broadcast
+    # branch re-runs the fact-volume rollup (7 scans observed). One
+    # localCheckpoint of the tiny grid collapses that to a single pass.
+    d = d.localCheckpoint()
+    m = d.groupBy("event_type").agg(
+        (F.lit(2) * F.median("tot_cents")).cast("long").alias("med2")
+    )
+    dev = d.join(F.broadcast(m), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("tot_cents") - F.col("med2"))
+    )
+    md = dev.groupBy("event_type").agg(
+        (F.lit(2) * F.median("dev2")).cast("long").alias("mad4")
+    )
+    return dev.join(F.broadcast(md), "event_type").select(
+        "event_type",
+        "day",
+        "tot_cents",
+        F.col("med2").alias("med2_cents"),
+        F.col("mad4").alias("mad4_cents"),
+        (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4"))
+        .cast("long")
+        .alias("is_anomaly"),
+    )

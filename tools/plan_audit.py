@@ -167,6 +167,7 @@ MAX_SHUFFLES = {
     "stream_restart_idempotent": 1,
     "text_containment_pairs": 1,
     "win_percent_rank_ntile": 2,
+    "ts_anomaly_mad": 3,
 }
 
 
