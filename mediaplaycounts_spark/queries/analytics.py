@@ -456,3 +456,59 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "reshape_scd2_history",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events),
+        ch AS (
+            SELECT user_id, ts, event_id, event_type FROM e
+            WHERE prev_type IS NULL OR event_type <> prev_type)
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to,
+               CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM ch
+    """,
+)
+def reshape_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event-type stream into change segments with
+    [valid_from, valid_to) validity and an is_current flag — the
+    dimension-versioning op every warehouse load runs, derived here
+    from the raw event log in two windows (change detection via LAG,
+    interval close via LEAD; ties broken by event_id for a total
+    order).
+
+    One shuffle keyed by user_id serves both windows (same partition
+    key and ordering — Catalyst reuses the sort). At 100 TB the
+    segment table is |changes|, typically orders of magnitude smaller
+    than the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    ch = e.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lead_ts = F.lead("ts").over(w2)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        lead_ts.isNull().cast("long").alias("is_current"),
+    )

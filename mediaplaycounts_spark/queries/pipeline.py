@@ -437,3 +437,109 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard long, n_tokens long, bin_idx long"
     )
+
+
+@register(
+    "pipeline_domain_mixture",
+    oracle="""
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        k AS (SELECT MIN(n) AS n_min FROM c),
+        r AS (SELECT lang, n,
+                     CAST(n_min * 1000000 // n AS BIGINT) AS rate_ppm
+              FROM c CROSS JOIN k)
+        SELECT d.doc_id, d.lang, r.rate_ppm,
+               CAST(CASE WHEN r.rate_ppm >= 1000000 THEN 1
+                         WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                              < lower(lpad(hex(CAST(r.rate_ppm * 4294967296
+                                                    // 1000000 AS BIGINT)),
+                                           8, '0'))
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM documents d JOIN r USING (lang)
+    """,
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing — downsample every language to the
+    smallest language's count (uniform target mixture), the domain-
+    weighting step every pretraining corpus runs. Rates are exact
+    integer ppm (n_min·1e6 div n_lang); the keep decision is the same
+    deterministic md5-prefix threshold as sample_hash_bucket, so the
+    sampled set is stable under re-runs, repartitioning, and late data.
+
+    Plan: one tiny per-lang count agg + 1-row min crossed in, broadcast
+    back onto the corpus — the fact-volume path is scan -> hash join ->
+    project, no RNG, no shuffle of the corpus itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    k = c.agg(F.min("n").alias("n_min"))
+    r = c.crossJoin(F.broadcast(k)).select(
+        "lang",
+        "n",
+        F.expr("cast(n_min * 1000000 div n as bigint)").alias("rate_ppm"),
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.expr("cast(rate_ppm * 4294967296 div 1000000 as bigint)")),
+            8,
+            "0",
+        )
+    )
+    return (
+        docs.join(F.broadcast(r), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "rate_ppm",
+            F.when(F.col("rate_ppm") >= 1_000_000, F.lit(1))
+            .when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
+@register(
+    "pipeline_token_budget_trim",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM documents)
+        SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               CAST(CASE WHEN cum_tokens <= 2000 THEN 1 ELSE 0 END AS BIGINT)
+                 AS kept
+        FROM t
+    """,
+)
+def pipeline_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation: keep docs per language (in stable doc_id
+    order) until a 2000-token budget is exhausted — how a fixed training
+    budget is portioned across domains. One window per lang partition
+    (running token sum), integer arithmetic only.
+
+    At 100 TB the cumulative sum stays a single shuffle keyed by the
+    budget dimension; budgets per (lang, source) shard the window
+    further, never widening it."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "doc_id", "lang", n_tok.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= 2000).cast("long").alias("kept"),
+    )

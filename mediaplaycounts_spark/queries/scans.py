@@ -464,3 +464,67 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return files
+
+
+@register(
+    "scan_partition_discovery",
+    oracle="""
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE lang = 'en'
+    """,
+)
+def scan_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition discovery + STATIC partition pruning: the
+    corpus is laid out as lang=<v>/ directories, the read infers the
+    partition column from the paths, and a literal filter on it prunes
+    at the DIRECTORY level — `PartitionFilters` in the plan, zero data
+    files of other langs opened (asserted in tests/test_plans.py).
+
+    Complements join_dpp_partition_pruned (dynamic, join-driven
+    pruning): this is the static form every date-partitioned 100 TB
+    fact table lives by — `WHERE day = X` never touches other days'
+    files."""
+    SCRATCH.mkdir(exist_ok=True)
+    out = SCRATCH / "part_disco"
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "n_chars", "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(str(out))
+    )
+    back = spark.read.parquet(str(out)).filter(F.col("lang") == "en")
+    return back.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@register(
+    "sink_json_lines",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM events GROUP BY event_type
+    """,
+)
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip: events projected to a typed subset,
+    written as newline-delimited JSON, read back with an explicit schema
+    (no inference pass), re-aggregated. Graded by round-trip: a sink
+    that mangled a value or dropped a row fails the oracle equality.
+    The interchange format for feeding non-Spark consumers; at scale,
+    compressed JSONL with a declared schema on re-read (inference costs
+    a full extra scan)."""
+    out = SCRATCH / f"jsonl_{uuid.uuid4().hex[:12]}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").json(str(out))
+    back = spark.read.schema("event_id bigint, event_type string, cents bigint").json(
+        str(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )

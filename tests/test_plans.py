@@ -222,3 +222,13 @@ def test_pairwise_blocked_ops_fan_out(spark, queries):
         m = re.search(r"Arguments: hashpartitioning\(blk#\d+, salt#\d+L?, (\d+)", plan)
         assert m, key
         assert int(m.group(1)) >= 32, (key, m.group(1))
+
+
+def test_partition_discovery_prunes_directories(spark, queries):
+    """Static partition pruning: the lang filter must appear as a
+    PartitionFilter (directory-level skip), not a data Filter."""
+    plan = plan_of(queries["scan_partition_discovery"](spark, SF_SMOKE))
+    assert re.search(r"PartitionFilters: \[.*\(lang.*= en\)", plan) or re.search(
+        r"PartitionFilters: \[.*equals\(lang,en\)", plan
+    ), plan[plan.find("PartitionFilters"):][:200]
+    assert shuffles(plan) == 0

@@ -49,6 +49,7 @@ ALLOWED = {
     "ts_gapfill_interpolate": "calendar spine x type list: both sides tiny by construction (O(types x days) grid)",
     "sim_mmr_diversify": "greedy argmax stages crossJoin 1-row broadcast selected sets over the k-candidate table",
     "text_perplexity_unigram": "1-row corpus-total aggregate crossed in (broadcast)",
+    "pipeline_domain_mixture": "1-row min-count aggregate crossed into the per-lang rate table",
 }
 
 
@@ -168,6 +169,10 @@ MAX_SHUFFLES = {
     "text_containment_pairs": 1,
     "win_percent_rank_ntile": 2,
     "ts_anomaly_mad": 3,
+    "sink_json_lines": 1,
+    "pipeline_domain_mixture": 2,
+    "pipeline_token_budget_trim": 1,
+    "reshape_scd2_history": 1,
 }
 
 
