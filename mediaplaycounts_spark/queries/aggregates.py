@@ -435,3 +435,48 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_sources"),
     )
+
+
+def _bound_approx_percentile(
+    spark: SparkSession, sf_dir: str, result: DataFrame
+) -> str:
+    """Approximation bound: each group's approx p50/p90 must land within
+    the value range spanned by the exact percentile ± 1 quantity unit
+    (Greenwald-Khanna at accuracy 10000 => rank error <= n/10000, and
+    l_quantity is integer-valued 1..50, so value error <= 1 with huge
+    margin)."""
+    exact = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50"),
+            F.percentile("l_quantity", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    got = {r.l_returnflag: (r.p50_approx, r.p90_approx) for r in result.collect()}
+    assert set(got) == set(exact)
+    for k, (e50, e90) in exact.items():
+        a50, a90 = got[k]
+        assert abs(a50 - e50) <= 1.0, (k, a50, e50)
+        assert abs(a90 - e90) <= 1.0, (k, a90, e90)
+    return f"approx p50/p90 within 1 quantity unit of exact for all {len(exact)} groups"
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,
+    bound=_bound_approx_percentile,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (accuracy 10000) — the
+    100 TB substitute for exact percentiles: mergeable per-partition
+    sketches, one partial+final agg, no full sort of the value column.
+    Engine-specific sketch => no ANSI twin; the registered bound pins
+    each estimate within 1 quantity unit of the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_approx"),
+    )

@@ -173,6 +173,7 @@ MAX_SHUFFLES = {
     "pipeline_domain_mixture": 2,
     "pipeline_token_budget_trim": 1,
     "reshape_scd2_history": 1,
+    "agg_approx_percentile": 1,
 }
 
 
