@@ -496,3 +496,90 @@ def stream_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+        WITH m AS (SELECT MAX(ts) - INTERVAL 2 HOURS AS wm FROM events)
+        SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+        FROM events, m
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+        GROUP BY ws
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL late-data DROP, demonstrated: two checkpointed AvailableNow
+    runs. Run 1 ingests the events file; its final watermark
+    (max ts − 2 h) persists in the checkpoint. Between runs a second
+    file arrives whose every row is 10 DAYS older than the watermark;
+    run 2 restores the watermark, drops all of it, and (append mode)
+    emits exactly the closed windows of the on-time data. The oracle is
+    the batch equivalent of that semantics: hourly counts of windows
+    whose end <= max(ts) − 2 h — had one late row leaked into the
+    state, the overlapping January windows would be inflated and the
+    equality would fail. (stream_watermark_late proves plan+state
+    wiring on in-order replay; THIS key proves the eviction semantics.)
+
+    Deterministic by construction: cross-run checkpoint restore, not
+    intra-run file listing order, decides what is late."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    run_dir = SCRATCH / f"latedrop_{uuid.uuid4().hex[:12]}"
+    src, out_dir, ckpt = run_dir / "src", str(run_dir / "out"), str(run_dir / "ckpt")
+    src.mkdir(parents=True)
+
+    a_tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
+    pq.write_table(a_tbl, src / "a.parquet")
+
+    schema = spark.read.parquet(str(src / "a.parquet")).schema
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        if "bigint" == dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]:
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # ingests on-time data; watermark = max(ts) - 2h persisted
+    i = a_tbl.schema.get_field_index("ts")
+    if pa.types.is_integer(a_tbl.schema.field("ts").type):
+        # legacy TIMESTAMP(NANOS)-as-long layout: shift in raw nanos
+        late = pc.subtract(
+            a_tbl.column("ts"), pa.scalar(10 * 24 * 3600 * 10**9)
+        )
+    else:
+        late = pc.subtract(a_tbl.column("ts"), pa.scalar(dt.timedelta(days=10)))
+    pq.write_table(a_tbl.set_column(i, "ts", late), src / "b.parquet")
+    run_once()  # restores watermark; every b row is late -> dropped
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("ws").cast("timestamp_ntz").alias("ws"))
+        .agg(F.sum("n").alias("n"))
+    )

@@ -174,6 +174,7 @@ MAX_SHUFFLES = {
     "pipeline_token_budget_trim": 1,
     "reshape_scd2_history": 1,
     "agg_approx_percentile": 1,
+    "stream_watermark_late_drop": 1,
 }
 
 
