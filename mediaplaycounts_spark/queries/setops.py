@@ -133,3 +133,40 @@ def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority", "src"
     )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+        SELECT l_orderkey FROM lineitem
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL: multiplicities subtract instead of the
+    distinct-set collapse — the form ledger/event reconciliation needs
+    (one missing occurrence must surface as exactly one row). One
+    shuffle on the compare key; no pre-distinct pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+        SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_quantity > 10
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL: min(multiplicity) per key survives —
+    completes the set-op family (ALL variants beside the distinct
+    forms)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    return a.intersectAll(b)

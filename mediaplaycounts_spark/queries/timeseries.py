@@ -443,3 +443,56 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_downsample_m4",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS bucket,
+                   ts, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM b)
+        SELECT event_type, bucket,
+               CAST(MIN(cents) AS BIGINT) AS v_min,
+               CAST(MAX(cents) AS BIGINT) AS v_max,
+               CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS v_first,
+               CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS v_last,
+               COUNT(*) AS n
+        FROM r GROUP BY event_type, bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling — the standard error-free series reduction for
+    rendering/rollups: per (series, bucket) keep min, max, first and
+    last values, which preserves every visual extreme a line plot can
+    show. first/last use argmin/argmax over the total order (ts,
+    event_id), so ties are deterministic on both engines; values are
+    integer cents.
+
+    One partial+final hash aggregate, shuffle keyed (type, day-bucket)
+    — at 100 TB the output is |series| x |buckets| regardless of raw
+    point count, which is the whole point."""
+    ev = load_table(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100, 0).cast("long")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("DAY", "ts").cast("date").alias("bucket"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        cents_v.alias("cents"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.min("cents").alias("v_min"),
+        F.max("cents").alias("v_max"),
+        F.min_by("cents", "ord").alias("v_first"),
+        F.max_by("cents", "ord").alias("v_last"),
+        F.count("*").alias("n"),
+    )

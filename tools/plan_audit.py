@@ -175,6 +175,9 @@ MAX_SHUFFLES = {
     "reshape_scd2_history": 1,
     "agg_approx_percentile": 1,
     "stream_watermark_late_drop": 1,
+    "setop_except_all": 1,
+    "setop_intersect_all": 1,
+    "ts_downsample_m4": 1,
 }
 
 
