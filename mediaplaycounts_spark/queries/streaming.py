@@ -111,18 +111,27 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sessions with a 30-minute inactivity gap.
-
-    Spark's native session_window (merging state store in streaming);
-    the oracle is the classic lag+cumsum sessionization. Boundary
-    semantics: a gap of exactly 30 minutes starts a NEW session
-    (session end = last_ts + gap, exclusive), hence >= in the oracle.
+    """Per-user sessions with a 30-minute inactivity gap — a REAL
+    Structured Streaming run (r2 upgrade from the batch twin): the
+    events stream is watermarked, sessionized with Spark's native
+    merging session-window state store, and drained via AvailableNow in
+    complete mode. Bounded in-order replay makes the merge result equal
+    the batch sessionization, so the classic lag+cumsum oracle still
+    value-checks it. Boundary semantics: a gap of exactly 30 minutes
+    starts a NEW session (session end = last_ts + gap, exclusive),
+    hence >= in the oracle.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
-        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
     )
 
 

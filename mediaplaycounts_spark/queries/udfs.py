@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as STypes
 
@@ -260,4 +260,56 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select(
         "doc_id", consonant_chars("text").alias("n_consonant_chars")
+    )
+
+
+@register(
+    "udaf_pandas_window",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(label AS BIGINT) AS label, vec_id,
+                   CAST(round(sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                        (a, b) -> a + b)) * 100, 0) AS BIGINT) AS cents
+            FROM embeddings)
+        SELECT label, vec_id,
+               CAST(SUM(cents) OVER w AS DOUBLE)
+                 / (100 * COUNT(*) OVER w) AS rolling_mean_norm
+        FROM c
+        WINDOW w AS (PARTITION BY label ORDER BY vec_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM aggregate as a WINDOW function (pandas_udf GROUPED_AGG
+    over a bounded frame): trailing-5-row mean L2 norm per label — the
+    escape hatch when a rolling metric has no built-in aggregate. Each
+    frame's vectors arrive as one Arrow batch; norms are cents-quantized
+    int64 before summing, so the frame result is order-independent and
+    hash-matches the windowed-SQL oracle.
+
+    Scale: same shuffle/sort as any ranking window (one per label
+    partition); the Python cost is per-frame Arrow transfer — bounded
+    frames only (unbounded ones re-send the whole partition per row;
+    use the native cumulative aggregates for those)."""
+
+    @F.pandas_udf("double")
+    def mean_norm_cents(vecs: pd.Series) -> float:
+        import numpy as np
+
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        norms = np.sqrt(np.add.reduce(mat * mat, axis=1))
+        cents = np.round(norms * 100).astype("int64")
+        return float(cents.sum()) / (100 * len(cents))
+
+    em = load_table(spark, sf_dir, "embeddings")
+    w = (
+        Window.partitionBy(F.col("label").cast("long"))
+        .orderBy("vec_id")
+        .rowsBetween(-4, 0)
+    )
+    return em.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        mean_norm_cents("embedding").over(w).alias("rolling_mean_norm"),
     )

@@ -178,6 +178,7 @@ MAX_SHUFFLES = {
     "setop_except_all": 1,
     "setop_intersect_all": 1,
     "ts_downsample_m4": 1,
+    "udaf_pandas_window": 1,
 }
 
 
