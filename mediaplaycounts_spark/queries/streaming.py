@@ -39,16 +39,19 @@ SCRATCH = pathlib.Path(__file__).resolve().parents[2] / ".scratch"
     """,
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events per type per 1-hour tumbling window (batch twin).
-
-    Identical `F.window` expression runs in the streaming variant; the
-    daily cron of the reference is this with a 24h window.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+    """Events per type per 1-hour tumbling window — REAL watermarked
+    Structured Streaming run drained via AvailableNow (r2 upgrade from
+    the batch twin; bounded in-order replay keeps it value-oracled).
+    The daily cron of the reference is this with a 24h window."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("ws"), "event_type", "n"
     )
 
 
@@ -72,17 +75,20 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour window sliding every 15 minutes (each event in 4 windows).
-
-    Both engines align slides to the epoch (minute-aligned), so window
-    starts agree; the oracle only materializes non-empty windows, same
-    as Spark's expand-based plan.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+    """1-hour window sliding every 15 minutes (each event in 4 windows)
+    — REAL watermarked streaming run drained via AvailableNow (r2
+    upgrade from the batch twin). Both engines align slides to the
+    epoch (minute-aligned), so window starts agree; the oracle only
+    materializes non-empty windows, same as the expand-based plan."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("ws"), "event_type", "n"
     )
 
 
@@ -172,19 +178,20 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful dedup twin: distinct (user, day) then active-day counts.
-
-    Streaming variant: withWatermark + dropDuplicates(['user_id','day'])
-    keeps only first occurrence per key within the watermark horizon —
-    state-bounded exactly-once dedup (see tests/test_streaming.py).
-    """
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.select("user_id", F.date_trunc("DAY", "ts").alias("day"))
+    """REAL stateful streaming dedup (r2 upgrade from the batch twin):
+    withWatermark + dropDuplicates(['user_id','day']) keeps only the
+    first occurrence per key within the watermark horizon —
+    state-bounded exactly-once dedup — drained in append mode, then the
+    tiny distinct (user, day) output is re-aggregated batch-side into
+    active-day counts the oracle value-checks."""
+    stream = read_events_stream(spark, sf_dir)
+    dedup = (
+        stream.select("user_id", "ts", F.date_trunc("DAY", "ts").alias("day"))
+        .withWatermark("ts", "2 hours")
         .dropDuplicates(["user_id", "day"])
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_active_days"))
     )
+    out = run_available_now(dedup, output_mode="append")
+    return out.groupBy("user_id").agg(F.count("*").alias("n_active_days"))
 
 
 @register(
