@@ -119,3 +119,107 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") % 2).cast("long").alias("is_supplier"),
         F.col("r").alias("rank_ppm"),
     )
+
+
+_EDGES_SQL = """
+        pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+              UNION ALL
+              SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs)
+"""
+
+
+def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer<->supplier trading edge list (2c / 2s+1
+    node encoding), materialized once (src-partitioned checkpoint)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).unionAll(
+        pairs.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+        )
+    )
+    return e.repartition("src").localCheckpoint()
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        walk(node, d) AS (
+            SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey <= 10
+            UNION ALL
+            SELECT e.dst, walk.d + 1
+            FROM walk JOIN e ON e.src = walk.node
+            WHERE walk.d < 3
+        )
+        SELECT node AS node_id, CAST(MIN(d) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= 3) from a 10-customer
+    seed set over the trading graph — the reachability/expansion
+    primitive behind category closures and contamination blast-radius
+    queries. Layered frontier iteration: each round joins the frontier
+    to the src-partitioned edge list and anti-joins already-settled
+    nodes, so a node settles at its FIRST (minimal) layer — no
+    re-visits, no path explosion (the recursive-CTE oracle walks every
+    path and MINs at the end; the engine never materializes paths).
+
+    Scale: 3 rounds x (frontier join + anti-join), all keyed by node
+    id; frontier size is bounded by the node set, never the path
+    count. localCheckpoint per round bounds lineage like pagerank."""
+    e = _trading_edges(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    seeds = c.filter(F.col("c_custkey") <= 10).select(
+        (F.col("c_custkey") * 2).alias("node"), F.lit(0).cast("long").alias("hops")
+    )
+    settled = seeds.localCheckpoint()
+    frontier = settled
+    for h in range(1, 4):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint()
+        )
+        settled = settled.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return settled.select(F.col("node").alias("node_id"), "hops")
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+        WITH {_EDGES_SQL},
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
+        SELECT d AS degree, COUNT(*) AS n_nodes,
+               CAST(SUM(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_customers
+        FROM deg GROUP BY d
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trading graph (per-side breakdown) —
+    the first diagnostic before any graph algorithm: skew here decides
+    salting/partitioning strategy for the joins above. Two hash
+    aggregates; output is |distinct degrees| rows."""
+    e = _trading_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum((F.col("src") % 2 == 0).cast("int")).cast("long").alias("n_customers"),
+    )

@@ -179,6 +179,9 @@ MAX_SHUFFLES = {
     "setop_intersect_all": 1,
     "ts_downsample_m4": 1,
     "udaf_pandas_window": 1,
+    "graph_degree_distribution": 2,
+    "sink_merge_upsert": 2,
+    "graph_bfs_hops": 3,
 }
 
 
