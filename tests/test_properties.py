@@ -293,3 +293,131 @@ def test_streaks_equal_bruteforce_runs(spark, tmp_path):
             runs.append(cur)
             assert got[u].longest_streak == max(runs), (seed, u)
             assert got[u].n_streaks == len(runs), (seed, u)
+
+
+def test_pack_sequences_equals_reference_packer(spark):
+    """Arrow grouped-map packing == an independent Python reference
+    packer on seeded random token lengths (boundary and oversize-doc
+    cases included by construction)."""
+    from mediaplaycounts_spark.registry import get
+    import __spark_entry__  # noqa: F401  (registry load)
+
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        n = 120
+        toks = rng.integers(1, 200, size=n)  # some docs exceed window 128
+        rows = [(int(i), " ".join("w" for _ in range(int(t)))) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # run the same kernel the registered key uses, on this frame
+        from pyspark.sql import functions as F2
+        import pandas as pd
+
+        docs = df.select(
+            "doc_id",
+            (F2.col("doc_id") % 8).alias("shard"),
+            F2.size(F2.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+
+        def pack(pdf):
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            window, bin_idx, fill = 128, 0, 0
+            bins = []
+            for i, t in enumerate(pdf["n_tokens"]):
+                if i > 0 and fill + t > window:
+                    bin_idx, fill = bin_idx + 1, t
+                else:
+                    fill += t
+                bins.append(bin_idx)
+            return pdf.assign(bin_idx=pd.Series(bins, dtype="int64"))
+
+        got = {
+            r.doc_id: (r.shard, r.bin_idx)
+            for r in docs.groupBy("shard")
+            .applyInPandas(pack, "doc_id long, shard long, n_tokens long, bin_idx long")
+            .collect()
+        }
+
+        # independent reference packer
+        want = {}
+        for shard in range(8):
+            ids = [i for i in range(n) if i % 8 == shard]
+            bin_idx, fill = 0, 0
+            for j, i in enumerate(sorted(ids)):
+                t = int(toks[i])
+                if j > 0 and fill + t > 128:
+                    bin_idx, fill = bin_idx + 1, t
+                else:
+                    fill += t
+                want[i] = (shard, bin_idx)
+        assert got == want, f"seed {seed}"
+
+
+def test_quantize_roundtrip_bound_random_vectors(spark):
+    """Int8 quantization on seeded random vectors: q in [-127,127],
+    per-component reconstruction error <= scale/2 + fp eps."""
+    from pyspark.sql import functions as F2
+
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        vecs = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(50)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        scale = F2.array_max(F2.transform("embedding", F2.abs)) / F2.lit(127.0)
+        q = F2.transform(
+            "embedding", lambda x: F2.floor(x / F2.col("scale") + F2.lit(0.5))
+        )
+        out = df.withColumn("scale", scale).select(
+            "vec_id", "embedding", "scale", q.alias("q")
+        )
+        for r in out.collect():
+            assert all(-127 <= int(v) <= 127 for v in r.q)
+            for x, qi in zip(r.embedding, r.q):
+                assert abs(x - qi * r.scale) <= r.scale / 2 + 1e-12
+
+
+def test_bfs_hops_equal_networkx_style_reference(spark):
+    """Layered-frontier BFS == a dict-based reference BFS on a seeded
+    random bipartite graph."""
+    from pyspark.sql import functions as F2
+
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        edges = set()
+        for _ in range(300):
+            c, s = int(rng.integers(0, 40)), int(rng.integers(0, 15))
+            edges.add((2 * c, 2 * s + 1))
+        und = list(edges) + [(b, a) for a, b in edges]
+        e = spark.createDataFrame(und, "src long, dst long").localCheckpoint()
+        seeds_nodes = [2 * c for c in range(5)]
+        settled = spark.createDataFrame(
+            [(n, 0) for n in seeds_nodes], "node long, hops long"
+        )
+        frontier = settled
+        for h in range(1, 4):
+            nxt = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F2.col("dst").alias("node"))
+                .distinct()
+                .join(settled, "node", "left_anti")
+                .select("node", F2.lit(h).cast("long").alias("hops"))
+                .localCheckpoint()
+            )
+            settled = settled.unionAll(nxt).localCheckpoint()
+            frontier = nxt
+        got = {r.node: r.hops for r in settled.collect()}
+
+        # reference BFS
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+        want = {n: 0 for n in seeds_nodes}
+        cur = set(seeds_nodes)
+        for h in range(1, 4):
+            nxt_set = set()
+            for n in cur:
+                nxt_set |= adj.get(n, set())
+            nxt_set -= set(want)
+            for n in nxt_set:
+                want[n] = h
+            cur = nxt_set
+        assert got == want, f"seed {seed}"
