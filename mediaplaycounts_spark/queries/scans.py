@@ -608,3 +608,74 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SCRATCH / f"merge_{uuid.uuid4().hex[:12]}"
     merged.write.mode("overwrite").parquet(str(out))
     return spark.read.parquet(str(out))
+
+
+_DUCK_COLS_SQL = ", ".join(f"'c{i}': 'VARCHAR'" for i in range(26))
+
+CSV_QUOTED = str(pathlib.Path(FIXTURE_DIR).parent / "csv" / "quoted.csv")
+BZ2_GLOB = str(
+    pathlib.Path(FIXTURE_DIR).parent
+    / "mediacounts_bz2"
+    / "mediacounts.2024-01-01.v00.tsv.bz2"
+)
+
+
+@register(
+    "scan_csv_quoted_multiline",
+    oracle=f"""
+        SELECT CAST(id AS BIGINT) AS id, title, description,
+               CAST(plays AS BIGINT) AS plays
+        FROM read_csv('{CSV_QUOTED}', header=true)
+    """,
+)
+def scan_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV edge cases done right: quoted fields containing
+    commas, EMBEDDED NEWLINES (multiLine=true — the file is no longer
+    line-splittable), doubled-quote escapes, and empty->null fields.
+    The oracle parses the identical file with DuckDB's reader, so any
+    quoting/escape divergence fails the equality.
+
+    Scale note: multiLine disables input splitting (a record can span
+    split boundaries), so one task per file — reserve it for the messy
+    minority of inputs and keep bulk dumps in splittable layouts
+    (scan_tsv_log)."""
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema("id bigint, title string, description string, plays bigint")
+        .csv(CSV_QUOTED)
+    )
+    return df
+
+
+@register(
+    "scan_tsv_bz2_compressed",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(c3 AS BIGINT)) AS BIGINT) AS total_c3
+        FROM read_csv('{FIXTURE_DIR}/mediacounts.2024-01-01.v00.tsv',
+                      delim='\t', header=false,
+                      columns={{{_DUCK_COLS_SQL}}})
+    """,
+)
+def scan_tsv_bz2_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-dump ingest: the same mediacounts TSV day, bz2-packed
+    (the codec Wikimedia ships dumps in; Spark decodes by extension).
+    The oracle reads the UNCOMPRESSED twin of the identical content, so
+    the equality proves lossless codec handling end-to-end.
+
+    Scale note: bz2 is one of the few SPLITTABLE compression codecs —
+    unlike gzip, a 100 GB .bz2 dump still fans out across tasks."""
+    raw = (
+        spark.read.option("sep", "\t")
+        .schema(
+            " ".join(f"c{i} string," for i in range(25)).rstrip(",") + ", c25 string"
+        )
+        .csv(BZ2_GLOB)
+    )
+    return raw.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("c3").cast("long")).alias("total_c3"),
+    )

@@ -182,6 +182,7 @@ MAX_SHUFFLES = {
     "graph_degree_distribution": 2,
     "sink_merge_upsert": 2,
     "graph_bfs_hops": 3,
+    "scan_tsv_bz2_compressed": 1,
 }
 
 
