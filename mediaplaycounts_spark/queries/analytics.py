@@ -512,3 +512,72 @@ def reshape_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_ts.alias("valid_to"),
         lead_ts.isNull().cast("long").alias("is_current"),
     )
+
+
+@register(
+    "agg_session_bounce_rate",
+    oracle="""
+        WITH l AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pts
+            FROM events),
+        f AS (SELECT user_id, ts,
+                     CASE WHEN pts IS NULL
+                               OR ts - pts >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM l),
+        s AS (SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f),
+        sess AS (SELECT user_id, sid,
+                        CAST(date_trunc('day', MIN(ts)) AS DATE) AS day,
+                        COUNT(*) AS n_events
+                 FROM s GROUP BY user_id, sid)
+        SELECT day,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS bounce_ppm
+        FROM sess GROUP BY day
+    """,
+)
+def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing a
+    single event, grouped by session-start day — the engagement metric
+    built on the same lag+cumsum sessionization as
+    stream_session_window's oracle, in exact integer ppm.
+
+    One user_id-keyed shuffle powers both windows and the session
+    rollup; the daily grid is tiny regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.col("pts").isNull()
+        | (F.col("ts") - F.col("pts") >= F.expr("interval 30 minutes"))
+    ).cast("int")
+    s = (
+        ev.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("pts"))
+        .withColumn("brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.date_trunc("DAY", F.min("ts")).cast("date").alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    return sess.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).cast("long").alias("n_bounces"),
+        F.expr(
+            "cast(sum(cast(n_events = 1 as int)) * 1000000 div count(*) as bigint)"
+        ).alias("bounce_ppm"),
+    )

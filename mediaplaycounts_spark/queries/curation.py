@@ -511,3 +511,79 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("c * (1000000 div n)")).cast("long").alias("rarity_score"),
         )
     )
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        m AS (SELECT doc_id, lang, text,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(toks, w -> len(w)))
+                          AS DOUBLE) / len(toks) AS mwl,
+                     CAST(len(list_filter(toks,
+                              w -> list_contains({list(_STOPWORDS)}, w)))
+                          AS BIGINT) AS sc
+              FROM t),
+        kept AS (SELECT doc_id, lang, text, n_words FROM m
+                 WHERE n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                   AND mwl >= {_MIN_MWL} AND mwl <= {_MAX_MWL}
+                   AND sc >= {_STOP_FLOOR}),
+        keeper AS (SELECT MIN(doc_id) AS doc_id FROM kept
+                   GROUP BY sha256(text)),
+        surv AS (SELECT kept.doc_id, kept.lang, kept.n_words
+                 FROM keeper JOIN kept ON keeper.doc_id = kept.doc_id)
+        SELECT doc_id, lang, n_words,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                    THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM surv
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation pipeline in one declarative plan:
+    Gopher-style quality gate -> exact-dedup keeper (sha256, min-id
+    survivor) -> deterministic md5-prefix train/valid/test split. Raw
+    corpus in, training-ready doc manifest out — the composition every
+    pretraining run executes, here as one Catalyst plan (gate is a
+    narrow codegen'd projection; dedup is the single keyed shuffle;
+    split is a pure function).
+
+    At 100 TB each stage keeps its own shape: the gate prunes before
+    the shuffle (cheapest first), the dedup groupBy carries only
+    (hash, doc_id), and the split adds zero movement. Swap the exact
+    dedup for dedup_minhash_clusters' pipeline when near-dups matter."""
+    docs = load_table(spark, sf_dir, "documents")
+    stoplist = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = D.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mwl = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / F.size(toks)
+    )
+    sc = F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w)))
+    kept = docs.filter(
+        n_words.between(_MIN_WORDS, _MAX_WORDS)
+        & (mwl >= _MIN_MWL)
+        & (mwl <= _MAX_MWL)
+        & (sc >= _STOP_FLOOR)
+    ).select("doc_id", "lang", "text", n_words.alias("n_words"))
+    keeper = kept.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = keeper.select("doc_id").join(kept, "doc_id")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return surv.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.when(prefix < "0d", F.lit("test"))
+        .when(prefix < "1a", F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

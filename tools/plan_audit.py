@@ -183,6 +183,8 @@ MAX_SHUFFLES = {
     "sink_merge_upsert": 2,
     "graph_bfs_hops": 3,
     "scan_tsv_bz2_compressed": 1,
+    "pipeline_curate_corpus": 1,
+    "agg_session_bounce_rate": 2,
 }
 
 
