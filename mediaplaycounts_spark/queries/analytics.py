@@ -581,3 +581,132 @@ def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(cast(n_events = 1 as int)) * 1000000 div count(*) as bigint)"
         ).alias("bounce_ppm"),
     )
+
+
+@register(
+    "join_temporal_scd2_asof",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS pt
+            FROM events),
+        m AS (SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN pt IS NULL OR event_type <> pt
+                          THEN ts END AS chg
+              FROM e),
+        r AS (SELECT user_id, ts, event_id, event_type,
+                     MAX(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_start
+              FROM m)
+        SELECT event_id, user_id, event_type, run_start FROM r
+    """,
+)
+def join_temporal_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against an SCD2 dimension: each
+    event joins the type-history segment valid at its timestamp
+    (user equi-key + [valid_from, valid_to) band, NULL-open current
+    row) — the warehouse pattern for 'what was this entity's attribute
+    WHEN the fact happened'. Cross-validated formulation: the oracle
+    derives the same answer windows-only (cumulative MAX of change
+    points), so the join's interval semantics are value-checked against
+    an independent derivation, not a replay of itself.
+
+    Scale: the history table is |changes| (orders of magnitude smaller
+    than facts); the join is an equi-join on user_id with a residual
+    band filter — hash join, never BNLJ. (user_id, ts) is unique in
+    this data, so the band's half-open edges are unambiguous."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("pt"),
+    )
+    ch = e.filter(F.col("pt").isNull() | (F.col("event_type") != F.col("pt")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ch.select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("run_type"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    joined = ev.join(
+        hist,
+        (ev.user_id == hist.h_user)
+        & (ev.ts >= hist.valid_from)
+        & (hist.valid_to.isNull() | (ev.ts < hist.valid_to)),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("run_start"),
+    )
+
+
+@register(
+    "win_session_paths",
+    oracle="""
+        WITH l AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pts
+            FROM events),
+        f AS (SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN pts IS NULL
+                               OR ts - pts >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM l),
+        s AS (SELECT user_id, ts, event_id, event_type,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f)
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session event-type PATH strings ('view>click>purchase') over
+    30-minute-gap sessions — the input to funnel/path-mining analyses.
+    Order inside the path is pinned by (ts, event_id), so the string
+    aggregation is deterministic on both engines (Spark: sort the
+    collected (ts, event_id, type) structs, then join; DuckDB: ordered
+    string_agg).
+
+    Same single user_id-keyed shuffle as the other sessionized keys;
+    path assembly happens per session group, output is |sessions|."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.col("pts").isNull()
+        | (F.col("ts") - F.col("pts") >= F.expr("interval 30 minutes"))
+    ).cast("int")
+    s = (
+        ev.select("user_id", "ts", "event_id", "event_type",
+                  F.lag("ts").over(w).alias("pts"))
+        .withColumn("brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        path.alias("path"),
+    ).drop("sid")

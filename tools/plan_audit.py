@@ -185,6 +185,8 @@ MAX_SHUFFLES = {
     "scan_tsv_bz2_compressed": 1,
     "pipeline_curate_corpus": 1,
     "agg_session_bounce_rate": 2,
+    "join_temporal_scd2_asof": 1,
+    "win_session_paths": 1,
 }
 
 
