@@ -1208,3 +1208,83 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     cc = D.connected_components(nodes, edges)
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+@register(
+    "text_langid_char_ngram",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 2, 1)),
+                       i -> substr(text, i, 3)))) AS g
+            FROM documents),
+        prof_counts AS (
+            SELECT lang AS plang, g, COUNT(*) AS c
+            FROM grams GROUP BY plang, g),
+        prof AS (
+            SELECT plang, g FROM (
+                SELECT plang, g,
+                       row_number() OVER (PARTITION BY plang
+                                          ORDER BY c DESC, g) AS rn
+                FROM prof_counts) WHERE rn <= 20),
+        scores AS (
+            SELECT grams.doc_id, grams.lang, prof.plang,
+                   COUNT(*) AS s
+            FROM grams JOIN prof ON grams.g = prof.g
+            GROUP BY grams.doc_id, grams.lang, prof.plang),
+        best AS (
+            SELECT doc_id, lang, plang AS predicted, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, plang) AS rn
+            FROM scores)
+        SELECT doc_id, lang, predicted, CAST(s AS BIGINT) AS score
+        FROM best WHERE rn = 1
+    """,
+)
+def text_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID, fastText-style shape: per-language
+    profiles are the top-20 char trigrams BY DOCUMENT FREQUENCY learned
+    from the labeled corpus itself (no hand-curated marker lists, unlike
+    text_langid's word markers); each doc scores by distinct-trigram
+    overlap with every profile and takes the argmax (deterministic
+    (score desc, lang) tie-break). Everything is integer counts — the
+    whole train-then-classify loop is one declarative plan.
+
+    Scale: the profile table is |langs| x 20 rows — broadcast onto the
+    doc-gram stream; doc grams are distinct-per-doc so the join fans out
+    at most 20x|langs| per doc. Shuffles are all vocabulary- or
+    doc-count-sized, never raw-character-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    gram_arr = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)),"
+        " i -> substring(text, i, 3))"
+    )
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(gram_arr)).alias("g")
+    )
+    prof_counts = grams.groupBy(
+        F.col("lang").alias("plang"), "g"
+    ).agg(F.count("*").alias("c"))
+    wprof = Window.partitionBy("plang").orderBy(F.desc("c"), F.asc("g"))
+    prof = (
+        prof_counts.withColumn("rn", F.row_number().over(wprof))
+        .filter(F.col("rn") <= 20)
+        .select("plang", "g")
+    )
+    scores = (
+        grams.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("s"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("plang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("plang").alias("predicted"),
+            F.col("s").cast("long").alias("score"),
+        )
+    )

@@ -187,6 +187,7 @@ MAX_SHUFFLES = {
     "agg_session_bounce_rate": 2,
     "join_temporal_scd2_asof": 1,
     "win_session_paths": 1,
+    "text_langid_char_ngram": 4,
 }
 
 
