@@ -1288,3 +1288,34 @@ def text_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("long").alias("score"),
         )
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     AS norm
+            FROM documents)
+        SELECT sha256(norm) AS norm_hash,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM n GROUP BY norm_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on NORMALIZED content (lowercase + whitespace
+    collapse + trim before hashing) — catches trivially-reformatted
+    copies that byte-exact sha256 (`dedup_exact_hash`) treats as
+    distinct; the first normalization pass every curation pipeline
+    runs before content hashing. Same one-shuffle hash-groupBy shape;
+    the normalization is a codegen'd projection (RE2-safe pattern
+    identical across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.sha2(norm, 256).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )

@@ -543,3 +543,48 @@ def pipeline_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= 2000).cast("long").alias("kept"),
     )
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   SUM(CAST(length(text) AS BIGINT))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_bytes
+            FROM documents)
+        SELECT doc_id, lang, n_bytes,
+               CAST((cum_bytes - n_bytes) // 8192 AS BIGINT) AS shard_idx
+        FROM t
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output-shard planning: docs are assigned (in stable
+    doc_id order, per lang) to ~8 KB shards by the cumulative byte
+    offset at which each doc STARTS — floor(start_offset/shard_size)
+    yields contiguous, size-balanced shards without a sequential
+    packer. This is the manifest a training-data writer consumes to
+    emit fixed-size .tar/.parquet shards; contrast
+    pipeline_pack_sequences, whose bins must never split a doc (that
+    needs the sequential kernel — shard files may split at doc
+    boundaries only, which start-offset assignment guarantees).
+
+    One running-sum window per lang; integer arithmetic only."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bytes = F.length("text").cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select("doc_id", "lang", n_bytes.alias("n_bytes")).withColumn(
+        "cum_bytes", F.sum("n_bytes").over(w)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_bytes",
+        F.expr("cast((cum_bytes - n_bytes) div 8192 as bigint)").alias("shard_idx"),
+    )

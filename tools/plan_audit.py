@@ -188,6 +188,8 @@ MAX_SHUFFLES = {
     "join_temporal_scd2_asof": 1,
     "win_session_paths": 1,
     "text_langid_char_ngram": 4,
+    "pipeline_shard_manifest": 1,
+    "dedup_exact_normalized": 1,
 }
 
 
