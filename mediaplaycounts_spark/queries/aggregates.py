@@ -480,3 +480,61 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_approx"),
     )
+
+
+def _bound_hll_intersection(
+    spark: SparkSession, sf_dir: str, result: DataFrame
+) -> str:
+    """Inclusion-exclusion estimate vs exact: |view ∩ purchase| users.
+    Each HLL term carries ~0.8% rsd at lgK=14; the difference of three
+    estimates compounds, so assert within 10% of the exact intersection
+    (measured well inside at sf0.01)."""
+    ev = load_table(spark, sf_dir, "events")
+    va = {r.user_id for r in ev.filter(F.col("event_type") == "view")
+          .select("user_id").distinct().collect()}
+    pb = {r.user_id for r in ev.filter(F.col("event_type") == "purchase")
+          .select("user_id").distinct().collect()}
+    exact = len(va & pb)
+    row = result.head()
+    assert row.n_view >= 0 and row.n_purchase >= 0
+    err = abs(row.n_intersection_est - exact)
+    assert err <= max(2, 0.10 * exact), (row.n_intersection_est, exact)
+    return (
+        f"inclusion-exclusion estimate {row.n_intersection_est} within "
+        f"10% of exact intersection {exact}"
+    )
+
+
+@register(
+    "agg_hll_intersection",
+    oracle=None,
+    bound=_bound_hll_intersection,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: estimated audience overlap |A ∩ B| between view
+    and purchase users by inclusion-exclusion over mergeable HLL
+    sketches — est(A) + est(B) − est(A ∪ B) — the cross-segment overlap
+    query that, at 100 TB, runs entirely on pre-built per-segment
+    sketch blobs (union = sketch merge; no raw-data rescan, no exact
+    distinct shuffle). Engine-specific sketches => bound-checked: the
+    estimate must land within 10% of the exact intersection."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id", 14).alias("ska"))
+        .crossJoin(b.agg(F.hll_sketch_agg("user_id", 14).alias("skb")))
+        .crossJoin(
+            a.unionAll(b).agg(F.hll_sketch_agg("user_id", 14).alias("skab"))
+        )
+    )
+    return sk.select(
+        F.hll_sketch_estimate("ska").alias("n_view"),
+        F.hll_sketch_estimate("skb").alias("n_purchase"),
+        F.hll_sketch_estimate("skab").alias("n_union_est"),
+        (
+            F.hll_sketch_estimate("ska")
+            + F.hll_sketch_estimate("skb")
+            - F.hll_sketch_estimate("skab")
+        ).alias("n_intersection_est"),
+    )

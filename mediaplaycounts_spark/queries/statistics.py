@@ -412,3 +412,77 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_terms"),
         F.round(num / den, 4).alias("zipf_slope"),
     )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100, 0) AS BIGINT) END)
+                       AS BIGINT) AS y
+            FROM events GROUP BY day),
+        m AS (
+            SELECT day, x, y,
+                   COUNT(*) OVER w AS n,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+                   CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+            FROM d
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT day, n,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN round(
+                        CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               END AS r7
+        FROM m
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling Pearson correlation between the view and
+    click daily revenue series — the co-movement monitor on a metric
+    pair. All five frame sums are exact int64 over integer cents
+    (order-independent); the final r is one deterministic double
+    expression per row, rounded identically, NULL where a frame has
+    zero variance. The single ORDER BY day window runs on the tiny
+    daily grid, not raw events — a global-series window is fine when
+    the series is O(days); partition by metric-pair for many series."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    d = ev.groupBy(F.date_trunc("DAY", "ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", c)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", c)).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    m = d.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "day",
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double")),
+                6,
+            ),
+        ).alias("r7"),
+    )

@@ -50,6 +50,7 @@ ALLOWED = {
     "sim_mmr_diversify": "greedy argmax stages crossJoin 1-row broadcast selected sets over the k-candidate table",
     "text_perplexity_unigram": "1-row corpus-total aggregate crossed in (broadcast)",
     "pipeline_domain_mixture": "1-row min-count aggregate crossed into the per-lang rate table",
+    "agg_hll_intersection": "three 1-row sketch aggregates crossed together",
 }
 
 
@@ -190,6 +191,8 @@ MAX_SHUFFLES = {
     "text_langid_char_ngram": 4,
     "pipeline_shard_manifest": 1,
     "dedup_exact_normalized": 1,
+    "agg_hll_intersection": 3,
+    "win_rolling_corr": 2,
 }
 
 
