@@ -260,3 +260,53 @@ def sql_subquery_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE n_regionkey = 1)
         """
     )
+
+
+@register(
+    "sql_udf_params_lateral",
+    oracle="""
+        WITH a AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * CAST(round((1.0 - l_discount) * 10000, 0)
+                                   AS BIGINT)) AS DOUBLE) / 1e6 AS revenue_e6
+            FROM lineitem WHERE l_quantity > 10
+            GROUP BY l_returnflag)
+        SELECT l_returnflag, n_rows, revenue_e6,
+               round(revenue_e6 / n_rows, 6) AS rev_per_row
+        FROM a
+    """,
+)
+def sql_udf_params_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three modern SQL-surface features in one graded plan:
+
+    - a SQL-DEFINED function (CREATE TEMPORARY FUNCTION ... RETURN
+      expr): user abstraction with ZERO UDF cost — the body inlines
+      into Catalyst and stays in whole-stage codegen, unlike any
+      Python/JVM UDF;
+    - PARAMETERIZED spark.sql (named :minq binding — injection-safe
+      templating, the serving layer's prepared-statement analog);
+    - LATERAL COLUMN ALIAS: `rev_per_row` references `revenue_e6`
+      defined in the same SELECT — no subquery wrapper.
+
+    The revenue body is the integer-cents-exact expression from
+    _helpers, so values hash-match the oracle exactly."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents_rev_e6(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN cast(round(p * 100, 0) as bigint) "
+        "* cast(round((1.0 - d) * 10000, 0) as bigint)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(cents_rev_e6(l_extendedprice, l_discount)) AS DOUBLE)
+                 / 1e6 AS revenue_e6,
+               round(revenue_e6 / n_rows, 6) AS rev_per_row
+        FROM li_sqludf WHERE l_quantity > :minq
+        GROUP BY l_returnflag
+        """,
+        args={"minq": 10},
+    )

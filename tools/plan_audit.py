@@ -193,6 +193,7 @@ MAX_SHUFFLES = {
     "dedup_exact_normalized": 1,
     "agg_hll_intersection": 3,
     "win_rolling_corr": 2,
+    "sql_udf_params_lateral": 1,
 }
 
 
