@@ -115,11 +115,21 @@ def create_app(
                     series = category_last_n(playcounts, members, name, n, anchor)
                 else:
                     series = last_n(playcounts, name, n, anchor)
+            payload = to_api_payload(series)
         except ValueError as ex:
             return respond(
                 start_response, "400 Bad Request", {"error": str(ex)}
             )
-        return respond(start_response, "200 OK", to_api_payload(series))
+        except Exception as ex:  # keep the all-JSON response contract:
+            # a Spark-side failure (e.g. AnalysisException on a malformed
+            # snapshot, or an executor error surfacing at the payload
+            # collect) must not escape the WSGI callable as a non-JSON 500
+            return respond(
+                start_response,
+                "500 Internal Server Error",
+                {"error": f"{type(ex).__name__}: {ex}"},
+            )
+        return respond(start_response, "200 OK", payload)
 
     return app
 

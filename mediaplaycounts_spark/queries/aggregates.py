@@ -138,9 +138,49 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bound_vs_exact_distinct(result_col: str):
-    """Bound factory: per-type estimate within 5x the configured rsd
-    (rsd=0.01 -> 5%) of the exact distinct-user count, every group."""
+#: DuckDB twin for the within_bound distinct keys: exact per-type
+#: distincts, with the bound column pinned TRUE — the driver's hash
+#: compare then VERIFIES the approximation bound (a FALSE row on the
+#: Spark side hash-mismatches).
+_EXACT_DISTINCT_TRUE_SQL = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+"""
+
+
+def _exact_vs_estimate_distinct(
+    spark: SparkSession, sf_dir: str, est: DataFrame, est_col: str
+) -> DataFrame:
+    """Join a per-type distinct ESTIMATE to its exact twin in the same
+    plan and emit ``(event_type, n_users_exact, within_bound)`` — the
+    driver-checkable form asked for in VERDICT r2 #1: the estimate
+    itself leaves the schema; what ships is the exact value (hash-
+    matched against DuckDB) plus a boolean proving the estimate landed
+    within 5% of it. Both sides are one hash-agg shuffle; the join is
+    |event_type| rows, broadcast."""
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users_exact"))
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col(est_col) - F.col("n_users_exact"))
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("n_users_exact"))
+        ).alias("within_bound"),
+    )
+
+
+def _bound_vs_exact_distinct(raw_fn, result_col: str):
+    """Bound factory: per-type RAW estimate within 5x the configured rsd
+    (rsd=0.01 -> 5%) of the exact distinct-user count, every group.
+    ``raw_fn(spark, sf_dir)`` rebuilds the raw estimate DataFrame (the
+    registered key now ships only exact+boolean, so the bound recomputes
+    the estimate itself and asserts the stronger per-group numbers)."""
 
     def bound(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
         exact = {
@@ -150,49 +190,45 @@ def _bound_vs_exact_distinct(result_col: str):
             .agg(F.count_distinct("user_id").alias("n"))
             .collect()
         }
-        got = {r["event_type"]: r[result_col] for r in result.collect()}
+        got = {r["event_type"]: r[result_col] for r in raw_fn(spark, sf_dir).collect()}
         assert set(got) == set(exact), (sorted(got), sorted(exact))
         for t, n in exact.items():
             assert abs(got[t] - n) <= max(1, 0.05 * n), (t, got[t], n)
+        flags = [r.within_bound for r in result.collect()]
+        assert flags and all(flags), "registered within_bound has FALSE rows"
         return f"estimate within 5% of exact distinct for all {len(exact)} groups"
 
     return bound
 
 
-@register(
-    "agg_approx_distinct",
-    oracle=None,
-    bound=_bound_vs_exact_distinct("n_users_approx"),
-)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct per type — the 100 TB substitute for exact distinct.
-
-    rsd=0.01; no ANSI value oracle (approximation is engine-specific) —
-    the registered bound asserts each estimate within 5% of the exact
-    distinct count instead.
-    """
+def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
     )
 
 
 @register(
-    "agg_hll_sketch_merge",
-    oracle=None,
-    bound=_bound_vs_exact_distinct("n_users_est"),
+    "agg_approx_distinct",
+    oracle=_EXACT_DISTINCT_TRUE_SQL,
+    bound=_bound_vs_exact_distinct(_approx_distinct_raw, "n_users_approx"),
 )
-def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level distinct counting via MERGEABLE HLL sketches — the
-    100 TB pattern `agg_approx_distinct` hides inside one expression,
-    made explicit: build per-(type, day) Datasketches HLL sketches of
-    user_id (level 1: daily batch jobs each emit a tiny sketch), then
-    union the sketches per type and estimate (level 2: the cross-day
-    rollup touches only |types| x |days| sketch blobs, never re-reads
-    the raw 100 TB). Deterministic (no RNG) but sketch-binary-specific,
-    so rows-only; tests bound the estimate error vs exact distinct.
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct per type — the 100 TB substitute for exact distinct.
+
+    rsd=0.01. Driver-checkable form (VERDICT r2 #1): the estimate is
+    joined to the exact distinct in the SAME plan and the output is
+    ``(event_type, n_users_exact, within_bound)``; the DuckDB oracle
+    reproduces the exact values with TRUE, so a bound violation is a
+    hash mismatch the driver sees. The registered ``bound`` still
+    asserts the raw per-group error numbers.
     """
+    return _exact_vs_estimate_distinct(
+        spark, sf_dir, _approx_distinct_raw(spark, sf_dir), "n_users_approx"
+    )
+
+
+def _hll_sketch_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("DAY", "ts").alias("day")
@@ -204,6 +240,28 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.hll_sketch_estimate("merged").alias("n_users_est"),
         )
+    )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle=_EXACT_DISTINCT_TRUE_SQL,
+    bound=_bound_vs_exact_distinct(_hll_sketch_merge_raw, "n_users_est"),
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct counting via MERGEABLE HLL sketches — the
+    100 TB pattern `agg_approx_distinct` hides inside one expression,
+    made explicit: build per-(type, day) Datasketches HLL sketches of
+    user_id (level 1: daily batch jobs each emit a tiny sketch), then
+    union the sketches per type and estimate (level 2: the cross-day
+    rollup touches only |types| x |days| sketch blobs, never re-reads
+    the raw 100 TB). Deterministic (no RNG) but sketch-binary-specific,
+    so the driver-checkable form ships the in-plan exact twin plus a
+    ``within_bound`` boolean (VERDICT r2 #1); the raw estimate numbers
+    stay asserted by the registered ``bound``.
+    """
+    return _exact_vs_estimate_distinct(
+        spark, sf_dir, _hll_sketch_merge_raw(spark, sf_dir), "n_users_est"
     )
 
 
@@ -437,14 +495,23 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_percentile_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_approx"),
+    )
+
+
 def _bound_approx_percentile(
     spark: SparkSession, sf_dir: str, result: DataFrame
 ) -> str:
-    """Approximation bound: each group's approx p50/p90 must land within
-    the value range spanned by the exact percentile ± 1 quantity unit
-    (Greenwald-Khanna at accuracy 10000 => rank error <= n/10000, and
-    l_quantity is integer-valued 1..50, so value error <= 1 with huge
-    margin)."""
+    """Approximation bound: each group's RAW approx p50/p90 must land
+    within the exact percentile ± 1 quantity unit (Greenwald-Khanna at
+    accuracy 10000 => rank error <= n/10000, and l_quantity is
+    integer-valued 1..50, so value error <= 1 with huge margin). The
+    registered key ships exact+boolean, so the raw estimates are
+    recomputed here for the stronger per-group assertion."""
     exact = {
         r.l_returnflag: (r.p50, r.p90)
         for r in load_table(spark, sf_dir, "lineitem")
@@ -455,69 +522,59 @@ def _bound_approx_percentile(
         )
         .collect()
     }
-    got = {r.l_returnflag: (r.p50_approx, r.p90_approx) for r in result.collect()}
+    got = {
+        r.l_returnflag: (r.p50_approx, r.p90_approx)
+        for r in _approx_percentile_raw(spark, sf_dir).collect()
+    }
     assert set(got) == set(exact)
     for k, (e50, e90) in exact.items():
         a50, a90 = got[k]
         assert abs(a50 - e50) <= 1.0, (k, a50, e50)
         assert abs(a90 - e90) <= 1.0, (k, a90, e90)
+    flags = [r.within_bound for r in result.collect()]
+    assert flags and all(flags), "registered within_bound has FALSE rows"
     return f"approx p50/p90 within 1 quantity unit of exact for all {len(exact)} groups"
 
 
 @register(
     "agg_approx_percentile",
-    oracle=None,
+    oracle="""
+        SELECT l_returnflag,
+               median(l_quantity) AS p50_exact,
+               quantile_cont(l_quantity, 0.9) AS p90_exact,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
     bound=_bound_approx_percentile,
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles (accuracy 10000) — the
     100 TB substitute for exact percentiles: mergeable per-partition
     sketches, one partial+final agg, no full sort of the value column.
-    Engine-specific sketch => no ANSI twin; the registered bound pins
-    each estimate within 1 quantity unit of the exact percentile."""
+
+    Driver-checkable form (VERDICT r2 #1): the GK estimates join their
+    exact twins in the SAME plan; the output is the exact p50/p90
+    (hash-matched against DuckDB's median/quantile_cont — both engines
+    linear-interpolate) plus ``within_bound`` asserting |approx−exact|
+    ≤ 1 quantity unit per group."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_approx"),
+    exact = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_exact"),
+        F.percentile("l_quantity", 0.9).alias("p90_exact"),
+    )
+    approx = _approx_percentile_raw(spark, sf_dir)
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact",
+        "p90_exact",
+        (
+            (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= 1.0)
+            & (F.abs(F.col("p90_approx") - F.col("p90_exact")) <= 1.0)
+        ).alias("within_bound"),
     )
 
 
-def _bound_hll_intersection(
-    spark: SparkSession, sf_dir: str, result: DataFrame
-) -> str:
-    """Inclusion-exclusion estimate vs exact: |view ∩ purchase| users.
-    Each HLL term carries ~0.8% rsd at lgK=14; the difference of three
-    estimates compounds, so assert within 10% of the exact intersection
-    (measured well inside at sf0.01)."""
-    ev = load_table(spark, sf_dir, "events")
-    va = {r.user_id for r in ev.filter(F.col("event_type") == "view")
-          .select("user_id").distinct().collect()}
-    pb = {r.user_id for r in ev.filter(F.col("event_type") == "purchase")
-          .select("user_id").distinct().collect()}
-    exact = len(va & pb)
-    row = result.head()
-    assert row.n_view >= 0 and row.n_purchase >= 0
-    err = abs(row.n_intersection_est - exact)
-    assert err <= max(2, 0.10 * exact), (row.n_intersection_est, exact)
-    return (
-        f"inclusion-exclusion estimate {row.n_intersection_est} within "
-        f"10% of exact intersection {exact}"
-    )
-
-
-@register(
-    "agg_hll_intersection",
-    oracle=None,
-    bound=_bound_hll_intersection,
-)
-def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch ALGEBRA: estimated audience overlap |A ∩ B| between view
-    and purchase users by inclusion-exclusion over mergeable HLL
-    sketches — est(A) + est(B) − est(A ∪ B) — the cross-segment overlap
-    query that, at 100 TB, runs entirely on pre-built per-segment
-    sketch blobs (union = sketch merge; no raw-data rescan, no exact
-    distinct shuffle). Engine-specific sketches => bound-checked: the
-    estimate must land within 10% of the exact intersection."""
+def _hll_intersection_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "view").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
@@ -537,4 +594,76 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.hll_sketch_estimate("skb")
             - F.hll_sketch_estimate("skab")
         ).alias("n_intersection_est"),
+    )
+
+
+def _bound_hll_intersection(
+    spark: SparkSession, sf_dir: str, result: DataFrame
+) -> str:
+    """Inclusion-exclusion RAW estimate vs exact: |view ∩ purchase|
+    users. Each HLL term carries ~0.8% rsd at lgK=14; the difference of
+    three estimates compounds, so assert within 10% of the exact
+    intersection (measured well inside at sf0.01). Raw estimates are
+    recomputed (the registered key ships exact+boolean)."""
+    ev = load_table(spark, sf_dir, "events")
+    va = {r.user_id for r in ev.filter(F.col("event_type") == "view")
+          .select("user_id").distinct().collect()}
+    pb = {r.user_id for r in ev.filter(F.col("event_type") == "purchase")
+          .select("user_id").distinct().collect()}
+    exact = len(va & pb)
+    row = _hll_intersection_raw(spark, sf_dir).head()
+    assert row.n_view >= 0 and row.n_purchase >= 0
+    err = abs(row.n_intersection_est - exact)
+    assert err <= max(2, 0.10 * exact), (row.n_intersection_est, exact)
+    res = result.head()
+    assert res.within_bound, "registered within_bound is FALSE"
+    return (
+        f"inclusion-exclusion estimate {row.n_intersection_est} within "
+        f"10% of exact intersection {exact}"
+    )
+
+
+@register(
+    "agg_hll_intersection",
+    oracle="""
+        WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+             p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT (SELECT COUNT(*) FROM v) AS n_view_exact,
+               (SELECT COUNT(*) FROM p) AS n_purchase_exact,
+               (SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS n_intersection_exact,
+               TRUE AS within_bound
+    """,
+    bound=_bound_hll_intersection,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: estimated audience overlap |A ∩ B| between view
+    and purchase users by inclusion-exclusion over mergeable HLL
+    sketches — est(A) + est(B) − est(A ∪ B) — the cross-segment overlap
+    query that, at 100 TB, runs entirely on pre-built per-segment
+    sketch blobs (union = sketch merge; no raw-data rescan, no exact
+    distinct shuffle).
+
+    Driver-checkable form (VERDICT r2 #1): the sketch estimate is
+    compared in-plan to the exact intersection (a distinct+semi-join
+    that only exists for grading); the output row is the exact counts
+    plus ``within_bound`` = |est − exact| ≤ max(2, 10% of exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        a.agg(F.count("*").alias("n_view_exact"))
+        .crossJoin(b.agg(F.count("*").alias("n_purchase_exact")))
+        .crossJoin(
+            a.join(b, "user_id").agg(F.count("*").alias("n_intersection_exact"))
+        )
+    )
+    est = _hll_intersection_raw(spark, sf_dir).select("n_intersection_est")
+    return exact.crossJoin(est).select(
+        "n_view_exact",
+        "n_purchase_exact",
+        "n_intersection_exact",
+        (
+            F.abs(F.col("n_intersection_est") - F.col("n_intersection_exact"))
+            <= F.greatest(F.lit(2.0), 0.10 * F.col("n_intersection_exact"))
+        ).alias("within_bound"),
     )

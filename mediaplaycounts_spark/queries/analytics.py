@@ -518,17 +518,18 @@ def reshape_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_session_bounce_rate",
     oracle="""
         WITH l AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    LAG(ts) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS pts
             FROM events),
-        f AS (SELECT user_id, ts,
+        f AS (SELECT user_id, ts, event_id,
                      CASE WHEN pts IS NULL
                                OR ts - pts >= INTERVAL '30 minutes'
                           THEN 1 ELSE 0 END AS brk
               FROM l),
         s AS (SELECT user_id, ts,
-                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                     SUM(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
               FROM f),
         sess AS (SELECT user_id, sid,

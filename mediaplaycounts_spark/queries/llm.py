@@ -197,6 +197,13 @@ def _exact_allpairs_jaccard(spark: SparkSession, sf_dir: str, threshold: float):
     )
 
 
+def _minhash_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, rows_per_band=2, threshold=0.05
+    )
+
+
 def _bound_minhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
     """Recall floor vs exact ground truth: with 8 bands x 2 rows the
     S-curve gives P(candidate) ≥ 1-(1-0.09)^8 ≈ 0.53 at J=0.3 and ≈1
@@ -204,8 +211,9 @@ def _bound_minhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
     (evidence-based, far above the theoretical floor would be flaky the
     other way). Precision is 1.0 BY CONSTRUCTION (exact-Jaccard verify
     stage) — asserted too: every reported pair must appear in the exact
-    pair set at the same threshold."""
-    got = {(r.id_a, r.id_b) for r in result.collect()}
+    pair set at the same threshold. Raw LSH pairs are recomputed here
+    (the registered key ships the summary+boolean form)."""
+    got = {(r.id_a, r.id_b) for r in _minhash_pairs_raw(spark, sf_dir).collect()}
     exact_low = {
         (r.id_a, r.id_b)
         for r in _exact_allpairs_jaccard(spark, sf_dir, 0.05).collect()
@@ -217,23 +225,81 @@ def _bound_minhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
     }
     hit = len(exact_hi & got)
     assert hit >= 0.9 * len(exact_hi), (hit, len(exact_hi))
+    flags = [r.within_bound for r in result.collect()]
+    assert flags and all(flags), "registered within_bound has FALSE rows"
     return (
         f"precision 1.0 ({len(got)} pairs all exact-verified); "
         f"recall@J>=0.3 {hit}/{len(exact_hi)}"
     )
 
 
-@register("dedup_near_minhash", oracle=None, bound=_bound_minhash)
+def _corpus_pairs_sql(threshold: float, select: str) -> str:
+    """DuckDB corpus-wide exact 2-gram-Jaccard pair CTE (the SQL twin of
+    :func:`_exact_allpairs_jaccard`), with a caller-supplied SELECT over
+    the pair table ``p(id_a, id_b)``."""
+    jac = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    return f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS s
+            FROM documents
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE {jac} >= {threshold}
+        )
+        {select}
+    """
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=_corpus_pairs_sql(
+        0.3,
+        "SELECT COUNT(*) AS n_exact_pairs_j03, TRUE AS within_bound FROM p",
+    ),
+    bound=_bound_minhash,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates -> exact-Jaccard-verified near-dup pairs.
 
-    No ANSI twin (the band-collision candidate set is hash-family-
-    specific); the registered bound asserts precision 1.0 vs the exact
-    all-pairs Jaccard set and recall ≥ 0.9 on pairs with J ≥ 0.3.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=16, rows_per_band=2, threshold=0.05
+    The band-collision candidate set is hash-family-specific, so the
+    driver-checkable form (VERDICT r2 #1) grades the pipeline against
+    its exact twin IN the plan: the output row is the exact corpus-wide
+    J≥0.3 pair count (hash-matched against DuckDB's all-pairs twin)
+    plus ``within_bound`` = (zero false positives vs the exact J≥0.05
+    set) AND (≥90% of exact J≥0.3 pairs retrieved). The exact all-pairs
+    stage exists only for grading at bound scale — at 100 TB only the
+    LSH path runs. The registered bound still asserts the raw pair-set
+    numbers."""
+    lsh = _minhash_pairs_raw(spark, sf_dir).select("id_a", "id_b")
+    exact05 = _exact_allpairs_jaccard(spark, sf_dir, 0.05).select("id_a", "id_b")
+    exact03 = _exact_allpairs_jaccard(spark, sf_dir, 0.3).select("id_a", "id_b")
+    n_fp = (
+        lsh.join(exact05, ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("n_fp"))
+    )
+    n_exact = exact03.agg(F.count("*").alias("n_exact_pairs_j03"))
+    n_hit = (
+        exact03.join(lsh, ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(n_fp)
+        .select(
+            "n_exact_pairs_j03",
+            (
+                (F.col("n_fp") == 0)
+                & (F.col("n_hit") >= 0.9 * F.col("n_exact_pairs_j03"))
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -266,11 +332,16 @@ def _bound_simhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
     2-gram Jaccard ≥ 0.5) must be close in Hamming space while random
     pairs sit near 32/2 bits apart. Measured at sf0.01: near mean 2.7 /
     max 5, random mean 18.4 — asserted with generous slack (near mean
-    ≤ 8, near max ≤ 16, random mean ≥ 12)."""
+    ≤ 8, near max ≤ 16, random mean ≥ 12). Raw fingerprints are
+    recomputed (the registered key ships the summary+boolean form)."""
     import random
     import statistics
 
-    fps = {r.doc_id: r.fingerprint for r in result.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    fps = {
+        r.doc_id: r.fingerprint
+        for r in D.simhash_fingerprints(docs, "doc_id", "text").collect()
+    }
 
     def ham(a: int, b: int) -> int:
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
@@ -291,19 +362,79 @@ def _bound_simhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
     near_mean, rand_mean = statistics.mean(nh), statistics.mean(rh)
     assert near_mean <= 8 and max(nh) <= 16, (near_mean, max(nh))
     assert rand_mean >= 12, rand_mean
+    flags = [r.within_bound for r in result.collect()]
+    assert flags and all(flags), "registered within_bound has FALSE rows"
     return (
         f"hamming separation: near(J>=0.5) mean {near_mean:.1f} max {max(nh)} "
         f"vs random mean {rand_mean:.1f} over {len(near)} near pairs"
     )
 
 
-@register("dedup_simhash", oracle=None, bound=_bound_simhash)
+@register(
+    "dedup_simhash",
+    oracle=_corpus_pairs_sql(
+        0.5,
+        "SELECT COUNT(*) AS n_near_pairs, TRUE AS within_bound FROM p",
+    ),
+    bound=_bound_simhash,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit frequency-weighted SimHash fingerprints (no xxhash64 twin
-    exists in ANSI SQL; the registered bound asserts Hamming-space
-    separation of near vs random document pairs)."""
+    """64-bit frequency-weighted SimHash fingerprints, graded by
+    Hamming-space separation computed IN the plan (VERDICT r2 #1: no
+    xxhash64 twin exists in ANSI SQL, so the driver-checkable output is
+    the exact near-pair count plus a ``within_bound`` boolean).
+
+    within_bound asserts: fingerprints of exactly-near pairs (2-gram
+    Jaccard ≥ 0.5 — the in-plan exact twin, grading-only at bound
+    scale) sit close in Hamming space (mean ≤ 8 bits, max ≤ 16) while
+    a deterministic far sample — each doc paired with its antipode by
+    doc_id rank, measured mean ≈ 18.5 bits, floor 12 — stays far. The
+    oracle reproduces the exact J≥0.5 pair count with TRUE."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_fingerprints(docs, "doc_id", "text")
+    fps = D.simhash_fingerprints(docs, "doc_id", "text")
+    near = (
+        _exact_allpairs_jaccard(spark, sf_dir, 0.5)
+        .select("id_a", "id_b")
+        .join(
+            F.broadcast(fps.select(F.col("doc_id").alias("id_a"),
+                                   F.col("fingerprint").alias("fa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(fps.select(F.col("doc_id").alias("id_b"),
+                                   F.col("fingerprint").alias("fb"))),
+            "id_b",
+        )
+        .select(F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("h"))
+        .agg(
+            F.count("*").alias("n_near_pairs"),
+            F.mean("h").alias("near_mean"),
+            F.max("h").alias("near_max"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = fps.select(
+        "fingerprint", F.row_number().over(W.orderBy("doc_id")).alias("rn")
+    )
+    half = ranked.agg((F.count("*") / 2).cast("int").alias("half"))
+    a = ranked.crossJoin(F.broadcast(half)).filter(F.col("rn") <= F.col("half"))
+    b = ranked.crossJoin(F.broadcast(half)).select(
+        (F.col("rn") - F.col("half")).alias("rb"), F.col("fingerprint").alias("fb")
+    )
+    far = (
+        a.join(b, a.rn == b.rb)
+        .select(F.bit_count(F.col("fingerprint").bitwiseXOR(F.col("fb"))).alias("h"))
+        .agg(F.mean("h").alias("far_mean"))
+    )
+    return near.crossJoin(far).select(
+        "n_near_pairs",
+        (
+            (F.col("near_mean") <= 8.0)
+            & (F.col("near_max") <= 16)
+            & (F.col("far_mean") >= 12.0)
+        ).alias("within_bound"),
+    )
 
 
 _COS_AB = S.COSINE_SQL.format(a="a.embedding", b="b.embedding")
@@ -387,16 +518,18 @@ def _numpy_probe_cosines(spark: SparkSession, sf_dir: str) -> dict[int, float]:
     }
 
 
-def _bound_ann(min_overlap: int, k: int = 20):
-    """Bound factory for ANN top-k keys: (1) returned cos_sim values
+def _bound_ann(raw_fn, min_overlap: int, k: int = 20):
+    """Bound factory for ANN top-k keys: (1) RAW returned cos_sim values
     match an independent numpy recompute within 1e-5 (the re-rank math
     is right); (2) the probe reports itself at cos 1.0; (3) at least
     ``min_overlap`` of the exact top-k appear (pruning keeps real
-    neighbors, not arbitrary rows)."""
+    neighbors, not arbitrary rows). ``raw_fn(spark, sf_dir)`` rebuilds
+    the raw ANN result (the registered key now ships the exact top-k
+    plus a within_bound boolean, VERDICT r2 #1)."""
 
     def bound(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
         truth = _numpy_probe_cosines(spark, sf_dir)
-        got = [(r.vec_id, r.cos_sim) for r in result.collect()]
+        got = [(r.vec_id, r.cos_sim) for r in raw_fn(spark, sf_dir).collect()]
         for vid, cs in got:
             assert abs(cs - truth[vid]) <= 1e-5, (vid, cs, truth[vid])
         assert got and got[0][0] == 0 and abs(got[0][1] - 1.0) <= 1e-9, got[:1]
@@ -407,6 +540,8 @@ def _bound_ann(min_overlap: int, k: int = 20):
         }
         overlap = len(exact_topk & {vid for vid, _ in got})
         assert overlap >= min_overlap, (overlap, min_overlap)
+        flags = [r.within_bound for r in result.collect()]
+        assert flags and all(flags), "registered within_bound has FALSE rows"
         return (
             f"cosines numpy-exact to 1e-5; probe self-match 1.0; "
             f"{overlap}/{k} of exact top-{k} retrieved (floor {min_overlap})"
@@ -415,15 +550,93 @@ def _bound_ann(min_overlap: int, k: int = 20):
     return bound
 
 
-@register("sim_ann_lsh", oracle=None, bound=_bound_ann(min_overlap=2))
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (no ANSI twin: bucket membership is
-    hash-family-specific). The 100 TB scale path for sim_topk_probe.
-    The registered bound numpy-verifies every returned cosine, the
-    probe self-match, and a retrieval floor vs the exact top-20."""
+#: DuckDB twin for the ANN within_bound keys: the exact brute-force
+#: top-20 (same as sim_topk_probe) with within_bound pinned TRUE.
+_ANN_CHECKED_SQL = f"""
+    WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_COS_PROBE}, 6) AS cos_sim, TRUE AS within_bound
+    FROM embeddings e, p
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 20
+"""
+
+
+def _ann_checked(
+    spark: SparkSession, sf_dir: str, ann: DataFrame, min_overlap: int, k: int = 20
+) -> DataFrame:
+    """Driver-checkable ANN form (VERDICT r2 #1): verify the ANN result
+    against its exact twin IN the plan and ship
+    ``(vec_id, cos_sim, within_bound)`` over the exact top-k rows.
+
+    within_bound (one scalar, broadcast onto every row) asserts:
+    (a) ≥ ``min_overlap`` of the exact top-k ids were retrieved by the
+    ANN path, (b) every ANN cosine equals the full-scan cosine for that
+    id within 1e-9 after both round to 6 places (the re-rank math is the
+    same fold), and (c) the probe reports itself at cosine 1.0. The
+    oracle reproduces the exact top-k with TRUE, so any violation is a
+    driver-visible hash mismatch. Cost: the exact twin is the same
+    single-scan TakeOrderedAndProject as sim_topk_probe; the checks are
+    broadcast joins over ≤ k rows."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+    exact = S.topk_bruteforce(em, "vec_id", "embedding", probe, k=k)
+    allcos = em.select(
+        "vec_id",
+        F.round(
+            S.cosine(
+                S.as_double("embedding"),
+                F.array(*[F.lit(float(x)) for x in probe]).cast("array<double>"),
+            ),
+            6,
+        ).alias("cos_full"),
+    )
+    ann_checkrows = ann.join(F.broadcast(allcos), "vec_id", "left")
+    checks = ann_checkrows.agg(
+        F.sum(
+            F.when(F.abs(F.col("cos_sim") - F.col("cos_full")) <= 1e-9, 0).otherwise(1)
+        ).alias("n_cos_mismatch"),
+        F.sum(
+            F.when(
+                (F.col("vec_id") == 0) & (F.abs(F.col("cos_sim") - 1.0) <= 1e-9), 1
+            ).otherwise(0)
+        ).alias("n_probe_self"),
+    )
+    overlap = (
+        ann.join(F.broadcast(exact.select("vec_id")), "vec_id", "left_semi")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    flag = checks.crossJoin(overlap).select(
+        (
+            (F.col("n_cos_mismatch") == 0)
+            & (F.col("n_probe_self") >= 1)
+            & (F.col("n_overlap") >= min_overlap)
+        ).alias("within_bound")
+    )
+    return exact.crossJoin(F.broadcast(flag)).select(
+        "vec_id", "cos_sim", "within_bound"
+    )
+
+
+def _ann_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     probe = S.probe_vector(em, "vec_id", "embedding", 0)
     return S.topk_lsh(em, "vec_id", "embedding", probe, k=20, num_planes=8)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=_ANN_CHECKED_SQL,
+    bound=_bound_ann(_ann_lsh_raw, min_overlap=2),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k — the 100 TB scale path for
+    sim_topk_probe. Bucket membership is hash-family-specific, so the
+    driver-checkable output is the exact top-20 plus ``within_bound``
+    (retrieval floor + cosine agreement + probe self-match, all
+    computed in-plan — see _ann_checked); the registered bound still
+    numpy-verifies the raw ANN cosines."""
+    return _ann_checked(
+        spark, sf_dir, _ann_lsh_raw(spark, sf_dir), min_overlap=2
+    )
 
 
 # ---------------------------------------------------------- multimodal
@@ -585,19 +798,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
-@register("sim_ann_ivf", oracle=None, bound=_bound_ann(min_overlap=14))
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN top-k (rows-only: cell membership is quantizer-specific).
-
-    The inverted-file alternative to sim_ann_lsh: deterministic k-means
-    coarse quantizer (fixed init + iteration count), probe searches the
-    2 nearest of 8 cells with exact cosine re-rank. At ingest scale the
-    cell id becomes a partition column and probes prune ~75% of the
-    corpus before any distance math.
-    """
+def _ann_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     probe = S.probe_vector(em, "vec_id", "embedding", 0)
     return S.topk_ivf(em, "vec_id", "embedding", probe, k=20, n_cells=8)
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=_ANN_CHECKED_SQL,
+    bound=_bound_ann(_ann_ivf_raw, min_overlap=14),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k — the inverted-file alternative to sim_ann_lsh:
+    deterministic k-means coarse quantizer (fixed init + iteration
+    count), probe searches the 2 nearest of 8 cells with exact cosine
+    re-rank. At ingest scale the cell id becomes a partition column and
+    probes prune ~75% of the corpus before any distance math.
+
+    Cell membership is quantizer-specific, so the driver-checkable
+    output is the exact top-20 plus ``within_bound`` (floor 14 of 20
+    retrieved + cosine agreement + probe self-match, in-plan)."""
+    return _ann_checked(
+        spark, sf_dir, _ann_ivf_raw(spark, sf_dir), min_overlap=14
+    )
 
 
 # ------------------------------------------------------------- TF-IDF
@@ -947,17 +1171,27 @@ def array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh_multiprobe", oracle=None, bound=_bound_ann(min_overlap=4))
-def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN top-k: probe bucket + every 1-bit-flip
-    neighbor (9 buckets at 8 planes) — the recall/cost dial between
-    `sim_ann_lsh` (1 bucket) and `sim_topk_probe` (full scan). No ANSI
-    twin (bucket membership is hash-family-specific); the registered
-    bound numpy-verifies the cosines, the probe self-match, and a
-    retrieval floor strictly above single-probe LSH's."""
+def _ann_multiprobe_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     probe = S.probe_vector(em, "vec_id", "embedding", 0)
     return S.topk_lsh_multiprobe(em, "vec_id", "embedding", probe, k=20, num_planes=8)
+
+
+@register(
+    "sim_ann_lsh_multiprobe",
+    oracle=_ANN_CHECKED_SQL,
+    bound=_bound_ann(_ann_multiprobe_raw, min_overlap=4),
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k: probe bucket + every 1-bit-flip
+    neighbor (9 buckets at 8 planes) — the recall/cost dial between
+    `sim_ann_lsh` (1 bucket) and `sim_topk_probe` (full scan). Bucket
+    membership is hash-family-specific, so the driver-checkable output
+    is the exact top-20 plus ``within_bound`` (retrieval floor strictly
+    above single-probe LSH's + cosine agreement + probe self-match)."""
+    return _ann_checked(
+        spark, sf_dir, _ann_multiprobe_raw(spark, sf_dir), min_overlap=4
+    )
 
 
 @register(
@@ -1166,6 +1400,17 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_clusters_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, rows_per_band=2, threshold=0.3
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = D.connected_components(nodes, edges)
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("lsh_rep"))
+
+
 def _bound_minhash_clusters(
     spark: SparkSession, sf_dir: str, result: DataFrame
 ) -> str:
@@ -1173,7 +1418,9 @@ def _bound_minhash_clusters(
     components over the EXACT J>=0.3 pair graph. MinHash recall@J>=0.3
     is ~1.0 (see _bound_minhash) and the verify stage re-thresholds at
     0.3 exactly, so assignments should agree on ~every doc; assert
-    >= 0.95 agreement to absorb hash-family tail misses at other SFs."""
+    >= 0.95 agreement to absorb hash-family tail misses at other SFs.
+    Raw LSH cluster reps are recomputed (the registered key ships the
+    exact rep + agreement boolean)."""
     from mediaplaycounts_spark.operators import dedup as DD
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1183,31 +1430,68 @@ def _bound_minhash_clusters(
     want = {
         r.node: r.label for r in DD.connected_components(nodes, edges).collect()
     }
-    got = {r.doc_id: r.cluster_rep for r in result.collect()}
+    got = {
+        r.doc_id: r.lsh_rep for r in _minhash_clusters_raw(spark, sf_dir).collect()
+    }
     assert set(got) == set(want)
     agree = sum(1 for k in got if got[k] == want[k])
     frac = agree / len(want)
     assert frac >= 0.95, (agree, len(want))
+    flags = [r.within_bound for r in result.collect()]
+    assert flags and all(flags), "registered within_bound has FALSE rows"
     return f"cluster assignment agrees with exact-pair components on {agree}/{len(want)} docs"
 
 
-@register("dedup_minhash_clusters", oracle=None, bound=_bound_minhash_clusters)
+@register(
+    "dedup_minhash_clusters",
+    oracle=_corpus_pairs_sql(
+        0.3,
+        """
+        , e AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION ALL SELECT id_b, id_a FROM p
+        ),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_rep, TRUE AS within_bound
+        FROM reach GROUP BY node
+        """,
+    ),
+    bound=_bound_minhash_clusters,
+)
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE scale-path dedup pipeline in one key: MinHash+LSH
     candidate generation (linear shuffle) -> exact-Jaccard verify at
     0.3 -> connected components -> min-id cluster representative per
     doc. This is what actually runs at 100 TB, where the exact
-    all-pairs graph behind `dedup_clusters` is unaffordable; its bound
-    asserts >= 95% cluster-assignment agreement with those exact-pair
-    components (measured recall@0.3 = 1.0 makes it ~100% here)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=16, rows_per_band=2, threshold=0.3
+    all-pairs graph behind `dedup_clusters` is unaffordable.
+
+    Driver-checkable form (VERDICT r2 #1): the LSH-path components are
+    compared doc-by-doc IN the plan to components over the exact J≥0.3
+    pair graph (all-pairs + pointer-jumping CC — grading-only at bound
+    scale); the output is ``(doc_id, cluster_rep, within_bound)`` where
+    cluster_rep is the exact-graph rep (hash-matched against DuckDB's
+    recursive-CTE transitive closure) and within_bound is per-doc
+    agreement of the LSH rep with it. Measured agreement 500/500 at
+    both graded SFs, deterministic (seed-free hash family)."""
+    exact_pairs = _exact_allpairs_jaccard(spark, sf_dir, 0.3)
+    edges = exact_pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    docs = load_table(spark, sf_dir, "documents")
     nodes = docs.select(F.col("doc_id").alias("node"))
-    cc = D.connected_components(nodes, edges)
-    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    exact_cc = D.connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    lsh_cc = _minhash_clusters_raw(spark, sf_dir)
+    return exact_cc.join(lsh_cc, "doc_id").select(
+        "doc_id",
+        "cluster_rep",
+        (F.col("lsh_rep") == F.col("cluster_rep")).alias("within_bound"),
+    )
 
 
 @register(

@@ -485,7 +485,7 @@ def scan_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table lives by — `WHERE day = X` never touches other days'
     files."""
     SCRATCH.mkdir(exist_ok=True)
-    out = SCRATCH / "part_disco"
+    out = SCRATCH / f"part_disco_{uuid.uuid4().hex[:12]}"
     docs = load_table(spark, sf_dir, "documents")
     (
         docs.select("doc_id", "n_chars", "lang")

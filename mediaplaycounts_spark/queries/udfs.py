@@ -98,9 +98,9 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_grouped",
     oracle="""
         SELECT CAST(label AS BIGINT) AS label,
-               CAST(SUM(CAST(round(sqrt(list_reduce(list_prepend(0.0,
+               CAST(SUM(CAST(floor(sqrt(list_reduce(list_prepend(0.0,
                         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
-                        (a, b) -> a + b)) * 100, 0) AS BIGINT)) AS DOUBLE)
+                        (a, b) -> a + b)) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                  / (100 * COUNT(*)) AS mean_norm
         FROM embeddings GROUP BY label
     """,
@@ -120,7 +120,9 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
         norms = np.sqrt(np.add.reduce(mat * mat, axis=1))
-        cents = np.round(norms * 100).astype("int64")
+        # floor(x+0.5): half-away-from-zero for positive norms, matching
+        # the oracle's floor(x*100+0.5) exactly (np.round is half-to-even)
+        cents = np.floor(norms * 100 + 0.5).astype("int64")
         return float(cents.sum()) / (100 * len(cents))
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -268,9 +270,9 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH c AS (
             SELECT CAST(label AS BIGINT) AS label, vec_id,
-                   CAST(round(sqrt(list_reduce(list_prepend(0.0,
+                   CAST(floor(sqrt(list_reduce(list_prepend(0.0,
                         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
-                        (a, b) -> a + b)) * 100, 0) AS BIGINT) AS cents
+                        (a, b) -> a + b)) * 100 + 0.5) AS BIGINT) AS cents
             FROM embeddings)
         SELECT label, vec_id,
                CAST(SUM(cents) OVER w AS DOUBLE)
@@ -299,7 +301,9 @@ def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
         norms = np.sqrt(np.add.reduce(mat * mat, axis=1))
-        cents = np.round(norms * 100).astype("int64")
+        # floor(x+0.5): half-away-from-zero for positive norms, matching
+        # the oracle's floor(x*100+0.5) exactly (np.round is half-to-even)
+        cents = np.floor(norms * 100 + 0.5).astype("int64")
         return float(cents.sum()) / (100 * len(cents))
 
     em = load_table(spark, sf_dir, "embeddings")

@@ -142,3 +142,20 @@ def test_http_error_routes(spark, playcounts_fixture):
         _call(app, "/api/1/CategoryPlaycount/last_30/Cat A")[0]
         == "503 Service Unavailable"
     )
+
+
+def test_http_unexpected_error_returns_json_500(spark, playcounts_fixture):
+    """A Spark-side failure inside the query path (e.g. a malformed
+    snapshot raising AnalysisException at plan or collect time) must
+    come back as a JSON 500, not escape the WSGI callable — the module
+    documents an all-JSON response contract."""
+    from mediaplaycounts_spark.api import create_app
+
+    # a snapshot missing every expected column breaks the plan build
+    bad = playcounts_fixture.select(
+        playcounts_fixture.columns[0]
+    ).withColumnRenamed(playcounts_fixture.columns[0], "not_a_real_col")
+    app = create_app(bad, today="2024-02-10")
+    status, out = _call(app, "/api/1/FilePlaycount/last_30/Steady file.ogv")
+    assert status == "500 Internal Server Error"
+    assert "error" in out and out["error"]

@@ -151,14 +151,14 @@ def test_approx_distinct_within_rsd_of_exact(spark):
     """HLL++ (rsd=0.01) stays within 5x the requested rsd of the exact
     per-group distinct count on the real events table — the guarantee
     that makes it a safe exact-distinct substitute at 100 TB."""
-    import __spark_entry__ as e
+    from mediaplaycounts_spark.queries.aggregates import _approx_distinct_raw
     from mediaplaycounts_spark.tables import load_table
     from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
     approx = {
         r.event_type: r.n_users_approx
-        for r in e.queries()["agg_approx_distinct"](spark, sf).collect()
+        for r in _approx_distinct_raw(spark, sf).collect()
     }
     exact = {
         r.event_type: r.n
@@ -177,15 +177,15 @@ def test_hll_sketch_merge_matches_exact_within_tolerance(spark):
     distinct-user counts as a direct exact pass — the mergeability
     property that lets the 100 TB rollup read sketch blobs, not raw
     data. lgK=14 keeps relative error well under 2%."""
-    import __spark_entry__ as e
     from pyspark.sql import functions as F
 
+    from mediaplaycounts_spark.queries.aggregates import _hll_sketch_merge_raw
     from mediaplaycounts_spark.tables import load_table
 
     sf = "/root/testdata/sf0.001"
     est = {
         r.event_type: r.n_users_est
-        for r in e.queries()["agg_hll_sketch_merge"](spark, sf).collect()
+        for r in _hll_sketch_merge_raw(spark, sf).collect()
     }
     exact = {
         r.event_type: r.n

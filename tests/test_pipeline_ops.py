@@ -238,12 +238,12 @@ def test_perplexity_rare_tokens_score_higher(spark):
 def test_multiprobe_superset_of_single_probe(spark):
     """Multi-probe searches a strict superset of buckets, so its result
     set must contain every single-probe hit (same k, same planes)."""
-    import __spark_entry__ as e
+    from mediaplaycounts_spark.queries.llm import (
+        _ann_lsh_raw,
+        _ann_multiprobe_raw,
+    )
 
     sf = "/root/testdata/sf0.001"
-    single = {r.vec_id for r in e.queries()["sim_ann_lsh"](spark, sf).collect()}
-    multi = {
-        r.vec_id
-        for r in e.queries()["sim_ann_lsh_multiprobe"](spark, sf).collect()
-    }
+    single = {r.vec_id for r in _ann_lsh_raw(spark, sf).collect()}
+    multi = {r.vec_id for r in _ann_multiprobe_raw(spark, sf).collect()}
     assert single <= multi or len(multi) == 20  # k-cap may evict tail

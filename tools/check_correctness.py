@@ -114,6 +114,8 @@ def main() -> int:
     spark = get_spark("check-correctness")
     con = duck_con(args.sf)
 
+    from mediaplaycounts_spark import registry
+
     n_pass = n_fail = n_rows_only = n_bound = 0
     for k in keys:
         if k not in qs:
@@ -122,24 +124,31 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = qs[k](spark, args.sf).toPandas()
+            # Build the DataFrame ONCE; the same object feeds the pandas
+            # conversion and any bound check (a nondeterministic key must
+            # be bounded against the execution that was graded).
+            df = qs[k](spark, args.sf)
+            sdf = df.toPandas()
         except Exception as ex:
             print(f"✗ {k}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
             continue
+        # Bounds run regardless of oracle presence: within_bound-style
+        # keys carry BOTH an oracle (driver-visible) and a stronger
+        # quantitative bound (asserted here).
+        bound = registry.get(k).bound
+        bound_msg = None
+        if bound is not None:
+            try:
+                bound_msg = bound(spark, args.sf, df)
+            except AssertionError as ex:
+                print(f"✗ {k}: BOUND VIOLATED {str(ex)[:300]}")
+                n_fail += 1
+                continue
         if k not in oracles:
-            from mediaplaycounts_spark import registry
-
-            bound = registry.get(k).bound
-            if bound is not None:
-                try:
-                    msg = bound(spark, args.sf, qs[k](spark, args.sf))
-                except AssertionError as ex:
-                    print(f"✗ {k}: BOUND VIOLATED {str(ex)[:300]}")
-                    n_fail += 1
-                    continue
+            if bound_msg is not None:
                 print(
-                    f"✓ {k}: bound-pass — {msg} "
+                    f"✓ {k}: bound-pass — {bound_msg} "
                     f"({len(sdf)} rows, {time.time()-t0:.1f}s)"
                 )
                 n_bound += 1
@@ -154,6 +163,8 @@ def main() -> int:
             n_fail += 1
             continue
         ok, msg = compare(sdf, ddf)
+        if ok and bound_msg is not None:
+            msg = f"{msg} + bound — {bound_msg}"
         mark = "✓" if ok else "✗"
         print(f"{mark} {k}: {msg} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
         n_pass += ok
