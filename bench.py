@@ -20,6 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Per-query drift gate (VERDICT r2 #7): recorded reference timings for
+#: BOTH the headline and extended sets live in bench_reference.json;
+#: any query slower than DRIFT_FACTOR x its recorded time is reported
+#: in the output JSON's "drift_alerts" (and on stderr) — pagerank's r1
+#: regression was caught by eyeball, this makes it a gate. Refresh the
+#: recording after an intentional change: python bench.py --record.
+REFERENCE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_reference.json"
+)
+DRIFT_FACTOR = 1.5
+
 #: Headline set: the reference-shaped core (daily rollup, date-range,
 #: rolling windows, category semi-join), the relational workhorses, and
 #: the LLM-pipeline ops that dominate at 100 TB.
@@ -74,6 +85,30 @@ def main() -> None:
     timings = {k: run(k) for k in HEADLINE if k in qs}
     extended = {k: run(k) for k in EXTENDED if k in qs}
     total = round(sum(timings.values()), 4)
+
+    record = "--record" in sys.argv
+    if record:
+        with open(REFERENCE_PATH, "w") as f:
+            json.dump(
+                {"sf_dir": SF_DIR, "queries": {**timings, **extended}},
+                f,
+                indent=2,
+                sort_keys=True,
+            )
+    drift_alerts = {}
+    if not record and os.path.exists(REFERENCE_PATH):
+        with open(REFERENCE_PATH) as f:
+            ref = json.load(f)
+        if ref.get("sf_dir") == SF_DIR:  # only compare like-for-like
+            for k, t in {**timings, **extended}.items():
+                r = ref["queries"].get(k)
+                if r and t > DRIFT_FACTOR * r:
+                    drift_alerts[k] = {"now": t, "recorded": r}
+    if drift_alerts:
+        print(
+            f"DRIFT >%{int((DRIFT_FACTOR-1)*100)}: {drift_alerts}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -82,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extended": extended,
+                "drift_alerts": drift_alerts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -238,6 +238,153 @@ def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSERT_MERGE_SQL = (
+    'MERGE INTO playcounts t USING staging s '
+    'ON t."event_type" = s."event_type" AND t."day_s" = s."day_s" '
+    'WHEN MATCHED AND s."seq" >= t."seq" '
+    'THEN UPDATE SET "n" = s."n", "seq" = s."seq" '
+    'WHEN NOT MATCHED THEN INSERT ("event_type", "day_s", "n", "seq") '
+    'VALUES (s."event_type", s."day_s", s."n", s."seq")'
+)
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@register(
+    "stream_jdbc_upsert",
+    oracle="""
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, day
+    """,
+)
+def stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming foreachBatch UPSERT into a JDBC store (embedded
+    Derby) across two CONFLICTING micro-batches — the SURVEY §2.A
+    upsert contract (`sink_jdbc` appends; `sink_merge_upsert` proves
+    MERGE on parquet; this key wires the two together).
+
+    Deliveries (staged as one file each; maxFilesPerTrigger=1 makes each
+    its own micro-batch): delivery 1 (seq=1) is an early snapshot — full
+    counts for the first 7 days but only even-event_id rows for days
+    8–15 (a partial mid-ingest read); delivery 2 (seq=2) re-delivers
+    days 8+ complete. Every (event_type, day) in days 8–15 therefore
+    arrives TWICE with different values; the foreachBatch body stages
+    the batch aggregate via df.write.jdbc and applies a Derby MERGE
+    keyed on (event_type, day) with a monotonic seq guard
+    (WHEN MATCHED AND s.seq >= t.seq), so newer values overwrite, stale
+    redeliveries are no-ops, and batch-order flips cannot regress the
+    table. Grading re-reads the Derby table: the final state must equal
+    the full per-(type, day) counts — the DuckDB oracle — which is only
+    true if the MERGE update branch actually applied delivery 2 over
+    delivery 1's partial rows.
+
+    Scale: this is the production cron→MySQL replacement — per-batch
+    bulk stage + one set-based MERGE (no row loop), idempotent under
+    retry by (key, seq), exactly the pattern that serves 100 TB rollups
+    behind an API.
+    """
+    run_dir = SCRATCH / f"upsert_{uuid.uuid4().hex[:12]}"
+    stage_in = str(run_dir / "in")
+    ckpt_dir = str(run_dir / "ckpt")
+    db = run_dir / "derby"
+    url = f"jdbc:derby:{db};create=true"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day_s"),
+        F.to_date(F.date_trunc("DAY", "ts")).alias("d"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    ev = ev.crossJoin(F.broadcast(d0)).withColumn(
+        "dn", F.datediff("d", "d0")
+    )
+    delivery1 = ev.filter(
+        (F.col("dn") <= 14) & ((F.col("dn") <= 6) | (F.col("event_id") % 2 == 0))
+    ).select("event_type", "day_s", F.lit(1).alias("seq"))
+    delivery2 = ev.filter(F.col("dn") >= 7).select(
+        "event_type", "day_s", F.lit(2).alias("seq")
+    )
+    # stage each delivery as ONE file so maxFilesPerTrigger=1 replays
+    # them as two ordered micro-batches
+    delivery1.coalesce(1).write.mode("append").parquet(stage_in)
+    delivery2.coalesce(1).write.mode("append").parquet(stage_in)
+
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        'CREATE TABLE playcounts ("event_type" VARCHAR(32), '
+        '"day_s" VARCHAR(10), "n" BIGINT, "seq" INT)'
+    )
+    st.close()
+    conn.close()
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # aggregate per (key, seq) then keep the newest seq per key, so
+        # the MERGE stays correct even if the source ever coalesced both
+        # deliveries into one batch
+        from pyspark.sql.window import Window as W
+
+        agg = batch_df.groupBy("event_type", "day_s", "seq").agg(
+            F.count("*").alias("n")
+        )
+        newest = (
+            agg.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("event_type", "day_s").orderBy(F.desc("seq"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("event_type", "day_s", "n", "seq")
+        )
+        (
+            newest.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "staging")
+            .option("driver", _DERBY_DRIVER)
+            .option(
+                "createTableColumnTypes",
+                "event_type VARCHAR(32), day_s VARCHAR(10)",
+            )
+            .mode("overwrite")
+            .save()
+        )
+        c = batch_df.sparkSession._jvm.java.sql.DriverManager.getConnection(url)
+        s = c.createStatement()
+        s.executeUpdate(_UPSERT_MERGE_SQL)
+        s.close()
+        c.close()
+
+    stream = (
+        spark.readStream.schema("event_type string, day_s string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_in)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "playcounts")
+        .option("driver", _DERBY_DRIVER)
+        .load()
+    )
+    return back.select(
+        "event_type",
+        F.col("day_s").alias("day"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 @register(
     "stream_stateful_running_totals",
     oracle="""

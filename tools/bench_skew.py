@@ -1,0 +1,142 @@
+"""Skew-join benchmark: salted vs plain equi-join on a Zipfian key.
+
+VERDICT r2 #5: `join_skew_salted` is registered and correct, but its
+value was never MEASURED against its unsalted twin on data where skew
+actually bites. This harness builds a deliberately skewed join (80% of
+fact rows share one hot key — the Zipfian media-file pathology from
+SURVEY.md §4.2), disables dim broadcast (at 100 TB the dim side of this
+join does not fit in an executor — broadcast would define the skew away)
+and times three strategies, warm best-of-3 into the noop sink:
+
+- plain         : hash-partitioned SMJ, AQE skew-join splitting OFF —
+                  the naive plan; the hot key pins one task.
+- plain_aqe_skew: same join with AQE skew-join ON and the split
+                  thresholds scaled to the local data size (defaults
+                  target 256 MB partitions) — what a tuned modern
+                  engine does automatically.
+- salted        : explicit (key, salt) fan-out, hot key spread over
+                  N_SALT tasks — the portable fix that works on any
+                  engine and for the aggregation-after-join case AQE
+                  skew-split does not cover.
+
+All three produce identical results (asserted). Prints ONE JSON line;
+numbers are recorded per-round in BASELINE.md.
+
+Run: python tools/bench_skew.py  [--rows 6000000 --dim 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+N_SALT = 32
+
+
+def build_tables(spark, n_rows: int, n_dim: int):
+    """Deterministic skewed fact (80% hot key) + non-broadcastable dim."""
+    fact = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 < 8, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_dim)))
+        .alias("key"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 1000).alias("grp"),
+    )
+    return fact, dim
+
+
+def plain_join(fact, dim):
+    j = fact.join(dim, "key")
+    return j.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+
+
+def salted_join(fact, dim):
+    f = fact.withColumn(
+        "salt", F.pmod(F.xxhash64("payload"), F.lit(N_SALT)).cast("int")
+    )
+    d = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    j = f.join(d, ["key", "salt"])
+    return j.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+
+
+def timed(df) -> float:
+    df.write.mode("overwrite").format("noop").save()  # warm-up
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=6_000_000)
+    ap.add_argument("--dim", type=int, default=200_000)
+    args = ap.parse_args()
+
+    from mediaplaycounts_spark.session import get_spark
+
+    spark = get_spark("bench-skew")
+    # The dim must NOT broadcast: at target scale it does not fit.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    fact, dim = build_tables(spark, args.rows, args.dim)
+    fact = fact.localCheckpoint()  # freeze inputs so runs time the JOIN
+    dim = dim.localCheckpoint()
+
+    # correctness: all strategies agree (one row per grp; compare sums)
+    want = {
+        r.grp: (r.n, r.s) for r in plain_join(fact, dim).collect()
+    }
+    got = {
+        r.grp: (r.n, r.s) for r in salted_join(fact, dim).collect()
+    }
+    assert want == got, "salted join result diverges from plain join"
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t_plain = timed(plain_join(fact, dim))
+    t_salted = timed(salted_join(fact, dim))
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # scale the skew-split thresholds to local data (defaults: 256 MB)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    t_aqe = timed(plain_join(fact, dim))
+
+    print(
+        json.dumps(
+            {
+                "metric": "skew_join_warm_best3",
+                "unit": "sec",
+                "rows": args.rows,
+                "dim": args.dim,
+                "hot_key_share": 0.8,
+                "n_salt": N_SALT,
+                "plain": t_plain,
+                "plain_aqe_skew": t_aqe,
+                "salted": t_salted,
+                "speedup_salted_vs_plain": round(t_plain / t_salted, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
