@@ -309,3 +309,157 @@ def topk_ivf(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+# ------------------------------------------------ product quantization
+
+
+def l2_normalize(vec: Column) -> Column:
+    """v / ||v|| in float64 (cosine becomes inner product)."""
+    n = F.sqrt(sq_norm(vec))
+    return F.transform(vec, lambda x: x / n)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: per subspace, a
+    k-means over the L2-normalized slice (fixed init = lowest-id
+    vectors, fixed iteration count — replayable, no RNG).
+
+    ALL subspaces train in one plan per Lloyd round: assignment is M
+    codegen'd argmin expressions over the same scan, the update stacks
+    (subspace, code, pos, x) via one unionAll and one groupBy — a
+    single shuffle per round; only the M x K x (D/M) codebook (a few
+    KB) reaches the driver, same bounded-collect contract as the IVF
+    centroid table."""
+    v = l2_normalize(as_double(vec_col))
+    dim = df.select(F.size(vec_col).alias("d")).head().d
+    d_sub = dim // m_sub
+    # staged projections: normalize ONCE per row, slice ONCE per
+    # subspace — expressions reference projected attributes, so codegen
+    # never inlines the normalization into every distance fold
+    sliced = df.select(
+        F.col(id_col), v.alias("vn")
+    ).select(
+        id_col,
+        *[
+            F.slice("vn", m * d_sub + 1, d_sub).alias(f"s{m}")
+            for m in range(m_sub)
+        ],
+    )
+    init = df.orderBy(id_col).limit(k_codes).select(v.alias("v")).collect()
+    books = [
+        [[float(x) for x in r.v[m * d_sub : (m + 1) * d_sub]] for r in init]
+        for m in range(m_sub)
+    ]
+    for _ in range(n_iters):
+        base = sliced.select(
+            *[F.col(f"s{m}") for m in range(m_sub)],
+            *[
+                _assign_cell(F.col(f"s{m}"), books[m]).alias(f"c{m}")
+                for m in range(m_sub)
+            ],
+        )
+        stacked = None
+        for m in range(m_sub):
+            part = base.select(
+                F.lit(m).alias("sub"),
+                F.col(f"c{m}").alias("code"),
+                F.posexplode(f"s{m}").alias("pos", "x"),
+            )
+            stacked = part if stacked is None else stacked.unionAll(part)
+        means = (
+            stacked.groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mn"))
+            .collect()
+        )
+        table: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            table.setdefault((r.sub, r.code), {})[r.pos] = r.mn
+        books = [
+            [
+                [table[(m, j)][p] for p in range(d_sub)]
+                if (m, j) in table
+                else books[m][j]  # empty code keeps its old centroid
+                for j in range(k_codes)
+            ]
+            for m in range(m_sub)
+        ]
+    return books
+
+
+def topk_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe: list[float],
+    k: int = 20,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """PQ-ADC ANN top-k: encode each vector as M one-byte codes, score
+    it against the probe with an Asymmetric Distance Computation table
+    (probe-to-centroid inner products, precomputed driver-side from the
+    tiny codebook), shortlist the ``rerank_factor * k`` best by ADC
+    score, exact-cosine re-rank the shortlist.
+
+    The memory-bound ANN path: at 100 TB the corpus lives as M bytes
+    per vector (64x smaller than float32 x 64 dims) + the codebook;
+    the ADC scan is table lookups and adds, no float vector ever
+    reloads until the tiny re-rank. Plan: scan -> M argmin expressions
+    + M element_at lookups (all codegen) -> TakeOrderedAndProject
+    shortlist -> exact re-rank. Deterministic end-to-end."""
+    books = train_pq_codebooks(df, id_col, vec_col, m_sub, k_codes)
+    d_sub = len(books[0][0])
+    # normalized probe, driver-side
+    import math
+
+    nrm = math.sqrt(sum(x * x for x in probe))
+    pn = [x / nrm for x in probe]
+    # ADC table: ip[m][j] = <probe_m, centroid_mj>
+    adc = [
+        [
+            sum(
+                pn[m * d_sub + t] * books[m][j][t] for t in range(d_sub)
+            )
+            for j in range(k_codes)
+        ]
+        for m in range(m_sub)
+    ]
+    v = l2_normalize(as_double(vec_col))
+    sliced = df.select(
+        F.col(id_col), F.col(vec_col), v.alias("vn")
+    ).select(
+        id_col,
+        vec_col,
+        *[
+            F.slice("vn", m * d_sub + 1, d_sub).alias(f"s{m}")
+            for m in range(m_sub)
+        ],
+    )
+    score = F.lit(0.0)
+    for m in range(m_sub):
+        code = _assign_cell(F.col(f"s{m}"), books[m])
+        tab = F.array(*[F.lit(float(x)) for x in adc[m]])
+        score = score + F.element_at(tab, code + 1)
+    p = F.array(*[F.lit(float(x)) for x in probe]).cast("array<double>")
+    shortlist = (
+        sliced.select(F.col(id_col), F.col(vec_col), score.alias("adc"))
+        .orderBy(F.desc("adc"), id_col)
+        .limit(rerank_factor * k)
+    )
+    vv = as_double(vec_col)
+    return (
+        shortlist.select(
+            F.col(id_col), F.round(cosine(vv, p), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -59,6 +59,8 @@ ALLOWED = {
     "sim_ann_lsh": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "sim_ann_lsh_multiprobe": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "sim_ann_ivf": "1-row within_bound flag broadcast onto the 20-row exact top-k",
+    "sim_ann_pq": "1-row within_bound flag broadcast onto the 20-row exact top-k",
+    "text_contamination_bloom": "1-row within_bound summary crossed onto per-doc rows",
 }
 
 
@@ -109,6 +111,9 @@ MAX_SHUFFLES = {
     "dedup_ngram_jaccard": 1,
     "dedup_paragraphs": 3,
     "dedup_minhash_clusters": 2,
+    "text_contamination_bloom": 5,
+    "dedup_substring_spans": 3,
+    "pipeline_split_leakage_guard": 4,
     "agg_approx_distinct": 3,
     "agg_hll_sketch_merge": 4,
     "dedup_simhash": 7,
