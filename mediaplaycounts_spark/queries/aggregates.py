@@ -667,3 +667,213 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(2.0), 0.10 * F.col("n_intersection_exact"))
         ).alias("within_bound"),
     )
+
+
+# ------------------------------------------------- KLL quantile sketches
+
+
+def _kll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level KLL quantile estimation: per-(type, day) sketches
+    (level 1 — what daily jobs emit), folded into one sketch per type
+    with the binary merge via a higher-order aggregate (level 2 — the
+    rollup reads sketch blobs, never raw values)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
+    )
+    grouped = daily.groupBy("event_type").agg(F.collect_list("sk").alias("sks"))
+    merged = F.aggregate(
+        F.expr("slice(sks, 2, size(sks) - 1)"),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    return grouped.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.9)).alias("p90_est"),
+    )
+
+
+def _bound_kll(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
+    """Rank-error bound: the exact rank of each estimated quantile must
+    sit within 5% of the target rank (KLL k=200 guarantees ~1.6%
+    normalized rank error; merging preserves the guarantee)."""
+    ev = load_table(spark, sf_dir, "events")
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    est = {
+        r.event_type: (r.p50_est, r.p90_est)
+        for r in _kll_estimates(spark, sf_dir).collect()
+    }
+    assert set(est) == set(vals)
+    for t, (e50, e90) in est.items():
+        v = sorted(vals[t])
+        n = len(v)
+        r50 = sum(1 for x in v if x <= e50) / n
+        r90 = sum(1 for x in v if x <= e90) / n
+        assert abs(r50 - 0.5) <= 0.05, (t, r50)
+        assert abs(r90 - 0.9) <= 0.05, (t, r90)
+    flags = [r.within_bound for r in result.collect()]
+    assert flags and all(flags), "registered within_bound has FALSE rows"
+    return f"KLL quantile ranks within 5% of target for all {len(est)} groups"
+
+
+@register(
+    "agg_kll_quantile_merge",
+    oracle="""
+        SELECT event_type,
+               median(value) AS p50_exact,
+               quantile_cont(value, 0.9) AS p90_exact,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """,
+    bound=_bound_kll,
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (Datasketches KLL): per-day sketches
+    folded into per-type quantiles — the sketch-blob rollup pattern
+    `agg_hll_sketch_merge` establishes for distinct counts, applied to
+    percentiles. At 100 TB the daily jobs each emit a ~KB sketch and
+    the cross-day p50/p90 never re-reads raw data.
+
+    Driver-checkable within_bound form: output is the exact p50/p90
+    (hash-matched to DuckDB) plus a boolean asserting the KLL
+    estimate's exact RANK lands within 5% of the target rank (rank, not
+    value — value error is unbounded in sparse tails; rank error is
+    what KLL guarantees, ~1.6% at k=200)."""
+    ev = load_table(spark, sf_dir, "events")
+    est = _kll_estimates(spark, sf_dir)
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("p50_est")).cast("long"))
+                / F.count("*")
+            ).alias("r50"),
+            (
+                F.sum((F.col("value") <= F.col("p90_est")).cast("long"))
+                / F.count("*")
+            ).alias("r90"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50_exact"),
+        F.percentile("value", 0.9).alias("p90_exact"),
+    )
+    return exact.join(F.broadcast(ranks), "event_type").select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        (
+            (F.abs(F.col("r50") - 0.5) <= 0.05)
+            & (F.abs(F.col("r90") - 0.9) <= 0.05)
+        ).alias("within_bound"),
+    )
+
+
+# --------------------------------------------------- Theta set algebra
+
+
+def _theta_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience algebra: union / intersection / difference
+    of the view and purchase user sets, estimated from two sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    sk = a.agg(F.theta_sketch_agg("user_id").alias("sa")).crossJoin(
+        b.agg(F.theta_sketch_agg("user_id").alias("sb"))
+    )
+    return sk.select(
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("n_union_est"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias(
+            "n_intersection_est"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias(
+            "n_only_view_est"
+        ),
+    )
+
+
+def _bound_theta(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
+    """All three set-op estimates within 10% (+2 absolute slack) of the
+    exact values — theta sketches bound the error of DIRECT
+    intersection/difference, which HLL can only reach via
+    inclusion-exclusion with compounding error."""
+    ev = load_table(spark, sf_dir, "events")
+    va = {r.user_id for r in ev.filter(F.col("event_type") == "view")
+          .select("user_id").distinct().collect()}
+    pb = {r.user_id for r in ev.filter(F.col("event_type") == "purchase")
+          .select("user_id").distinct().collect()}
+    row = _theta_estimates(spark, sf_dir).head()
+    for est, exact in (
+        (row.n_union_est, len(va | pb)),
+        (row.n_intersection_est, len(va & pb)),
+        (row.n_only_view_est, len(va - pb)),
+    ):
+        assert abs(est - exact) <= max(2, 0.10 * exact), (est, exact)
+    flags = [r.within_bound for r in result.collect()]
+    assert flags and all(flags), "registered within_bound has FALSE rows"
+    return (
+        f"theta union/intersection/difference estimates "
+        f"({row.n_union_est:.0f}/{row.n_intersection_est:.0f}/"
+        f"{row.n_only_view_est:.0f}) all within 10% of exact"
+    )
+
+
+@register(
+    "agg_theta_set_ops",
+    oracle="""
+        WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+             p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM v UNION SELECT user_id FROM p))
+                 AS n_union_exact,
+               (SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS n_intersection_exact,
+               (SELECT COUNT(*) FROM v ANTI JOIN p USING (user_id)) AS n_only_view_exact,
+               TRUE AS within_bound
+    """,
+    bound=_bound_theta,
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA: union, intersection, AND difference of
+    user segments estimated directly from two mergeable sketches —
+    the capability HLL lacks (`agg_hll_intersection` must go through
+    inclusion-exclusion, whose error compounds; theta sketches
+    intersect sample sets directly with bounded error, and support
+    A-not-B). At 100 TB: one sketch per segment, any boolean audience
+    combination answered from blobs.
+
+    Driver-checkable within_bound form: exact union/intersection/
+    difference counts (distinct + semi/anti joins, grading-only) plus
+    a boolean pinning every estimate within max(2, 10%) of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        a.unionAll(b)
+        .distinct()
+        .agg(F.count("*").alias("n_union_exact"))
+        .crossJoin(
+            a.join(b, "user_id").agg(F.count("*").alias("n_intersection_exact"))
+        )
+        .crossJoin(
+            a.join(b, "user_id", "left_anti").agg(
+                F.count("*").alias("n_only_view_exact")
+            )
+        )
+    )
+    est = _theta_estimates(spark, sf_dir)
+    ok = lambda e, x: F.abs(F.col(e) - F.col(x)) <= F.greatest(  # noqa: E731
+        F.lit(2.0), 0.10 * F.col(x)
+    )
+    return exact.crossJoin(est).select(
+        "n_union_exact",
+        "n_intersection_exact",
+        "n_only_view_exact",
+        (
+            ok("n_union_est", "n_union_exact")
+            & ok("n_intersection_est", "n_intersection_exact")
+            & ok("n_only_view_est", "n_only_view_exact")
+        ).alias("within_bound"),
+    )

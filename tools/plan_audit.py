@@ -61,6 +61,7 @@ ALLOWED = {
     "sim_ann_ivf": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "sim_ann_pq": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "text_contamination_bloom": "1-row within_bound summary crossed onto per-doc rows",
+    "agg_theta_set_ops": "1-row sketch + exact-twin aggregates crossed together",
 }
 
 
@@ -112,6 +113,8 @@ MAX_SHUFFLES = {
     "dedup_paragraphs": 3,
     "dedup_minhash_clusters": 2,
     "text_contamination_bloom": 5,
+    "agg_kll_quantile_merge": 4,
+    "agg_theta_set_ops": 6,
     "dedup_substring_spans": 3,
     "pipeline_split_leakage_guard": 4,
     "agg_approx_distinct": 3,
