@@ -588,3 +588,87 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.expr("cast((cum_bytes - n_bytes) div 8192 as bigint)").alias("shard_idx"),
     )
+
+
+# -------------------------------------------- preference-pair builder
+
+
+@register(
+    "pipeline_preference_pairs",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, source,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY n_words DESC, doc_id) AS rb,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY n_words ASC, doc_id) AS rw
+            FROM scored),
+        best AS (SELECT lang, source, doc_id AS chosen_id,
+                        n_words AS chosen_words
+                 FROM ranked WHERE rb = 1),
+        worst AS (SELECT lang, source, doc_id AS rejected_id,
+                         n_words AS rejected_words
+                  FROM ranked WHERE rw = 1)
+        SELECT b.lang, b.source, b.chosen_id, w.rejected_id,
+               b.chosen_words - w.rejected_words AS score_gap
+        FROM best b JOIN worst w
+          ON b.lang = w.lang AND b.source = w.source
+        WHERE b.chosen_id <> w.rejected_id
+    """,
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-PAIR construction (the DPO/RLHF data shape): within
+    each (lang, source) response group, pair the highest-scoring
+    candidate (chosen) with the lowest-scoring one (rejected), with
+    deterministic doc_id tiebreaks and degenerate single-candidate
+    groups dropped. Score here is token count (the graded stand-in for
+    a reward-model score column — the plan is identical when the score
+    arrives from a model-inference stage upstream).
+
+    Plan: one scan, two window ranks over the same (lang, source)
+    partitioning (ONE shuffle — both windows share the exchange), tiny
+    self-join on the group key. At 100 TB the group key is the prompt
+    hash and the same plan emits one pair per prompt."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    wb = Window.partitionBy("lang", "source").orderBy(
+        F.desc("n_words"), "doc_id"
+    )
+    ww = Window.partitionBy("lang", "source").orderBy("n_words", "doc_id")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    best = ranked.filter(F.col("rb") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("n_words").alias("chosen_words"),
+    )
+    worst = ranked.filter(F.col("rw") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("n_words").alias("rejected_words"),
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "lang",
+            "source",
+            "chosen_id",
+            "rejected_id",
+            (F.col("chosen_words") - F.col("rejected_words")).alias("score_gap"),
+        )
+    )

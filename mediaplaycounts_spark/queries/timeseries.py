@@ -496,3 +496,90 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cents", "ord").alias("v_last"),
         F.count("*").alias("n"),
     )
+
+
+# ------------------------------------------- seasonal decomposition
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS plays
+            FROM events WHERE event_type = 'view' GROUP BY day),
+        tr AS (
+            SELECT day, plays,
+                   CASE WHEN COUNT(*) OVER w = 7
+                        THEN CAST(SUM(plays) OVER w * 1000000 // 7 AS BIGINT)
+                        END AS trend_e6,
+                   date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) % 7
+                     AS dow
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        seas AS (
+            SELECT dow,
+                   CAST(SUM(plays * 1000000 - trend_e6) // COUNT(*) AS BIGINT)
+                     AS seasonal_e6
+            FROM tr WHERE trend_e6 IS NOT NULL GROUP BY dow)
+        SELECT tr.day, tr.plays, tr.trend_e6, seas.seasonal_e6,
+               CAST(tr.plays * 1000000 - tr.trend_e6 - seas.seasonal_e6 AS BIGINT)
+                 AS resid_e6
+        FROM tr JOIN seas ON tr.dow = seas.dow
+        WHERE tr.trend_e6 IS NOT NULL
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily play
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = per-day-of-week mean of the detrended series, residual =
+    observed − trend − seasonal. All three components in micro-unit
+    int64 arithmetic (x1e6, floor division) so both engines produce
+    bit-identical values — the decomposition every traffic-anomaly
+    investigation starts from.
+
+    Day-of-week comes from days-since-epoch mod 7 (engine-neutral;
+    dayofweek() numbering differs between engines). Plan: one daily
+    hash-agg, one 7-row window, one tiny per-dow agg broadcast back —
+    at 100 TB the window is per-series (add the series key to every
+    PARTITION BY) and nothing changes shape."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("plays"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "plays",
+        F.when(
+            F.count("*").over(w) == 7,
+            F.expr("cast(sum(plays) over (order by day rows between 3 preceding and 3 following) * 1000000 div 7 as bigint)"),
+        ).alias("trend_e6"),
+        (
+            F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date"))
+            % 7
+        ).alias("dow"),
+    )
+    seas = (
+        tr.filter(F.col("trend_e6").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                "cast(sum(plays * 1000000 - trend_e6) div count(*) as bigint)"
+            ).alias("seasonal_e6")
+        )
+    )
+    return (
+        tr.filter(F.col("trend_e6").isNotNull())
+        .join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "plays",
+            "trend_e6",
+            "seasonal_e6",
+            (
+                F.col("plays") * 1000000 - F.col("trend_e6") - F.col("seasonal_e6")
+            ).alias("resid_e6"),
+        )
+    )

@@ -114,6 +114,9 @@ MAX_SHUFFLES = {
     "dedup_minhash_clusters": 2,
     "text_contamination_bloom": 5,
     "agg_kll_quantile_merge": 4,
+    "agg_cms_frequency": 1,
+    "ts_seasonal_decompose": 2,
+    "pipeline_preference_pairs": 2,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 3,
     "pipeline_split_leakage_guard": 4,
