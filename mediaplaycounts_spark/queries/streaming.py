@@ -746,3 +746,78 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ws").cast("timestamp_ntz").alias("ws"))
         .agg(F.sum("n").alias("n"))
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             wm AS (SELECT least((SELECT MAX(ts) FROM c),
+                                 (SELECT MAX(ts) FROM p))
+                           - INTERVAL 2 HOUR AS w),
+             j AS (SELECT c.event_id AS click_id, c.user_id,
+                          c.ts AS t_click, p.event_id AS purchase_id
+                   FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        SELECT click_id, user_id, purchase_id, CAST(1 AS BIGINT) AS matched
+        FROM j
+        UNION ALL
+        SELECT c.event_id, c.user_id, CAST(NULL AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.click_id = c.event_id)
+          AND c.ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics inner
+    joins hide: an unmatched click can only be emitted (with NULL
+    purchase) once the watermark proves no matching purchase can still
+    arrive, i.e. when the global watermark (min of both streams' max
+    event time − 2 h delay) passes the click's join-window upper bound
+    (t_click + 1 h). Clicks newer than that cutoff are CORRECTLY
+    withheld — on an unbounded stream they would emit later; on bounded
+    replay they never do, and the oracle mirrors exactly that cutoff
+    (`c.ts + 1 hour < min(max_c, max_p) − 2 hours`). This key grades
+    the eviction boundary itself, the part of outer streaming joins
+    that silently drops or double-counts rows when misconfigured.
+
+    State per side is bounded by watermark × arrival rate, keyed by
+    user_id — same scale shape as `stream_stream_join`."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("t_click"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("t_purchase"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("t_purchase") >= F.col("t_click"))
+        & (F.col("t_purchase") <= F.col("t_click") + F.expr("interval 1 hour")),
+        "left_outer",
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().cast("bigint").alias("matched"),
+    )
