@@ -223,3 +223,79 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.sum((F.col("src") % 2 == 0).cast("int")).cast("long").alias("n_customers"),
     )
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT o_custkey AS c, l_suppkey AS s,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_custkey, l_suppkey),
+        e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM pairs
+              UNION ALL
+              SELECT s * 2 + 1 AS src, c * 2 AS dst, w FROM pairs),
+        walk(node, d, hops) AS (
+            SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, walk.d + e.w, walk.hops + 1
+            FROM walk JOIN e ON e.src = walk.node
+            WHERE walk.hops < 3
+        )
+        SELECT node AS node_id, MIN(d) AS dist
+        FROM walk GROUP BY node
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford, 3 relax
+    rounds) from customer 1 over the trading graph, edge weight =
+    cheapest line quantity ever shipped between the pair (int64 — path
+    sums are exact). Complements `graph_bfs_hops` (hop distance): this
+    is cost distance, the primitive behind cheapest-route and
+    closest-supplier queries.
+
+    Each round relaxes EVERY edge against the current distance table
+    (one src-keyed join) and folds with a min hash-agg — the frontier
+    never explodes into paths (the recursive-CTE oracle walks paths and
+    MINs at the end; the engine carries one row per node). At 100 TB:
+    rounds are O(diameter), each one shuffle keyed by node id;
+    localCheckpoint bounds lineage exactly like pagerank/BFS."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    e = (
+        pairs.select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            "w",
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("o_custkey") * 2).alias("dst"),
+                "w",
+            )
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(2, 0)], "node long, dist long").localCheckpoint()
+    for _ in range(3):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("node").alias("node_id"), "dist")

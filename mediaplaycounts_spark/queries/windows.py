@@ -239,3 +239,58 @@ def win_percent_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "win_pattern_sequence",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LEAD(event_type, 1) OVER w AS e1,
+                   LEAD(event_type, 2) OVER w AS e2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               COUNT(*) AS n_matches,
+               MIN(ts) AS first_match_ts
+        FROM o
+        WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        GROUP BY user_id
+    """,
+)
+def win_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-SEQUENCE pattern matching (MATCH_RECOGNIZE emulation):
+    find every CONSECUTIVE view → click → purchase run per user (no
+    intervening events) — the strict-contiguity funnel that
+    `agg_funnel_steps` (any-order containment) can't express. Fixed-
+    length patterns compile to a LEAD chain over one (user, time)
+    window — a single shuffle, no state machine, no path blowup; the
+    total (ts, event_id) order makes duplicate timestamps
+    deterministic. Variable-length patterns (A B+ C) extend this with
+    the streak-run trick (`win_streak_runs`): group-change cumsum then
+    match on the run table.
+
+    At 100 TB: the window partitions by user (near-uniform), LEAD
+    needs 2 rows of lookahead state — nothing holistic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e1") == "click")
+            & (F.col("e2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )
