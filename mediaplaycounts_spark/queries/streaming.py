@@ -821,3 +821,50 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.col("purchase_id").isNotNull().cast("bigint").alias("matched"),
     )
+
+
+@register(
+    "stream_statestore_reader",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+        FROM events GROUP BY ws, event_type
+    """,
+)
+def stream_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER (Spark 4 `statestore` data source): run the
+    watermarked hourly aggregation as a REAL streaming job, then open
+    its checkpoint's state store as a DataFrame and grade THE STATE
+    ITSELF against the batch oracle — the observability surface every
+    production streaming pipeline eventually needs (debugging skewed
+    state, validating migrations, auditing what a stateful operator
+    actually holds). The state rows (key.window, key.event_type,
+    value.count) must equal the logical aggregation exactly; any
+    state-encoding or eviction bug shows up as a value mismatch here
+    even when the sink output happens to look right.
+
+    Scale: the reader scans state files partition-parallel (one task
+    per state partition) without touching the running query."""
+    run_dir = SCRATCH / f"ssreader_{uuid.uuid4().hex[:12]}"
+    ckpt = str(run_dir / "ckpt")
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"ss_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.window.start").cast("timestamp_ntz").alias("ws"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
