@@ -1790,3 +1790,48 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_checked(
         spark, sf_dir, _ann_pq_raw(spark, sf_dir), min_overlap=10
     )
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+        WITH fr AS (
+            SELECT doc_id,
+                   unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+                     AS frame_idx,
+                   text
+            FROM documents
+        ),
+        f2 AS (
+            SELECT doc_id, frame_idx,
+                   substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS f
+            FROM fr
+        ),
+        pairs AS (
+            SELECT b.doc_id, b.frame_idx, a.f AS fa, b.f AS fb
+            FROM f2 a JOIN f2 b
+              ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx + 1
+        )
+        SELECT doc_id, frame_idx,
+               CAST(len(list_filter(
+                   range(1, greatest(len(fa), len(fb)) + 1),
+                   i -> fa[i:i] IS DISTINCT FROM fb[i:i]))
+                    AS BIGINT) AS n_changed,
+               CAST(len(list_filter(
+                   range(1, greatest(len(fa), len(fb)) + 1),
+                   i -> fa[i:i] IS DISTINCT FROM fb[i:i])) >= 48
+                    AS BIGINT) AS is_cut
+        FROM pairs
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over framed payloads: an Arrow mapInPandas
+    TEMPORAL kernel comparing each frame with its predecessor (changed
+    positions; cut when >= 48 of 64 change) — the shape of real video
+    cut detectors (histogram deltas / SSIM drops), with the decode
+    step swapped for char compares so the whole kernel is value-
+    oracled. See operators/multimodal.py scene_cut_signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mediaplaycounts_spark.operators.multimodal import scene_cut_signal
+
+    return scene_cut_signal(docs, "doc_id", "text")
