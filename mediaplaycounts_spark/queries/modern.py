@@ -310,3 +310,40 @@ def sql_udf_params_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minq": 10},
     )
+
+
+@register(
+    "sql_identifier_dynamic",
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic yet INJECTION-SAFE SQL via the IDENTIFIER() clause: the
+    table names, join columns, and group-by column arrive as bound
+    parameters (the multi-tenant / metadata-driven query pattern —
+    "aggregate table X by column Y" from a config row), but unlike
+    string interpolation they can only ever resolve as identifiers —
+    a value like 'nation; DROP TABLE x' is a resolution error, not an
+    executed statement. Catalyst sees a fully resolved static plan, so
+    broadcast selection and pushdown work exactly as in the literal
+    query (same plan as join_broadcast_dim's shape)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("idc_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("idc_nation")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:name_col) AS n_name, COUNT(*) AS n_customers
+        FROM IDENTIFIER(:fact) JOIN IDENTIFIER(:dim)
+          ON IDENTIFIER(:fact_key) = IDENTIFIER(:dim_key)
+        GROUP BY IDENTIFIER(:name_col)
+        """,
+        args={
+            "fact": "idc_customer",
+            "dim": "idc_nation",
+            "fact_key": "c_nationkey",
+            "dim_key": "n_nationkey",
+            "name_col": "n_name",
+        },
+    )

@@ -116,6 +116,7 @@ MAX_SHUFFLES = {
     "agg_kll_quantile_merge": 4,
     "agg_cms_frequency": 1,
     "win_pattern_sequence": 1,
+    "sql_identifier_dynamic": 1,
     "ts_seasonal_decompose": 2,
     "pipeline_preference_pairs": 2,
     "agg_theta_set_ops": 6,
