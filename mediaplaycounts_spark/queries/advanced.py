@@ -450,3 +450,83 @@ def agg_count_if_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY day
         """
     )
+
+
+def _bound_rolling_hll(
+    spark: SparkSession, sf_dir: str, result: DataFrame
+) -> str:
+    """Raw HLL rolling estimates within 5% of exact for every day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = {
+        r.day: r.est
+        for r in daily.select(
+            "day",
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+        ).collect()
+    }
+    exact = {r.day: r.u7 for r in win_rolling_distinct(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for d, x in exact.items():
+        assert abs(est[d] - x) <= max(1, 0.05 * x), (d, est[d], x)
+    flags = [r.within_bound for r in result.collect()]
+    assert flags and all(flags), "registered within_bound has FALSE rows"
+    return f"rolling HLL estimate within 5% of exact on all {len(exact)} days"
+
+
+@register(
+    "win_rolling_distinct_hll",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                            user_id
+            FROM events),
+        days AS (SELECT DISTINCT day FROM pairs),
+        contrib AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS DATE)
+                     AS out_day
+            FROM pairs)
+        SELECT d.day, COUNT(DISTINCT c.user_id) AS u7_exact,
+               TRUE AS within_bound
+        FROM contrib c JOIN days d ON c.out_day = d.day
+        GROUP BY d.day
+    """,
+    bound=_bound_rolling_hll,
+)
+def win_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path `win_rolling_distinct` documents, now graded:
+    trailing-7-day distinct users via MERGEABLE HLL SKETCHES in a
+    window frame — one tiny sketch per day, each day's answer a union
+    of 7 blobs (`hll_union_agg(...).over(rowsBetween(-6, 0))`). No ×7
+    row fan-out, no exact distinct state: the rolling-distinct cost
+    collapses from |day×user| to |days| sketches regardless of corpus
+    size (30/90-day windows just widen the frame over the same blobs).
+
+    Driver-checkable within_bound form: exact rolling distincts (the
+    fan-out formulation, grading-only at this scale) plus a boolean
+    pinning every day's estimate within 5% (lgK=14 ⇒ ~0.8% rsd)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    )
+    exact = win_rolling_distinct(spark, sf_dir).select(
+        F.col("day"), F.col("u7").alias("u7_exact")
+    )
+    return exact.join(F.broadcast(est), "day").select(
+        "day",
+        "u7_exact",
+        (
+            F.abs(F.col("est") - F.col("u7_exact"))
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("u7_exact"))
+        ).alias("within_bound"),
+    )

@@ -512,3 +512,71 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("c").alias("sum_cents"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             nx AS (SELECT c.event_id, c.user_id, c.ts,
+                           (SELECT MIN(p.ts) FROM p
+                            WHERE p.user_id = c.user_id AND p.ts >= c.ts)
+                             AS next_purchase_ts
+                    FROM c)
+        SELECT event_id, user_id, ts, next_purchase_ts,
+               CAST(next_purchase_ts IS NOT NULL AS BIGINT) AS matched,
+               CASE WHEN next_purchase_ts IS NOT NULL
+                    THEN date_diff('microsecond', ts, next_purchase_ts)
+               END AS micros_to_purchase
+        FROM nx
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    every click, the EARLIEST purchase at-or-after it by the same user
+    — the time-to-conversion direction `join_asof` (backward: latest
+    signup before) can't express. Same union-free formulation: one
+    (user, event-time) window with a RANGE frame from the current
+    instant to +∞ carrying min(purchase ts); RANGE (on microseconds,
+    not ROWS) makes equal-timestamp purchases visible regardless of
+    event_id order, matching the oracle's ts >= ts semantics exactly.
+
+    Scale: one shuffle on user_id, running-min window state is one
+    value — the same plan shape as every as-of key here; no range
+    join, no correlated subquery (the oracle uses one; Catalyst
+    would decorrelate it to the same window)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = base.withColumn(
+        "next_purchase_ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w),
+    )
+    return nxt.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "next_purchase_ts",
+        F.col("next_purchase_ts").isNotNull().cast("bigint").alias("matched"),
+        F.when(
+            F.col("next_purchase_ts").isNotNull(),
+            F.unix_micros(F.col("next_purchase_ts").cast("timestamp")) - F.col("tus"),
+        ).alias("micros_to_purchase"),
+    )

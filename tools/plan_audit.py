@@ -117,6 +117,9 @@ MAX_SHUFFLES = {
     "agg_cms_frequency": 1,
     "win_pattern_sequence": 1,
     "sql_identifier_dynamic": 1,
+    "win_rolling_distinct_hll": 5,
+    "join_asof_forward": 1,
+    "text_quality_logreg": 0,
     "ts_seasonal_decompose": 2,
     "pipeline_preference_pairs": 2,
     "agg_theta_set_ops": 6,
