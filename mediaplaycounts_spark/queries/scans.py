@@ -679,3 +679,48 @@ def scan_tsv_bz2_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("c3").cast("long")).alias("total_c3"),
     )
+
+
+@register(
+    "scan_observe_metrics",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_discounted
+        FROM lineitem
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality METRICS via `Observation`/`observe()`:
+    row count, cents-exact price total, and a discount-rate counter are
+    accumulated ON THE SCAN while a downstream aggregation consumes it —
+    zero extra passes over the data (the production pattern for
+    freshness/completeness checks: every pipeline stage reports metrics
+    from the work it was already doing). The observed values are then
+    graded against the oracle — proving the metric channel reports the
+    truth, not an approximation of it.
+
+    Scale: observe() metrics are accumulator-style, merged on the
+    driver per task — no shuffle, no second scan, works identically on
+    a 1000-executor cluster."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("cast(round(l_extendedprice * 100, 0) as bigint)")).alias(
+            "price_cents"
+        ),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_discounted"),
+    )
+    # the action that drives the scan: an unrelated downstream aggregate
+    observed.groupBy("l_returnflag").agg(F.count("*")).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["price_cents"], m["n_discounted"])],
+        "n_rows long, price_cents long, n_discounted long",
+    )
