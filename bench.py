@@ -60,6 +60,9 @@ EXTENDED = [
     "text_perplexity_unigram",   # unigram LM scoring, 6-shuffle ladder
     "pipeline_pack_sequences",   # Arrow grouped-map packing kernel
     "multimodal_embedding_quantize",  # zero-shuffle array lambdas
+    # r3 additions
+    "agg_kll_quantile_merge",    # sketch-blob quantile rollup + exact twin
+    "dedup_substring_spans",     # cross-doc span dedup signal
 ]
 
 

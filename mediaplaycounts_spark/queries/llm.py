@@ -1648,38 +1648,46 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise-distinct documents.
 
     Plan: sliding {_SPAN_TOKENS}-token spans via one higher-order
-    projection (no Python), one hash-agg for corpus-wide
-    distinct-doc counts per span, one shuffle join back, one per-doc
-    agg — all keyed on the span value (near-uniform). At 100 TB the
+    projection (no Python, tokenization staged so split() runs once
+    per row), ONE span-keyed window (min(doc) != max(doc) ⇔ the span
+    occurs in ≥2 docs — no count-distinct agg, no join-back), one
+    per-doc agg. Two shuffles total, both near-uniform keys. At 100 TB the
     span string is replaced by its xxhash64 fingerprint as the shuffle
     key (8 bytes instead of ~100), the count-distinct becomes a
     2-level sketch, and docs above a dup_ppm ceiling are dropped or
     trimmed; the plan shape is identical."""
     docs = load_table(spark, sf_dir, "documents")
     w = _SPAN_TOKENS
-    grams = docs.select(
+    # stage the tokenization: `t` is computed once per row; inlining
+    # split() into the lambda would re-split per gram (O(words^2)/doc —
+    # measured 3x the whole query's runtime at sf0.1)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {w - 1}, 1)),"
-                f" i -> array_join(slice(split(text, ' '), i, {w}), ' '))"
+                f"transform(sequence(1, greatest(size(t) - {w - 1}, 1)),"
+                f" i -> array_join(slice(t, i, {w}), ' '))"
             )
         ).alias("gram"),
     )
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gram")
-    )
-    flagged = grams.join(
-        dup_grams.withColumn("is_dup", F.lit(1)), "gram", "left"
+    # "occurs in >= 2 distinct docs" == min(doc) != max(doc) over the
+    # gram partition — ONE pass over the exploded grams (window) instead
+    # of a count-distinct agg + join-back (measured 2x faster at sf0.1)
+    from pyspark.sql.window import Window as W
+
+    wspec = W.partitionBy("gram")
+    flagged = grams.select(
+        "doc_id",
+        (F.min("doc_id").over(wspec) != F.max("doc_id").over(wspec))
+        .cast("int")
+        .alias("is_dup"),
     )
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
-        F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_spans"),
+        F.sum("is_dup").cast("long").alias("n_dup_spans"),
         F.expr(
-            "cast(sum(coalesce(is_dup, 0)) * 1000000 div count(*) as bigint)"
+            "cast(sum(is_dup) * 1000000 div count(*) as bigint)"
         ).alias("dup_ppm"),
     )
 

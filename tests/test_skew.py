@@ -151,13 +151,19 @@ def test_pagerank_hub_node_converges(spark, skew_dir):
     assert len(suppliers) >= 30
 
 
+# the SAME ceilings tools/plan_audit.py enforces on the benign corpus:
+# skew must not change the plan shape (imported, not copied, so a
+# reviewed ceiling change can never silently diverge from this test).
+from tools.plan_audit import MAX_SHUFFLES
+
 SKEW_CEILINGS = {
-    # same numbers enforced by tools/plan_audit.py on the benign corpus:
-    # skew must not change the plan shape.
-    "dedup_minhash_clusters": 2,
-    "dedup_paragraphs": 3,
-    "graph_pagerank_int": 9,
-    "dedup_ngram_jaccard": 1,
+    k: MAX_SHUFFLES[k]
+    for k in (
+        "dedup_minhash_clusters",
+        "dedup_paragraphs",
+        "graph_pagerank_int",
+        "dedup_ngram_jaccard",
+    )
 }
 
 

@@ -123,7 +123,7 @@ MAX_SHUFFLES = {
     "ts_seasonal_decompose": 2,
     "pipeline_preference_pairs": 2,
     "agg_theta_set_ops": 6,
-    "dedup_substring_spans": 3,
+    "dedup_substring_spans": 2,
     "pipeline_split_leakage_guard": 4,
     "agg_approx_distinct": 3,
     "agg_hll_sketch_merge": 4,
