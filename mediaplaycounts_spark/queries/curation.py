@@ -267,20 +267,7 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-doc hit count. At 100 TB the benchmark set (real eval
     suites are < 1 GB of trigrams) still broadcasts."""
     docs = load_table(spark, sf_dir, "documents")
-    t = D.tokens("text")
-    trigrams = docs.filter(F.size(t) >= 3).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " i -> concat(element_at(split(text, ' '), i), ' ',"
-                    "             element_at(split(text, ' '), i + 1), ' ',"
-                    "             element_at(split(text, ' '), i + 2)))"
-                )
-            )
-        ).alias("trigram"),
-    )
+    trigrams = _distinct_trigrams(docs)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = trigrams.filter(is_bench).select("trigram").distinct()
     hits = (
@@ -437,12 +424,16 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.expr(_BOILERPLATE_SQL), F.lit(" "), F.col("text")).alias("text"),
     )
-    paras = aug.select(
+    # stage the tokenization: split() once per row, not once per chunk
+    # (inlining it into the lambda re-splits per paragraph — same
+    # O(words^2)/doc trap fixed in dedup_substring_spans)
+    toks = aug.select("doc_id", F.split("text", " ").alias("t"))
+    paras = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {_PARA_WORDS}.0) as int) - 1),"
-                f" i -> array_join(slice(split(text, ' '), i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+                f"transform(sequence(0, cast(ceil(size(t) / {_PARA_WORDS}.0) as int) - 1),"
+                f" i -> array_join(slice(t, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
             )
         ).alias("pos", "para"),
     )
@@ -602,18 +593,20 @@ _BLOOM_K = 5
 
 def _distinct_trigrams(docs: DataFrame) -> DataFrame:
     """Per-doc DISTINCT token trigrams (dedup before explode — no
-    shuffle spent on DISTINCT). Shared by the exact and Bloom
-    decontamination keys."""
+    shuffle spent on DISTINCT; tokenization STAGED so split() runs once
+    per row, not once per trigram position). Shared by the exact and
+    Bloom decontamination keys."""
     t = D.tokens("text")
-    return docs.filter(F.size(t) >= 3).select(
+    toks = docs.filter(F.size(t) >= 3).select("doc_id", t.alias("t"))
+    return toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " i -> concat(element_at(split(text, ' '), i), ' ',"
-                    "             element_at(split(text, ' '), i + 1), ' ',"
-                    "             element_at(split(text, ' '), i + 2)))"
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    "             element_at(t, i + 1), ' ',"
+                    "             element_at(t, i + 2)))"
                 )
             )
         ).alias("trigram"),
