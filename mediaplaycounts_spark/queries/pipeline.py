@@ -672,3 +672,92 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chosen_words") - F.col("rejected_words")).alias("score_gap"),
         )
     )
+
+
+# ----------------------------------------- annotator reconciliation
+
+
+@register(
+    "pipeline_annotation_vote",
+    oracle="""
+        WITH ann AS (
+            SELECT doc_id, a.annotator,
+                   md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(a.annotator AS VARCHAR)) AS h
+            FROM documents
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS annotator) a),
+        lab AS (
+            SELECT doc_id, annotator,
+                   CASE WHEN substring(h, 1, 1) < '8'
+                        THEN 'keep' ELSE 'drop' END AS label,
+                   ascii(substring(h, 2, 1)) * 256
+                     + ascii(substring(h, 3, 1)) AS conf_i
+            FROM ann),
+        votes AS (
+            SELECT doc_id, label,
+                   COUNT(*) AS n_votes,
+                   MAX(conf_i) AS max_conf
+            FROM lab GROUP BY doc_id, label),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_votes DESC, max_conf DESC,
+                                               label) AS rn
+            FROM votes)
+        SELECT doc_id, label AS final_label,
+               CAST(n_votes AS BIGINT) AS n_votes,
+               CAST(max_conf AS BIGINT) AS conf_i
+        FROM ranked WHERE rn = 1
+    """,
+)
+def pipeline_annotation_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-annotator RECONCILIATION (the labeling-pipeline merge step):
+    three model/human annotators each emit (label, confidence) per doc
+    — derived deterministically from md5 of (doc_id, annotator), the
+    engines' shared hash, standing in for three model-inference outputs
+    — and the final label is majority vote with (max-confidence,
+    lexical) tiebreaks. This is the dataset-merging op every
+    annotation/RLHF pipeline runs before training; at 100 TB it is one
+    bounded explode (|annotators|×) + two keyed aggregations, shuffled
+    on doc_id — never on the payload."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ann = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("annotator"),
+    ).select(
+        "doc_id",
+        "annotator",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("annotator").cast("string"),
+            )
+        ).alias("h"),
+    )
+    lab = ann.select(
+        "doc_id",
+        "annotator",
+        F.when(F.substring("h", 1, 1) < "8", F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+        (
+            F.ascii(F.substring("h", 2, 1)) * 256 + F.ascii(F.substring("h", 3, 1))
+        ).alias("conf_i"),
+    )
+    votes = lab.groupBy("doc_id", "label").agg(
+        F.count("*").alias("n_votes"), F.max("conf_i").alias("max_conf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_votes"), F.desc("max_conf"), "label"
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("label").alias("final_label"),
+            "n_votes",
+            F.col("max_conf").cast("bigint").alias("conf_i"),
+        )
+    )

@@ -122,6 +122,8 @@ MAX_SHUFFLES = {
     "text_quality_logreg": 0,
     "ts_seasonal_decompose": 2,
     "pipeline_preference_pairs": 2,
+    "pipeline_annotation_vote": 2,
+    "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
     "pipeline_split_leakage_guard": 4,
