@@ -1903,3 +1903,67 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(logit * 1000000, 0).cast("bigint").alias("logit_e6"),
         (logit >= 0).cast("bigint").alias("keep"),
     )
+
+
+# ----------------------------------- IVF with cell as partition column
+
+
+def _ann_ivf_partitioned_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pathlib
+    import uuid as _uuid
+
+    from mediaplaycounts_spark.operators.similarity import (
+        _assign_cell,
+        as_double,
+        cosine,
+        train_ivf_centroids,
+    )
+
+    scratch = pathlib.Path(__file__).resolve().parents[2] / ".scratch"
+    scratch.mkdir(exist_ok=True)
+    out = str(scratch / f"ivf_cells_{_uuid.uuid4().hex[:12]}")
+    em = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(em, "vec_id", "embedding", n_cells=8)
+    (
+        em.withColumn("cell", _assign_cell(as_double("embedding"), centroids))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    probe = S.probe_vector(em, "vec_id", "embedding", 0)
+    d2 = [sum((x - y) ** 2 for x, y in zip(probe, c)) for c in centroids]
+    probe_cells = [j for j, _ in sorted(enumerate(d2), key=lambda t: t[1])[:2]]
+    back = spark.read.parquet(out).filter(F.col("cell").isin(probe_cells))
+    p = F.array(*[F.lit(float(x)) for x in probe]).cast("array<double>")
+    return (
+        back.select(
+            "vec_id",
+            F.round(cosine(as_double("embedding"), p), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(20)
+    )
+
+
+@register(
+    "sim_ann_ivf_partitioned",
+    oracle=_ANN_CHECKED_SQL,
+    bound=_bound_ann(_ann_ivf_partitioned_raw, min_overlap=14),
+)
+def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF as a STORAGE LAYOUT, not just a filter: the corpus is
+    WRITTEN `partitionBy(cell)` (the ingest-time step `sim_ann_ivf`'s
+    docstring promises) and the probe re-reads it with a cell
+    predicate — at which point the pruning is DIRECTORY-level
+    (`PartitionFilters`, asserted in tests/test_plans-style check in
+    test_r3_ops): vectors in unprobed cells are never decompressed,
+    never even opened. This is exactly how a 100 TB vector corpus
+    serves probes — the cell assignment is paid once at ingest, every
+    query reads ~n_probe/n_cells of the files.
+
+    Same grading as the other ANN keys: exact top-20 + within_bound
+    (floor 14/20 — identical retrieval to sim_ann_ivf by construction,
+    since the same quantizer and probe-cell choice drive both)."""
+    return _ann_checked(
+        spark, sf_dir, _ann_ivf_partitioned_raw(spark, sf_dir), min_overlap=14
+    )

@@ -122,3 +122,23 @@ def test_quality_logreg_monotone_threshold(spark):
     assert rows
     for r in rows:
         assert r.keep == (1 if r.logit_e6 >= 0 else 0)
+
+
+def test_ivf_partitioned_scan_prunes_cells(spark):
+    """The probe's re-read of the cell-partitioned corpus must prune at
+    the DIRECTORY level: PartitionFilters on `cell`, and only the 2
+    probed cells' files scanned."""
+    import contextlib
+    import io
+    import re
+
+    from mediaplaycounts_spark.queries.llm import _ann_ivf_partitioned_raw
+
+    df = _ann_ivf_partitioned_raw(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), "expected a cell partition filter"
+    assert df.count() == 20

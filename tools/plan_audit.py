@@ -60,6 +60,7 @@ ALLOWED = {
     "sim_ann_lsh_multiprobe": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "sim_ann_ivf": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "sim_ann_pq": "1-row within_bound flag broadcast onto the 20-row exact top-k",
+    "sim_ann_ivf_partitioned": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "text_contamination_bloom": "1-row within_bound summary crossed onto per-doc rows",
     "agg_theta_set_ops": "1-row sketch + exact-twin aggregates crossed together",
 }
