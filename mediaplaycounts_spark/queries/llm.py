@@ -1967,3 +1967,63 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_checked(
         spark, sf_dir, _ann_ivf_partitioned_raw(spark, sf_dir), min_overlap=14
     )
+
+
+# -------------------------------------------- incremental delta dedup
+
+
+@register(
+    "dedup_incremental_delta",
+    oracle="""
+        WITH corpus AS (
+            SELECT sha256(text) AS h, MIN(doc_id) AS keeper
+            FROM documents WHERE doc_id < 400 GROUP BY sha256(text)),
+        delta AS (
+            SELECT doc_id, sha256(text) AS h FROM documents
+            WHERE doc_id >= 400),
+        firsts AS (
+            SELECT h, MIN(doc_id) AS first_in_delta FROM delta GROUP BY h)
+        SELECT d.doc_id,
+               CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN d.doc_id > f.first_in_delta THEN 'dup_in_delta'
+                    ELSE 'new' END AS status
+        FROM delta d
+        LEFT JOIN corpus c ON d.h = c.h
+        JOIN firsts f ON d.h = f.h
+    """,
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the daily-production shape: yesterday's
+    corpus exists only as its content-hash INDEX (here docs < 400,
+    reduced to sha256 + keeper id — at 100 TB this index is the small
+    artifact each day's job reads; the old corpus text is never
+    rescanned), and today's delta (docs >= 400) is classified in one
+    pass: duplicate of the existing corpus, duplicate within the delta
+    (first occurrence wins), or genuinely new. Batch dedup
+    (`dedup_exact_hash`) recomputes the world each run; this key is
+    why production doesn't have to.
+
+    Plan: hash the delta once, one broadcast-able join against the
+    index, one first-occurrence agg within the delta — shuffles keyed
+    on the 32-byte hash (uniform)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_index = (
+        docs.filter(F.col("doc_id") < 400)
+        .groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    delta = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    firsts = delta.groupBy("h").agg(F.min("doc_id").alias("first_in_delta"))
+    return (
+        delta.join(corpus_index.withColumn("in_corpus", F.lit(1)), "h", "left")
+        .join(firsts, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > F.col("first_in_delta"), F.lit("dup_in_delta"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

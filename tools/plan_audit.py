@@ -124,6 +124,7 @@ MAX_SHUFFLES = {
     "ts_seasonal_decompose": 2,
     "pipeline_preference_pairs": 2,
     "pipeline_annotation_vote": 2,
+    "dedup_incremental_delta": 2,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
