@@ -2027,3 +2027,60 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ----------------------------------------------- readability scoring
+
+
+@register(
+    "text_readability_score",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        AS BIGINT) AS n_vowel_groups,
+                   CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sentences
+            FROM documents)
+        SELECT doc_id, n_words, n_vowel_groups, n_sentences,
+               CAST(206835000 - (1015 * (n_words * 1000000 // n_sentences)) // 1000
+                    - (84600 * (n_vowel_groups * 1000000 // n_words)) // 1000000
+                    AS BIGINT) AS flesch_e3
+        FROM f
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with a vowel-group syllable proxy —
+    the classic readability quality signal (low-readability docs are
+    disproportionately boilerplate/spam). Syllables ≈ maximal vowel
+    runs via ONE regexp_extract_all (both engines' regex engines agree
+    on this class pattern); the score is computed in integer
+    milli-units with floor division at every step, so engines match
+    bit-for-bit (206.835 − 1.015·words/sentence − 84.6·syllables/word,
+    ×1000).
+
+    One narrow projection, zero shuffles, codegen throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_vg = F.size(F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)")).cast(
+        "long"
+    )
+    n_sent = F.size(F.split("text", "\\. ", -1)).cast("long")
+    f = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_vg.alias("n_vowel_groups"),
+        n_sent.alias("n_sentences"),
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_vowel_groups",
+        "n_sentences",
+        F.expr(
+            "cast(206835000"
+            " - (1015 * (n_words * 1000000 div n_sentences)) div 1000"
+            " - (84600 * (n_vowel_groups * 1000000 div n_words)) div 1000000"
+            " as bigint)"
+        ).alias("flesch_e3"),
+    )

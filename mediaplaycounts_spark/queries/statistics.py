@@ -486,3 +486,124 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("r7"),
     )
+
+
+# --------------------------------------------- CUSUM changepoint signal
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events WHERE event_type = 'view' GROUP BY day),
+        st AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                      CAST(COUNT(*) AS BIGINT) AS k FROM daily),
+        dev AS (
+            SELECT day, n,
+                   n * (SELECT k FROM st) - (SELECT tot FROM st) AS dev_k
+            FROM daily),
+        c AS (
+            SELECT day, n, dev_k,
+                   SUM(dev_k) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS cusum_k
+            FROM dev)
+        SELECT day, n, CAST(cusum_k AS BIGINT) AS cusum_k,
+               CAST(abs(cusum_k) = (SELECT MAX(abs(cusum_k)) FROM c)
+                    AS BIGINT) AS is_peak
+        FROM c
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint signal over the daily play series: the running
+    sum of deviations from the series mean, with the |CUSUM| peak
+    flagged — the classical "where did the level shift" detector (the
+    peak day is the maximum-likelihood single changepoint under a mean
+    shift). INTEGER-EXACT throughout: deviations are kept as
+    ``n·k − total`` (deviation × day count — scaling by k avoids the
+    fractional mean entirely), so the cumulative sum is int64 and both
+    engines agree bit-for-bit.
+
+    Plan: one daily hash-agg, a 1-row total broadcast, one ordered
+    running-sum window — at 100 TB the window partitions by series key
+    and everything else is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    st = daily.agg(
+        F.sum("n").cast("long").alias("tot"), F.count("*").cast("long").alias("k")
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "day", "n", (F.col("n") * F.col("k") - F.col("tot")).alias("dev_k")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = dev.withColumn("cusum_k", F.sum("dev_k").over(w))
+    peak = c.agg(F.max(F.abs("cusum_k")).alias("mx"))
+    return c.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "n",
+        F.col("cusum_k").cast("long").alias("cusum_k"),
+        (F.abs("cusum_k") == F.col("mx")).cast("long").alias("is_peak"),
+    )
+
+
+# ------------------------------------------- Wilson interval conversion
+
+
+@register(
+    "agg_conversion_wilson",
+    oracle="""
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY day)
+        SELECT day, CAST(x AS BIGINT) AS n_purchases, CAST(n AS BIGINT) AS n_events,
+               CAST(round((x / n) * 1000000, 0) AS BIGINT) AS rate_e6,
+               CAST(round(((x + 1.9208) / (n + 3.8416)
+                     - (1.96 / (n + 3.8416))
+                       * sqrt(x * (n - x) / n + 0.9604)) * 1000000, 0)
+                    AS BIGINT) AS wilson_lo_e6,
+               CAST(round(((x + 1.9208) / (n + 3.8416)
+                     + (1.96 / (n + 3.8416))
+                       * sqrt(x * (n - x) / n + 0.9604)) * 1000000, 0)
+                    AS BIGINT) AS wilson_hi_e6
+        FROM d
+    """,
+)
+def agg_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day conversion rate with a 95% WILSON score interval — the
+    uncertainty-aware ratio metric dashboards should show instead of
+    the raw rate (a 1/3 day and a 1000/3000 day have the same rate and
+    wildly different intervals). Bit-exact across engines: the interval
+    uses only +,−,×,/ and sqrt — all IEEE-correctly-rounded operations
+    (sqrt is NOT a transcendental-approximation case) — micro-quantized
+    with the shared round() convention.
+
+    One hash-agg; the interval math is per-row codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("x"),
+        F.count("*").cast("double").alias("n"),
+    )
+    z, z2 = 1.96, 1.96 * 1.96
+    center = (F.col("x") + z2 / 2) / (F.col("n") + z2)
+    half = (z / (F.col("n") + z2)) * F.sqrt(
+        F.col("x") * (F.col("n") - F.col("x")) / F.col("n") + z2 / 4
+    )
+    return d.select(
+        "day",
+        F.col("x").cast("long").alias("n_purchases"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round((F.col("x") / F.col("n")) * 1000000, 0)
+        .cast("long")
+        .alias("rate_e6"),
+        F.round((center - half) * 1000000, 0).cast("long").alias("wilson_lo_e6"),
+        F.round((center + half) * 1000000, 0).cast("long").alias("wilson_hi_e6"),
+    )

@@ -63,6 +63,7 @@ ALLOWED = {
     "sim_ann_ivf_partitioned": "1-row within_bound flag broadcast onto the 20-row exact top-k",
     "text_contamination_bloom": "1-row within_bound summary crossed onto per-doc rows",
     "agg_theta_set_ops": "1-row sketch + exact-twin aggregates crossed together",
+    "ts_changepoint_cusum": "1-row total and 1-row peak-max broadcast onto the daily series",
 }
 
 
@@ -125,6 +126,9 @@ MAX_SHUFFLES = {
     "pipeline_preference_pairs": 2,
     "pipeline_annotation_vote": 2,
     "dedup_incremental_delta": 2,
+    "ts_changepoint_cusum": 4,
+    "agg_conversion_wilson": 1,
+    "text_readability_score": 0,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
