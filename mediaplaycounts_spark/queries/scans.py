@@ -724,3 +724,42 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["price_cents"], m["n_discounted"])],
         "n_rows long, price_cents long, n_discounted long",
     )
+
+
+@register(
+    "scan_bucket_pruned_lookup",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_orderstatus
+        FROM orders WHERE o_orderkey IN (7, 42, 1337)
+    """,
+)
+def scan_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET pruning for point lookups — the third pruning tier after
+    partition dirs and row groups: an equality/IN filter on the bucket
+    column lets Spark open only the matching bucket FILES
+    (`SelectedBucketsCount: k out of 8` in the scan node, asserted in
+    tests/test_r3_ops). At 100 TB, a key lookup on a bucketed fact
+    table touches 1/N of the files with zero index structures — the
+    poor man's primary index that also pre-paid the join shuffle
+    (`sink_parquet_bucketed`). Graded by value round-trip through the
+    bucketed write + pruned read."""
+    SCRATCH.mkdir(exist_ok=True)
+    wh = SCRATCH / "warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS scratch LOCATION '{wh}'")
+    tag = uuid.uuid4().hex[:12]
+    o_t = f"scratch.orders_bp_{tag}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(o_t)
+    )
+    # the planner's auto-bucketed-scan heuristic drops the bucketed
+    # layout when no join/agg needs the distribution — which also drops
+    # bucket-filter pruning; pin it on so the point lookup prunes
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return spark.table(o_t).filter(F.col("o_orderkey").isin(7, 42, 1337))

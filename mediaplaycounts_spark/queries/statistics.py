@@ -607,3 +607,74 @@ def agg_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) * 1000000, 0).cast("long").alias("wilson_lo_e6"),
         F.round((center + half) * 1000000, 0).cast("long").alias("wilson_hi_e6"),
     )
+
+
+# ------------------------------------------- two-proportion A/B z-test
+
+
+@register(
+    "agg_ab_test_proportions",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY variant),
+        w AS (
+            SELECT MAX(CASE WHEN variant = 0 THEN x END) AS x0,
+                   MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN variant = 1 THEN x END) AS x1,
+                   MAX(CASE WHEN variant = 1 THEN n END) AS n1
+            FROM v)
+        SELECT CAST(x0 AS BIGINT) AS conv_a, CAST(n0 AS BIGINT) AS n_a,
+               CAST(x1 AS BIGINT) AS conv_b, CAST(n1 AS BIGINT) AS n_b,
+               CAST(round((x1 / n1 - x0 / n0) * 1000000, 0) AS BIGINT)
+                 AS lift_e6,
+               CAST(round(((x1 / n1 - x0 / n0)
+                     / sqrt(((x0 + x1) / (n0 + n1))
+                            * (1 - (x0 + x1) / (n0 + n1))
+                            * (1 / n0 + 1 / n1))) * 1000, 0) AS BIGINT)
+                 AS z_e3,
+               CAST(abs((x1 / n1 - x0 / n0)
+                     / sqrt(((x0 + x1) / (n0 + n1))
+                            * (1 - (x0 + x1) / (n0 + n1))
+                            * (1 / n0 + 1 / n1))) >= 1.96 AS BIGINT)
+                 AS significant
+        FROM w
+    """,
+)
+def agg_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment (variant = user_id
+    parity, the deterministic stand-in for an assignment column):
+    pooled-variance z-score of the purchase-rate lift plus a 95%
+    significance flag — the experiment readout every product team runs.
+    Bit-exact across engines: only +,−,×,/ and sqrt (IEEE-correctly-
+    rounded), z milli-quantized with the shared round() convention.
+
+    One hash-agg by variant; the test statistic is a 1-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy((F.col("user_id") % 2).cast("long").alias("variant")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("x"),
+        F.count("*").cast("double").alias("n"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+    )
+    p0, p1 = F.col("x0") / F.col("n0"), F.col("x1") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return w.select(
+        F.col("x0").cast("long").alias("conv_a"),
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("x1").cast("long").alias("conv_b"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.round((p1 - p0) * 1000000, 0).cast("long").alias("lift_e6"),
+        F.round(z * 1000, 0).cast("long").alias("z_e3"),
+        (F.abs(z) >= 1.96).cast("long").alias("significant"),
+    )

@@ -142,3 +142,21 @@ def test_ivf_partitioned_scan_prunes_cells(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), "expected a cell partition filter"
     assert df.count() == 20
+
+
+def test_bucket_lookup_prunes_buckets(spark):
+    """The point-lookup scan must open only the matching bucket files:
+    SelectedBucketsCount strictly below the total 8."""
+    import contextlib
+    import io
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["scan_bucket_pruned_lookup"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", buf.getvalue())
+    assert m, "expected bucket pruning in the scan node"
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)

@@ -129,6 +129,8 @@ MAX_SHUFFLES = {
     "ts_changepoint_cusum": 4,
     "agg_conversion_wilson": 1,
     "text_readability_score": 0,
+    "scan_bucket_pruned_lookup": 0,
+    "agg_ab_test_proportions": 1,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
