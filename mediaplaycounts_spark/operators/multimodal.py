@@ -354,3 +354,52 @@ def scene_cut_signal(
             ).astype("int64")
 
     return df.select(id_col, text_col).mapInPandas(cut_batches, SCENE_CUT_SCHEMA)
+
+
+AUDIO_VAD_SCHEMA = (
+    "doc_id bigint, chunk_idx bigint, energy bigint, n_chars bigint, "
+    "is_active bigint"
+)
+
+#: Mean-codepoint activity threshold (lowercase text averages ~105).
+VAD_THRESHOLD = 105
+
+
+def audio_vad_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """Energy-based voice-activity detection over the audio-style
+    windows of :func:`chunk_audio`: per chunk, total codepoint energy
+    and an active flag (mean energy >= threshold, compared in integer
+    cross-multiplied form — no float). The real-VAD shape: windowed
+    energy + threshold; a production kernel swaps codepoint sums for
+    RMS over PCM samples and keeps the window/hop/flag plumbing."""
+
+    def vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies, lens, flags = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n_chunks = (max(len(text) - window, 0) + hop - 1) // hop + 1
+                for i in range(n_chunks):
+                    chunk = text[i * hop : i * hop + window]
+                    e = sum(ord(c) for c in chunk)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    energies.append(e)
+                    lens.append(len(chunk))
+                    flags.append(1 if e >= VAD_THRESHOLD * len(chunk) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "energy": energies,
+                    "n_chars": lens,
+                    "is_active": flags,
+                }
+            ).astype("int64")
+
+    return df.select(id_col, text_col).mapInPandas(vad_batches, AUDIO_VAD_SCHEMA)

@@ -2084,3 +2084,37 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("flesch_e3"),
     )
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+        WITH n AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        idx AS (SELECT doc_id, text,
+                       unnest(range(0,
+                           (greatest(L - 64, 0) + 31) // 32 + 1)) AS chunk_idx
+                FROM n),
+        ch AS (SELECT doc_id, chunk_idx,
+                      substr(text, chunk_idx * 32 + 1, 64) AS c
+               FROM idx)
+        SELECT doc_id, chunk_idx,
+               CAST(list_sum(list_transform(range(1, len(c) + 1),
+                    i -> ascii(c[i:i]))) AS BIGINT) AS energy,
+               CAST(len(c) AS BIGINT) AS n_chars,
+               CAST(list_sum(list_transform(range(1, len(c) + 1),
+                    i -> ascii(c[i:i]))) >= 105 * len(c) AS BIGINT)
+                 AS is_active
+        FROM ch
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based VOICE-ACTIVITY DETECTION over the audio-style
+    windows (64-char window, 32 hop): per chunk, total codepoint energy
+    and an integer-compared active flag — the windowed-energy +
+    threshold shape of real VAD, with PCM RMS swapped for codepoint
+    sums so the Arrow kernel is fully value-oracled. See
+    operators/multimodal.py::audio_vad_energy."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mediaplaycounts_spark.operators.multimodal import audio_vad_energy
+
+    return audio_vad_energy(docs, "doc_id", "text")

@@ -678,3 +678,63 @@ def agg_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z * 1000, 0).cast("long").alias("z_e3"),
         (F.abs(z) >= 1.96).cast("long").alias("significant"),
     )
+
+
+# ------------------------------------------------------- winsorization
+
+
+@register(
+    "agg_winsorize_stats",
+    oracle="""
+        WITH caps AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_floor,
+               CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ceil,
+               CAST(SUM(CAST(round(
+                    CASE WHEN e.value < c.lo THEN c.lo
+                         WHEN e.value > c.hi THEN c.hi
+                         ELSE e.value END * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS winsorized_cents
+        FROM events e JOIN caps c ON e.event_type = c.event_type
+        GROUP BY e.event_type
+    """,
+)
+def agg_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION (outlier capping at p5/p95) per segment — the
+    robust-statistics cleaning step before any mean-based metric:
+    per-type exact percentile caps (linear interpolation, both engines
+    agree), values clamped into [p5, p95], capped-row counts and the
+    cents-exact winsorized total reported. The caps table is
+    |event_type| rows, broadcast back onto the fact scan — two passes
+    total (one for caps, one for clamping), which is the minimum for
+    exact quantile caps; at 100 TB swap the exact percentile for the
+    GK sketch (`agg_approx_percentile`) and the second pass is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    caps = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    j = ev.join(F.broadcast(caps), "event_type")
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("int"))
+        .cast("long")
+        .alias("n_floor"),
+        F.sum((F.col("value") > F.col("hi")).cast("int"))
+        .cast("long")
+        .alias("n_ceil"),
+        F.sum(F.round(clamped * 100, 0).cast("long")).cast("long").alias(
+            "winsorized_cents"
+        ),
+    )

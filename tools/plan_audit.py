@@ -131,6 +131,8 @@ MAX_SHUFFLES = {
     "text_readability_score": 0,
     "scan_bucket_pruned_lookup": 0,
     "agg_ab_test_proportions": 1,
+    "multimodal_audio_vad": 0,
+    "agg_winsorize_stats": 2,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
