@@ -347,3 +347,41 @@ def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_col": "n_name",
         },
     )
+
+
+@register(
+    "reshape_explode_outer",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN []
+                        ELSE string_split(lang, '-') END AS tags
+            FROM documents),
+        ex AS (
+            SELECT b.doc_id, t.tag
+            FROM base b LEFT JOIN (
+                SELECT doc_id, unnest(tags) AS tag FROM base) t
+              ON b.doc_id = t.doc_id)
+        SELECT doc_id, tag, CAST(tag IS NULL AS BIGINT) AS is_empty
+        FROM ex
+    """,
+)
+def reshape_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics — the corner plain explode() silently
+    gets wrong: a row whose array is EMPTY (here every 5th doc's tag
+    list) must survive as one NULL-tagged row, not vanish. Losing
+    empty-array parents is a classic silent-data-loss bug in
+    normalization pipelines (docs with no tags disappear from every
+    downstream count). The DuckDB twin is the LEFT JOIN against the
+    unnested rows — exactly what explode_outer fuses into one
+    generator."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("lang", "-"))
+        .alias("tags"),
+    )
+    return base.select(
+        "doc_id", F.explode_outer("tags").alias("tag")
+    ).withColumn("is_empty", F.col("tag").isNull().cast("long"))

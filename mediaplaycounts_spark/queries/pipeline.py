@@ -761,3 +761,61 @@ def pipeline_annotation_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_conf").cast("bigint").alias("conf_i"),
         )
     )
+
+
+# --------------------------------------- deterministic weighted sampling
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight,
+                   CAST(ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                        * 65536
+                        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                          * 256
+                        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))
+                        AS DOUBLE) AS h
+            FROM documents)
+        SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+               CAST(round(h / weight, 6) AS DOUBLE) AS priority
+        FROM w
+        ORDER BY h / weight ASC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without RNG (the A-Res reservoir scheme with
+    the random draw pinned to a content-stable hash): each doc gets
+    priority = h/weight (heavier docs draw smaller priorities more
+    often) and the k smallest priorities are the weighted sample —
+    deterministic, repartition-proof, replayable, the same
+    train/test-hygiene reasoning as `sample_hash_bucket`. Priority is
+    ONE double division (bit-exact in both engines); selection is
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+
+    At 100 TB this is how you take a 1% length-weighted corpus sample
+    in one pass with zero coordination."""
+    docs = load_table(spark, sf_dir, "documents")
+    md = F.md5(F.col("doc_id").cast("string"))
+    h = (
+        F.ascii(F.substring(md, 1, 1)) * 65536
+        + F.ascii(F.substring(md, 2, 1)) * 256
+        + F.ascii(F.substring(md, 3, 1))
+    ).cast("double")
+    weight = F.size(F.split("text", " ")).cast("double")
+    w = docs.select(
+        "doc_id",
+        weight.alias("weight"),
+        (h / weight).alias("priority"),
+    )
+    return (
+        w.orderBy("priority", "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.col("weight").cast("long").alias("weight"),
+            F.round("priority", 6).alias("priority"),
+        )
+    )

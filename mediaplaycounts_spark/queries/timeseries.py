@@ -583,3 +583,87 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid_e6"),
         )
     )
+
+
+# ------------------------------------------------- autocorrelation
+
+
+@register(
+    "ts_autocorr_int",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'view' GROUP BY day),
+        st AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                      CAST(COUNT(*) AS BIGINT) AS k FROM daily),
+        d AS (SELECT day, n * (SELECT k FROM st) - (SELECT tot FROM st)
+                       AS dev_k,
+                     LAG(n * (SELECT k FROM st) - (SELECT tot FROM st), 1)
+                       OVER (ORDER BY day) AS dev_l1,
+                     LAG(n * (SELECT k FROM st) - (SELECT tot FROM st), 7)
+                       OVER (ORDER BY day) AS dev_l7
+              FROM daily)
+        SELECT CAST(SUM(dev_k * dev_l1) AS BIGINT) AS num_lag1,
+               CAST(SUM(dev_k * dev_l7) AS BIGINT) AS num_lag7,
+               CAST(SUM(dev_k * dev_k) AS BIGINT) AS denom,
+               CAST(round(CAST(SUM(dev_k * dev_l1) AS DOUBLE)
+                          / SUM(dev_k * dev_k) * 1000000, 0) AS BIGINT)
+                 AS acf1_e6,
+               CAST(round(CAST(SUM(dev_k * dev_l7) AS DOUBLE)
+                          / SUM(dev_k * dev_k) * 1000000, 0) AS BIGINT)
+                 AS acf7_e6
+        FROM d
+    """,
+)
+def ts_autocorr_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily play series at lag 1 (day-to-day
+    persistence) and lag 7 (weekly seasonality) — the diagnostic that
+    justifies `ts_seasonal_decompose`'s weekly model. Integer-exact
+    core: deviations scaled by the day count (n·k − total, no
+    fractional mean), lag products and the variance denominator summed
+    as int64; only the final ratio is one double division, micro-
+    quantized with the shared convention.
+
+    One daily agg + one ordered window + one 1-row reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    st = daily.agg(
+        F.sum("n").cast("long").alias("tot"), F.count("*").cast("long").alias("k")
+    )
+    w = Window.orderBy("day")
+    d = (
+        daily.crossJoin(F.broadcast(st))
+        .withColumn("dev_k", F.col("n") * F.col("k") - F.col("tot"))
+        .select(
+            "day",
+            "dev_k",
+            F.lag("dev_k", 1).over(w).alias("dev_l1"),
+            F.lag("dev_k", 7).over(w).alias("dev_l7"),
+        )
+    )
+    return d.agg(
+        F.sum(F.col("dev_k") * F.col("dev_l1")).cast("long").alias("num_lag1"),
+        F.sum(F.col("dev_k") * F.col("dev_l7")).cast("long").alias("num_lag7"),
+        F.sum(F.col("dev_k") * F.col("dev_k")).cast("long").alias("denom"),
+        F.round(
+            F.sum(F.col("dev_k") * F.col("dev_l1")).cast("double")
+            / F.sum(F.col("dev_k") * F.col("dev_k"))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("acf1_e6"),
+        F.round(
+            F.sum(F.col("dev_k") * F.col("dev_l7")).cast("double")
+            / F.sum(F.col("dev_k") * F.col("dev_k"))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("acf7_e6"),
+    )

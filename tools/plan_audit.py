@@ -64,6 +64,7 @@ ALLOWED = {
     "text_contamination_bloom": "1-row within_bound summary crossed onto per-doc rows",
     "agg_theta_set_ops": "1-row sketch + exact-twin aggregates crossed together",
     "ts_changepoint_cusum": "1-row total and 1-row peak-max broadcast onto the daily series",
+    "ts_autocorr_int": "1-row total aggregate broadcast onto the daily series",
 }
 
 
@@ -133,6 +134,7 @@ MAX_SHUFFLES = {
     "agg_ab_test_proportions": 1,
     "multimodal_audio_vad": 0,
     "agg_winsorize_stats": 2,
+    "ts_autocorr_int": 2,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
