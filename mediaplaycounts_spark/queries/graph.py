@@ -299,3 +299,81 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select(F.col("node").alias("node_id"), "dist")
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+        WITH {_EDGES_SQL},
+        cs AS (SELECT DISTINCT src, dst FROM e WHERE src % 2 = 0),
+        deg AS (SELECT src, COUNT(*) AS d FROM cs GROUP BY src),
+        cpairs AS (
+            SELECT a.src AS c1, b.src AS c2, COUNT(*) AS common
+            FROM cs a JOIN cs b ON a.dst = b.dst AND a.src < b.src
+            GROUP BY a.src, b.src),
+        scored AS (
+            SELECT p.c1, p.c2, p.common,
+                   CAST(round(CAST(p.common AS DOUBLE)
+                              / (d1.d + d2.d - p.common) * 1000000, 0)
+                        AS BIGINT) AS jaccard_e6
+            FROM cpairs p
+            JOIN deg d1 ON d1.src = p.c1
+            JOIN deg d2 ON d2.src = p.c2),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY jaccard_e6 DESC, common DESC,
+                                         c1, c2) AS rn
+            FROM scored)
+        SELECT c1, c2, common, jaccard_e6 FROM ranked WHERE rn <= 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the customer side of the trading graph:
+    common-neighbor count and neighborhood-Jaccard score for customer
+    pairs sharing at least one supplier, top-50 strongest predicted
+    links — the "customers who buy alike" primitive behind
+    recommendation candidates and entity-resolution blocking.
+
+    Plan: the two-hop co-neighbor join is blocked on the shared
+    supplier (never all customer pairs — only pairs with a common
+    neighbor materialize, the same never-n² rule as the dedup family);
+    degrees join back broadcast; Jaccard = one micro-quantized
+    division. At 100 TB, salt the hot suppliers exactly as
+    `dedup_ngram_jaccard` salts hot blocks."""
+    e = _trading_edges(spark, sf_dir)
+    cs = e.filter(F.col("src") % 2 == 0).select("src", "dst").distinct()
+    deg = cs.groupBy("src").agg(F.count("*").alias("d"))
+    a = cs.select(F.col("src").alias("c1"), "dst")
+    b = cs.select(F.col("src").alias("c2"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("src").alias("c1"), F.col("d").alias("d1"))),
+            "c1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("c2"), F.col("d").alias("d2"))),
+            "c2",
+        )
+        .select(
+            "c1",
+            "c2",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("common"))
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("jaccard_e6"), F.desc("common"), "c1", "c2")
+        .limit(50)
+    )

@@ -2118,3 +2118,65 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediaplaycounts_spark.operators.multimodal import audio_vad_energy
 
     return audio_vad_energy(docs, "doc_id", "text")
+
+
+# -------------------------------------------- per-doc char entropy
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+            FROM documents),
+        cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+               WHERE c != '' GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t
+                FROM cc GROUP BY doc_id)
+        SELECT cc.doc_id,
+               tot.t AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               CAST(SUM(n * CAST(round(
+                        ln(CAST(tot.t AS DOUBLE) / n) * 1000000000, 0)
+                    AS BIGINT)) // tot.t AS BIGINT) AS entropy_nano
+        FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+        GROUP BY cc.doc_id, tot.t
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER entropy — the gibberish/encoding-noise
+    detector (natural language sits near 4.1 nats of character entropy;
+    base64 blobs and mojibake spike toward the uniform limit, repeated
+    filler collapses toward 0). Complements `agg_entropy_shannon`
+    (event-mix entropy, corpus axis) on the per-document axis.
+
+    Cross-engine exactness uses the `text_perplexity_unigram`
+    convention: each ln(t/n) term is nano-quantized to int64 BEFORE the
+    weighted sum (both engines' libm agree far below 1e-9 relative),
+    so the aggregation is order-independent integer math and the final
+    floor division matches bit-for-bit.
+
+    Plan: explode chars → one (doc, char) hash agg → per-doc agg; at
+    100 TB cap the explode with a doc-length ceiling upstream
+    (pipeline_token_budget_trim) — the agg keys stay tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = cc.groupBy("doc_id").agg(F.sum("n").cast("long").alias("t"))
+    j = cc.join(tot, "doc_id")
+    term = F.col("n") * F.round(
+        F.log(F.col("t").cast("double") / F.col("n")) * 1000000000, 0
+    ).cast("long")
+    return j.groupBy("doc_id", "t").agg(
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.expr("cast(sum(n * cast(round(ln(cast(t as double) / n)"
+               " * 1000000000, 0) as bigint)) div t as bigint)")
+        .alias("entropy_nano"),
+    ).select(
+        "doc_id",
+        F.col("t").alias("n_chars"),
+        "n_distinct_chars",
+        "entropy_nano",
+    )

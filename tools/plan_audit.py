@@ -135,6 +135,8 @@ MAX_SHUFFLES = {
     "multimodal_audio_vad": 0,
     "agg_winsorize_stats": 2,
     "ts_autocorr_int": 2,
+    "graph_link_prediction": 9,
+    "text_char_entropy": 4,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
