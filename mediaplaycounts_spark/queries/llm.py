@@ -2180,3 +2180,55 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_chars",
         "entropy_nano",
     )
+
+
+@register(
+    "multimodal_image_phash",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 9) % 9 AS h
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h, unnest(range(0, w * h)) AS p,
+                   ((doc_id * 7 + (3 * unnest(range(0, w * h))) * 13) % 256
+                    + (doc_id * 7 + (3 * unnest(range(0, w * h)) + 1) * 13) % 256
+                    + (doc_id * 7 + (3 * unnest(range(0, w * h)) + 2) * 13) % 256)
+                     AS s
+            FROM dims),
+        tot AS (SELECT doc_id, w, h, CAST(SUM(s) AS BIGINT) AS total
+                FROM px GROUP BY doc_id, w, h),
+        bits AS (
+            SELECT t.doc_id, t.w, t.h,
+                   b.j,
+                   CASE WHEN p2.s * (t.w * t.h) >= t.total
+                        THEN CAST(1 AS BIGINT) << b.j ELSE 0 END AS bit
+            FROM tot t
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS j) b
+            JOIN px p2 ON p2.doc_id = t.doc_id
+                      AND p2.p = (b.j * t.w * t.h) // 32)
+        SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM(bit) AS BIGINT) AS phash
+        FROM bits GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image FINGERPRINT (average-hash) computed from the
+    REAL binary P6 PPM decode: 32 pixels sampled at fixed fractional
+    positions, each thresholded against the image's mean channel sum
+    (cross-multiplied integers, no float), packed into an int64 — the
+    image-dedup analog of `dedup_simhash` (near-identical images
+    collide in Hamming space). The DuckDB twin replays the synthetic
+    raster's closed form (pixel i = (id·7 + i·13) mod 256), so the
+    whole decode→sample→threshold→pack path is value-graded.
+
+    Arrow kernel, zero shuffle; at 100 TB the fingerprints feed the
+    same banded-LSH pair generation as text MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mediaplaycounts_spark.operators.multimodal import (
+        image_phash,
+        with_ppm_payload,
+    )
+
+    return image_phash(with_ppm_payload(docs, "doc_id"))

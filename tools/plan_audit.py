@@ -137,6 +137,7 @@ MAX_SHUFFLES = {
     "ts_autocorr_int": 2,
     "graph_link_prediction": 9,
     "text_char_entropy": 4,
+    "multimodal_image_phash": 0,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
