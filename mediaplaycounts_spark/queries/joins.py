@@ -580,3 +580,81 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("next_purchase_ts").cast("timestamp")) - F.col("tus"),
         ).alias("micros_to_purchase"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   date_trunc('day', ts) AS day,
+                   MIN(ts) AS t0, MAX(ts) AS t1
+            FROM events GROUP BY user_id, day),
+        p AS (
+            SELECT a.user_id AS u1, b.user_id AS u2, a.day,
+                   CAST(date_diff('microsecond',
+                        greatest(a.t0, b.t0), least(a.t1, b.t1)) AS BIGINT)
+                     AS overlap_us
+            FROM s a JOIN s b
+              ON a.day = b.day AND a.user_id < b.user_id
+             AND a.t0 <= b.t1 AND b.t0 <= a.t1)
+        SELECT u1, u2, COUNT(*) AS n_days,
+               CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+        FROM p GROUP BY u1, u2
+        HAVING COUNT(*) >= 5
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join: user pairs whose daily activity spans
+    [first event, last event] overlap, with total overlap time —
+    the co-presence primitive (concurrent sessions, co-editing,
+    fraud-ring detection). The quadratic trap is joining every span
+    against every span; here spans are BLOCKED on the calendar day
+    before the overlap theta-predicate runs — the same
+    block-then-verify shape as the dedup family (`join_range_bucketized`
+    generalizes the blocking to bucket grids for multi-day spans).
+    Overlap time is microsecond-integer (both engines' timestamp diff),
+    pairs thresholded to ≥5 shared days.
+
+    One span agg (user, day), one day-blocked equi-join + codegen
+    predicate, one pair agg — all keys near-uniform."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    a = s.select(
+        F.col("user_id").alias("u1"),
+        "day",
+        F.col("t0").alias("a0"),
+        F.col("t1").alias("a1"),
+    )
+    b = s.select(
+        F.col("user_id").alias("u2"),
+        "day",
+        F.col("t0").alias("b0"),
+        F.col("t1").alias("b1"),
+    )
+    pairs = (
+        a.join(b, "day")
+        .filter(
+            (F.col("u1") < F.col("u2"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1"))
+        )
+        .select(
+            "u1",
+            "u2",
+            (
+                F.unix_micros(F.least("a1", "b1").cast("timestamp"))
+                - F.unix_micros(F.greatest("a0", "b0").cast("timestamp"))
+            ).alias("overlap_us"),
+        )
+    )
+    return (
+        pairs.groupBy("u1", "u2")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("overlap_us").cast("long").alias("total_overlap_us"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )

@@ -2232,3 +2232,67 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return image_phash(with_ppm_payload(docs, "doc_id"))
+
+
+# ------------------------------------------------ corpus novelty curve
+
+
+@register(
+    "text_novelty_curve",
+    oracle="""
+        WITH toks AS (SELECT doc_id, doc_id // 50 AS batch,
+                             string_split(text, ' ') AS t
+                      FROM documents),
+        tg AS (SELECT DISTINCT batch, doc_id,
+                      unnest(list_transform(range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        AS trigram
+               FROM toks WHERE len(t) >= 3),
+        firsts AS (SELECT trigram, MIN(batch) AS first_batch
+                   FROM tg GROUP BY trigram),
+        per_batch AS (
+            SELECT tg.batch,
+                   COUNT(DISTINCT tg.trigram) AS n_trigrams,
+                   COUNT(DISTINCT CASE WHEN f.first_batch = tg.batch
+                                       THEN tg.trigram END) AS n_new
+            FROM tg JOIN firsts f ON tg.trigram = f.trigram
+            GROUP BY tg.batch)
+        SELECT batch, n_trigrams, n_new,
+               CAST(n_new * 1000000 // n_trigrams AS BIGINT) AS novelty_ppm
+        FROM per_batch
+    """,
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY curve: per arrival batch (50 docs), the fraction
+    of its distinct trigrams never seen in any earlier batch — the
+    curation signal that tells you when a crawl stops adding
+    information (novelty decays toward the boilerplate floor) and
+    whether incremental dedup is keeping up. Arrival order is doc_id
+    (the ingest-order stand-in).
+
+    Plan: staged trigram explode, one first-occurrence agg keyed by
+    trigram, one batch rollup — at 100 TB the trigram key becomes its
+    xxhash64 fingerprint and `firsts` is the incremental index
+    `dedup_incremental_delta` maintains day over day."""
+    from mediaplaycounts_spark.queries.curation import _distinct_trigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    tg = _distinct_trigrams(docs).withColumn(
+        "batch", F.expr("doc_id div 50")
+    )
+    firsts = tg.groupBy("trigram").agg(F.min("batch").alias("first_batch"))
+    j = tg.join(firsts, "trigram")
+    per_batch = j.groupBy("batch").agg(
+        F.count_distinct("trigram").alias("n_trigrams"),
+        F.count_distinct(
+            F.when(F.col("first_batch") == F.col("batch"), F.col("trigram"))
+        ).alias("n_new"),
+    )
+    return per_batch.select(
+        "batch",
+        "n_trigrams",
+        "n_new",
+        F.expr("cast(n_new * 1000000 div n_trigrams as bigint)").alias(
+            "novelty_ppm"
+        ),
+    )

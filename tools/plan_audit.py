@@ -138,6 +138,8 @@ MAX_SHUFFLES = {
     "graph_link_prediction": 9,
     "text_char_entropy": 4,
     "multimodal_image_phash": 0,
+    "join_interval_overlap": 3,
+    "text_novelty_curve": 3,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
