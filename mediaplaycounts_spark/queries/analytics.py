@@ -711,3 +711,52 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         path.alias("path"),
     ).drop("sid")
+
+
+@register(
+    "agg_markov_transitions",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                     AS next_type
+            FROM events),
+        t AS (SELECT event_type AS from_type, next_type AS to_type,
+                     COUNT(*) AS n
+              FROM o WHERE next_type IS NOT NULL
+              GROUP BY from_type, to_type),
+        tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+                FROM t GROUP BY from_type)
+        SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+               CAST(t.n * 1000000 // tot.row_total AS BIGINT) AS p_ppm
+        FROM t JOIN tot ON t.from_type = tot.from_type
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences: counts and row-normalized probabilities (ppm, floor
+    division — integer-exact) for every (from → to) event-type pair —
+    the behavioral model behind next-action prediction, anomaly scoring
+    (improbable transitions), and funnel leak analysis. Total
+    (ts, event_id) order makes duplicate timestamps deterministic.
+
+    One (user, time) window for the LEAD, one pair agg, a tiny
+    row-total broadcast — the matrix is |types|² rows regardless of
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type", 1).over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = o.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("cast(n * 1000000 div row_total as bigint)").alias("p_ppm"),
+    )

@@ -819,3 +819,71 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("priority", 6).alias("priority"),
         )
     )
+
+
+# --------------------------------------- length-bucketed batch packing
+
+
+@register(
+    "pipeline_length_bucket_batches",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(string_split(text, ' ')) // 16 AS BIGINT)
+                     AS bucket
+            FROM documents),
+        b AS (
+            SELECT doc_id, n_words, bucket,
+                   (row_number() OVER (PARTITION BY bucket
+                                       ORDER BY doc_id) - 1) // 8
+                     AS batch_idx
+            FROM d),
+        agg AS (
+            SELECT bucket, batch_idx,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words,
+                   CAST(MAX(n_words) AS BIGINT) AS max_words
+            FROM b GROUP BY bucket, batch_idx)
+        SELECT bucket, batch_idx, n_docs, total_words, max_words,
+               CAST((max_words * n_docs - total_words) * 1000000
+                    // (max_words * n_docs) AS BIGINT) AS pad_waste_ppm
+        FROM agg
+    """,
+)
+def pipeline_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED batching — the padding-waste killer for
+    non-packed training: docs are bucketed by length (16-word bands),
+    numbered into fixed-size batches of 8 WITHIN their bucket
+    (deterministic doc_id order), and each batch reports its padding
+    waste (pad-to-max overhead, ppm). Complements
+    `pipeline_pack_sequences` (greedy concat packing): bucketing keeps
+    examples intact — the right choice for SFT/eval where sequence
+    boundaries matter — and similar lengths make the residual padding
+    small. One shuffle (the per-bucket window); at 100 TB buckets are
+    uniform-ish by construction and batches never cross executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    ).withColumn("bucket", F.expr("n_words div 16"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    b = d.withColumn(
+        "batch_idx", F.expr(f"cast((row_number() over (partition by bucket order by doc_id) - 1) div 8 as bigint)")
+    )
+    agg = b.groupBy("bucket", "batch_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+    )
+    return agg.select(
+        "bucket",
+        "batch_idx",
+        "n_docs",
+        "total_words",
+        "max_words",
+        F.expr(
+            "cast((max_words * n_docs - total_words) * 1000000"
+            " div (max_words * n_docs) as bigint)"
+        ).alias("pad_waste_ppm"),
+    )

@@ -139,6 +139,8 @@ MAX_SHUFFLES = {
     "text_char_entropy": 4,
     "multimodal_image_phash": 0,
     "join_interval_overlap": 3,
+    "agg_markov_transitions": 5,
+    "pipeline_length_bucket_batches": 1,
     "text_novelty_curve": 3,
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
