@@ -2296,3 +2296,68 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ppm"
         ),
     )
+
+
+# ------------------------------------------- homoglyph-aware dedup
+
+
+@register(
+    "dedup_unicode_confusables",
+    oracle="""
+        WITH corrupt AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   translate(text, 'aeo', 'аео') AS text
+            FROM documents WHERE doc_id % 7 = 0),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM corrupt),
+        n AS (SELECT doc_id,
+                     md5(text) AS h_plain,
+                     md5(translate(text, 'аео', 'aeo'))
+                       AS h_norm
+              FROM corpus),
+        plain_k AS (SELECT h_plain, MIN(doc_id) AS k FROM n GROUP BY h_plain),
+        norm_k AS (SELECT h_norm, MIN(doc_id) AS k FROM n GROUP BY h_norm)
+        SELECT n.doc_id,
+               CAST(n.doc_id != pk.k AS BIGINT) AS plain_dup,
+               CAST(n.doc_id != nk.k AS BIGINT) AS norm_dup,
+               nk.k AS norm_keeper
+        FROM n JOIN plain_k pk ON n.h_plain = pk.h_plain
+               JOIN norm_k nk ON n.h_norm = nk.h_norm
+    """,
+)
+def dedup_unicode_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOMOGLYPH-aware dedup — the adversarial-dedup gap byte hashing
+    can't see: every 7th doc gets a lookalike copy with latin a/e/o
+    swapped for Cyrillic а/е/о (visually identical, byte-distinct —
+    the standard trick for sneaking duplicates past exact dedup and
+    spam past blocklists). Plain md5 dedup finds NOTHING (plain_dup=0
+    for every corrupt copy); confusable-normalized hashing (translate
+    back to the latin skeleton before hashing) maps each copy to its
+    original keeper. At 100 TB the translate() is a codegen projection
+    ahead of the same hash groupBy — cost-free insurance
+    (`dedup_exact_normalized` covers case/whitespace; this covers
+    script spoofing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corrupt = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.translate("text", "aeo", "аео").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(corrupt)
+    n = corpus.select(
+        "doc_id",
+        F.md5("text").alias("h_plain"),
+        F.md5(F.translate("text", "аео", "aeo")).alias("h_norm"),
+    )
+    plain_k = n.groupBy("h_plain").agg(F.min("doc_id").alias("pk"))
+    norm_k = n.groupBy("h_norm").agg(F.min("doc_id").alias("nk"))
+    return (
+        n.join(plain_k, "h_plain")
+        .join(norm_k, "h_norm")
+        .select(
+            "doc_id",
+            (F.col("doc_id") != F.col("pk")).cast("long").alias("plain_dup"),
+            (F.col("doc_id") != F.col("nk")).cast("long").alias("norm_dup"),
+            F.col("nk").alias("norm_keeper"),
+        )
+    )

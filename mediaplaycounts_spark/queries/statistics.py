@@ -738,3 +738,76 @@ def agg_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_cents"
         ),
     )
+
+
+# ---------------------------------------------------- Benford digit test
+
+
+#: Benford expected first-digit shares in ppm (log10(1+1/d), hardcoded
+#: identically in the Spark plan and the oracle — no ln at query time).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "agg_benford_digit_test",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(substring(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT) AS d
+            FROM events WHERE value >= 0.01),
+        c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY d),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        exp AS (SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))})
+            AS e(d, exp_ppm))
+        SELECT exp.d AS digit, COALESCE(c.n, 0) AS n,
+               CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT)
+                 AS obs_ppm,
+               CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+               CAST(abs(COALESCE(c.n, 0) * 1000000 // t.total - exp.exp_ppm)
+                    AS BIGINT) AS dev_ppm
+        FROM exp LEFT JOIN c ON exp.d = c.d CROSS JOIN t
+    """,
+)
+def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit test over transaction values — the
+    fraud/data-fabrication screen (organically-generated magnitudes
+    follow log10(1+1/d); fabricated or truncated data doesn't).
+    Digits come from the cents-quantized integer (no float formatting
+    ambiguity); expected shares are hardcoded ppm constants identical
+    in both engines (no ln at query time); deviations are integer ppm.
+    The 9-row digit spine LEFT-joins the counts so missing digits
+    surface as 0-count rows rather than vanishing.
+
+    One hash agg + 1-row total broadcast onto a 9-row literal spine."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value") >= 0.01).select(
+        F.substring(
+            F.round(F.col("value") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    c = v.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "d long, exp_ppm long"
+    )
+    return (
+        exp.join(c, "d", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr(
+                "cast(coalesce(n, 0) * 1000000 div total as bigint)"
+            ).alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            F.expr(
+                "cast(abs(coalesce(n, 0) * 1000000 div total - exp_ppm) as bigint)"
+            ).alias("dev_ppm"),
+        )
+    )

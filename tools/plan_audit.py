@@ -65,6 +65,7 @@ ALLOWED = {
     "agg_theta_set_ops": "1-row sketch + exact-twin aggregates crossed together",
     "ts_changepoint_cusum": "1-row total and 1-row peak-max broadcast onto the daily series",
     "ts_autocorr_int": "1-row total aggregate broadcast onto the daily series",
+    "agg_benford_digit_test": "1-row total broadcast onto the 9-row digit spine",
 }
 
 
@@ -140,6 +141,8 @@ MAX_SHUFFLES = {
     "multimodal_image_phash": 0,
     "join_interval_overlap": 3,
     "agg_markov_transitions": 5,
+    "agg_benford_digit_test": 2,
+    "dedup_unicode_confusables": 2,
     "pipeline_length_bucket_batches": 1,
     "text_novelty_curve": 3,
     "scan_observe_metrics": 0,
