@@ -658,3 +658,113 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_days") >= 5)
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             cand AS (
+                SELECT c.event_id, c.user_id, c.ts,
+                       (SELECT MAX(p.ts) FROM p
+                        WHERE p.user_id = c.user_id AND p.ts <= c.ts)
+                         AS back_ts,
+                       (SELECT MIN(p.ts) FROM p
+                        WHERE p.user_id = c.user_id AND p.ts >= c.ts)
+                         AS fwd_ts
+                FROM c),
+             pick AS (
+                SELECT *,
+                       CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                            WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL
+                                 OR date_diff('microsecond', back_ts, ts)
+                                    <= date_diff('microsecond', ts, fwd_ts))
+                            THEN 'backward' ELSE 'forward' END AS direction
+                FROM cand)
+        SELECT event_id, user_id, ts,
+               CASE direction WHEN 'backward' THEN back_ts
+                              WHEN 'forward' THEN fwd_ts END
+                 AS nearest_purchase_ts,
+               CASE direction
+                    WHEN 'backward' THEN date_diff('microsecond', back_ts, ts)
+                    WHEN 'forward' THEN date_diff('microsecond', ts, fwd_ts)
+               END AS abs_us,
+               direction
+        FROM pick
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'): for every click, the same user's purchase
+    with the smallest absolute time distance, ties broken toward the
+    earlier (backward) candidate — completing the as-of triple with
+    `join_asof` (backward) and `join_asof_forward` (forward).
+
+    Formulation: ONE shuffle on user_id, two window frames over the
+    same (user_id, event-time) sort — a running max of purchase-ts over
+    RANGE (-inf, now] and a running min over RANGE [now, +inf) — then a
+    codegen CASE picks the closer candidate in exact microsecond
+    integers. Catalyst plans both frames off a single Exchange+Sort
+    (same partitioning and ordering), so "nearest" costs the same as
+    one directional as-of; no range join, no |clicks|x|purchases|
+    blowup on hot users. The oracle's two correlated subqueries are
+    the semantics spec; DuckDB decorrelates them the same way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    cand = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tus",
+        "event_type",
+        F.max(p_ts).over(wb).alias("back_ts"),
+        F.min(p_ts).over(wf).alias("fwd_ts"),
+    )
+    back_us = F.col("tus") - F.unix_micros(F.col("back_ts").cast("timestamp"))
+    fwd_us = F.unix_micros(F.col("fwd_ts").cast("timestamp")) - F.col("tus")
+    direction = (
+        F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None))
+        .when(
+            F.col("back_ts").isNotNull()
+            & (F.col("fwd_ts").isNull() | (back_us <= fwd_us)),
+            F.lit("backward"),
+        )
+        .otherwise(F.lit("forward"))
+    )
+    return (
+        cand.filter(F.col("event_type") == "click")
+        .withColumn("direction", direction)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("direction") == "backward", F.col("back_ts"))
+            .when(F.col("direction") == "forward", F.col("fwd_ts"))
+            .alias("nearest_purchase_ts"),
+            F.when(F.col("direction") == "backward", back_us)
+            .when(F.col("direction") == "forward", fwd_us)
+            .alias("abs_us"),
+            "direction",
+        )
+    )

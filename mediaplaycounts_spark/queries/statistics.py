@@ -811,3 +811,94 @@ def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
     )
+
+
+# ------------------------------------------- categorical independence
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type,
+                   CASE WHEN CAST(round(value * 100, 0) AS BIGINT) >= 3500
+                        THEN 'hi' ELSE 'lo' END AS bucket,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2),
+        tot AS (
+            SELECT event_type, bucket, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS r,
+                   SUM(o) OVER (PARTITION BY bucket) AS c,
+                   SUM(o) OVER () AS n
+            FROM cells)
+        SELECT event_type, bucket, o,
+               CAST((CAST(r AS HUGEINT) * CAST(c AS HUGEINT) * 1000000)
+                    // CAST(n AS HUGEINT) AS BIGINT) AS expected_ppm,
+               CAST(((CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+                      - CAST(r AS HUGEINT) * CAST(c AS HUGEINT))
+                     * (CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+                        - CAST(r AS HUGEINT) * CAST(c AS HUGEINT))
+                     * 1000000)
+                    // (CAST(r AS HUGEINT) * CAST(c AS HUGEINT)
+                        * CAST(n AS HUGEINT)) AS BIGINT) AS chi2_ppm
+        FROM tot
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence screen for a contingency table
+    (event_type x value-magnitude bucket), per-cell contributions in
+    EXACT integer millionths — the categorical drift / A-B sanity test
+    a feature store runs before trusting a segmentation.
+
+    Exactness: the float formula (O-E)^2/E is division-first and
+    engine-rounding-dependent; cleared of fractions it is
+    ((O*N - R*C)^2 * 1e6) div (R*C*N) over wide integers — Spark does
+    the products in DECIMAL(38,0) (intermediates reach ~5e26, past
+    int64), DuckDB in HUGEINT, and both take one integral division at
+    the end, so the ppm values are bit-identical.
+
+    Plan: one hash agg over events to the O(types x buckets) cell table,
+    then three window totals + codegen arithmetic on ~10 rows — the raw
+    table is touched once regardless of scale; marginals are windows
+    over cells, never a second scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.when(cents("value") >= 3500, F.lit("hi"))
+        .otherwise(F.lit("lo"))
+        .alias("bucket"),
+    ).agg(F.count("*").alias("o"))
+    tot = cells.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("bucket")).alias("c"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    od, rd, cd, nd = (F.col(x).cast(d38) for x in ("o", "r", "c", "n"))
+    dev = od * nd - rd * cd
+    return tot.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.expr(
+            "CAST((CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
+            " * 1000000) div CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("expected_ppm"),
+        (
+            (dev * dev * F.lit(1000000).cast(d38))
+            .cast(d38)
+        ).alias("_num"),
+        (rd * cd * nd).alias("_den"),
+    ).select(
+        "event_type",
+        "bucket",
+        "o",
+        "expected_ppm",
+        F.expr("CAST(_num div _den AS BIGINT)").alias("chi2_ppm"),
+    )

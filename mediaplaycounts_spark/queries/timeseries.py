@@ -667,3 +667,86 @@ def ts_autocorr_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acf7_e6"),
     )
+
+
+# ------------------------------------------------- interval flattening
+
+
+@register(
+    "ts_interval_merge",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, ts AS s,
+                          ts + INTERVAL 30 MINUTE AS en
+                   FROM events),
+        w AS (SELECT user_id, event_id, s, en,
+              MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+              FROM e),
+        f AS (SELECT user_id, event_id, s, en,
+              CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ni
+              FROM w),
+        i AS (SELECT user_id, s, en,
+              CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS island_id
+              FROM f)
+        SELECT user_id, island_id,
+               MIN(s) AS start_ts, MAX(en) AS end_ts,
+               COUNT(*) AS n_events,
+               date_diff('microsecond', MIN(s), MAX(en)) AS span_us
+        FROM i GROUP BY user_id, island_id
+    """,
+)
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval FLATTEN (merge) per user: each event opens a
+    [ts, ts+30min] activity interval; intervals that overlap or touch a
+    running one coalesce into a single island — the sweep-line classic
+    behind sessionized uptime, on-call coverage, and GPU-occupancy
+    accounting (REF has only per-day rollups; this is the
+    sub-day generalization).
+
+    Sweep line as windows, no self-join: a running MAX of interval-end
+    over rows strictly before the current one detects island starts
+    (`start > max(prior ends)`), a running SUM numbers the islands, and
+    one hash agg per (user, island) emits merged bounds — two window
+    passes + one agg over a SINGLE user_id shuffle (all three share the
+    exchange; the windows share one sort). Span math is exact
+    microsecond integers on both engines. At 100 TB: state per key is
+    one max + one counter; no interval ever compares against anything
+    but the running aggregate, so hot users cost O(n log n) sort, not
+    O(n^2) pair checks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("en"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn("pmax", F.max("en").over(wp)).withColumn(
+        "ni",
+        (F.col("pmax").isNull() | (F.col("s") > F.col("pmax"))).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("ni").over(wc).cast("long")
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("start_ts"),
+        F.max("en").alias("end_ts"),
+        F.count("*").alias("n_events"),
+        (
+            F.unix_micros(F.max("en").cast("timestamp"))
+            - F.unix_micros(F.min("s").cast("timestamp"))
+        ).alias("span_us"),
+    )
