@@ -887,3 +887,78 @@ def pipeline_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFram
             " div (max_words * n_docs) as bigint)"
         ).alias("pad_waste_ppm"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+        WITH base AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   COUNT(DISTINCT sha256(text)) AS n_uniq
+            FROM documents GROUP BY source),
+        lc AS (SELECT source, lang, COUNT(*) AS c
+               FROM documents GROUP BY source, lang),
+        mj AS (SELECT source, lang AS majority_lang FROM (
+                   SELECT source, lang,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY c DESC, lang) AS rn
+                   FROM lc) WHERE rn = 1)
+        SELECT b.source, b.n_docs, b.total_chars, b.n_langs,
+               mj.majority_lang,
+               CAST((b.n_docs - b.n_uniq) * 1000000 // b.n_docs AS BIGINT)
+                 AS dup_ppm,
+               CAST(b.total_chars * 100 // b.n_docs AS BIGINT)
+                 AS mean_chars_e2
+        FROM base b JOIN mj ON b.source = mj.source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass DATASET CARD per corpus source: doc count, char volume,
+    language spread, majority language, exact-duplicate rate, mean doc
+    length — the summary table a training-data release ships alongside
+    the shards (HF dataset-card / Dolma-style corpus stats).
+
+    Two scans of documents total, both hash aggs keyed on low-
+    cardinality columns: (source) for the moment/distinct stats and
+    (source, lang) for the majority vote — the vote is a window over
+    the TINY (source x lang) table, never over raw docs. Rates are
+    fraction-free integer ppm/centi-chars (floored division on both
+    engines), so the card hash-matches DuckDB exactly. At 100 TB both
+    aggs partial-aggregate map-side; distinct hashes shuffle at most
+    one row per unique (source, hash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_uniq"),
+    )
+    lc = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    mj = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("c").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("majority_lang"))
+    )
+    return base.join(F.broadcast(mj), "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        "majority_lang",
+        F.expr(
+            "cast((n_docs - n_uniq) * 1000000 div n_docs as bigint)"
+        ).alias("dup_ppm"),
+        F.expr("cast(total_chars * 100 div n_docs as bigint)").alias(
+            "mean_chars_e2"
+        ),
+    )

@@ -317,3 +317,56 @@ def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         mean_norm_cents("embedding").over(w).alias("rolling_mean_norm"),
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
+                 AS n_upper
+        FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` kernel: per-batch compute DIRECTLY on pyarrow
+    RecordBatches with pyarrow.compute — no pandas materialization at
+    all (one conversion fewer than a pandas UDF; strings never become
+    Python objects). The kernel is pure columnar: byte length, token
+    count via split+list-length, uppercase count via a vectorized
+    regex — all exact integers, so the DuckDB oracle hash-matches.
+
+    This is the lowest-overhead Python escape hatch Spark offers: Arrow
+    IPC in, Arrow IPC out, zero-copy on the JVM side. Use it when a
+    kernel is expressible in pyarrow.compute/numpy-on-buffers; fall
+    back to pandas UDFs only when pandas semantics (e.g. groupby state)
+    are genuinely needed. Embarrassingly parallel — no shuffle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int64(),
+                    ),
+                    pc.cast(
+                        pc.count_substring_regex(text, "[A-Z]"), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_ws_tokens", "n_upper"],
+            )
+
+    return docs.mapInArrow(
+        kernel, "doc_id long, n_bytes long, n_ws_tokens long, n_upper long"
+    )
