@@ -902,3 +902,97 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_ppm",
         F.expr("CAST(_num div _den AS BIGINT)").alias("chi2_ppm"),
     )
+
+
+# --------------------------------------------- multivariate regression
+
+
+@register(
+    "agg_ols_normal_eq",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sx1,
+                   SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) AS sx2,
+                   SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+                   SUM(CAST(round(l_quantity, 0) AS BIGINT)
+                       * CAST(round(l_quantity, 0) AS BIGINT)) AS sx1x1,
+                   SUM(CAST(round(l_discount * 100, 0) AS BIGINT)
+                       * CAST(round(l_discount * 100, 0) AS BIGINT)) AS sx2x2,
+                   SUM(CAST(round(l_quantity, 0) AS BIGINT)
+                       * CAST(round(l_discount * 100, 0) AS BIGINT)) AS sx1x2,
+                   SUM(CAST(round(l_quantity, 0) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS sx1y,
+                   SUM(CAST(round(l_discount * 100, 0) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS sx2y
+            FROM lineitem GROUP BY l_returnflag),
+        c AS (
+            SELECT l_returnflag, n,
+                   n * sx1x1 - sx1 * sx1 AS a11,
+                   n * sx2x2 - sx2 * sx2 AS a22,
+                   n * sx1x2 - sx1 * sx2 AS a12,
+                   n * sx1y - sx1 * sy AS b1,
+                   n * sx2y - sx2 * sy AS b2
+            FROM m)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST((a22 * b1 - a12 * b2) * 1000
+                    // (a11 * a22 - a12 * a12) AS BIGINT) AS slope_qty_e3,
+               CAST((a11 * b2 - a12 * b1) * 1000
+                    // (a11 * a22 - a12 * a12) AS BIGINT) AS slope_disc_e3
+        FROM c
+    """,
+)
+def agg_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS via DISTRIBUTED NORMAL EQUATIONS: regress
+    line-item price (cents) on quantity and discount-pct per return
+    flag — one scan accumulates the 9 integer moment sums
+    (map-side-combinable, the X^T X pattern that scales to any row
+    count), then the 2x2 system is solved in closed form on the
+    O(groups) moment table.
+
+    Exactness: raw moments are int64 sums of per-row integer products;
+    the centered cross-moments (n*Sxy - Sx*Sy reach ~1e20 at sf0.1,
+    past int64) and the Cramer's-rule solve run in DECIMAL(38,0) on
+    Spark / HUGEINT on DuckDB, with slopes emitted as one floored
+    integral division in milli-units — bit-identical, no float algebra
+    anywhere. This is the moment-ladder family (kurtosis, trend_slope)
+    extended from univariate to a true linear system.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.round(F.col("l_quantity"), 0).cast("long")
+    x2 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx1x1"),
+        F.sum(x2 * x2).alias("sx2x2"),
+        F.sum(x1 * x2).alias("sx1x2"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    cols = {c: d.format(c) for c in
+            ("n", "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y")}
+    c = m.selectExpr(
+        "l_returnflag",
+        "n",
+        f"{cols['n']} * {cols['sx1x1']} - {cols['sx1']} * {cols['sx1']} AS a11",
+        f"{cols['n']} * {cols['sx2x2']} - {cols['sx2']} * {cols['sx2']} AS a22",
+        f"{cols['n']} * {cols['sx1x2']} - {cols['sx1']} * {cols['sx2']} AS a12",
+        f"{cols['n']} * {cols['sx1y']} - {cols['sx1']} * {cols['sy']} AS b1",
+        f"{cols['n']} * {cols['sx2y']} - {cols['sx2']} * {cols['sy']} AS b2",
+    )
+    return c.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n",
+        "CAST((a22 * b1 - a12 * b2) * 1000"
+        " div (a11 * a22 - a12 * a12) AS BIGINT) AS slope_qty_e3",
+        "CAST((a11 * b2 - a12 * b1) * 1000"
+        " div (a11 * a22 - a12 * a12) AS BIGINT) AS slope_disc_e3",
+    )

@@ -868,3 +868,60 @@ def stream_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     )
+
+
+@register(
+    "stream_maxfiles_incremental",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               TRUE AS multi_batch
+        FROM events GROUP BY event_type
+    """,
+)
+def stream_maxfiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited incremental backfill: the events table is laid out
+    as FOUR parquet files and drained through a file-source stream with
+    ``maxFilesPerTrigger=1`` under Trigger.AvailableNow — so the
+    engine provably processes the backlog as MULTIPLE micro-batches
+    (the knob that keeps a 100 TB backfill from loading everything
+    into one giant batch), while stateful aggregation carries counts
+    across batches to the identical final answer.
+
+    The ``multi_batch`` output column is computed from the query's own
+    progress telemetry (>= 2 data-carrying micro-batches observed); the
+    oracle asserts TRUE, so a silent fallback to single-batch
+    processing is a driver-visible value mismatch, and the per-type
+    counts/cents grade the cross-batch state exactly.
+    """
+    from mediaplaycounts_spark.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    src = SCRATCH / f"maxfiles_src_{uuid.uuid4().hex[:12]}"
+    ev.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    name = f"mpc_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_data_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    return spark.table(name).withColumn(
+        "multi_batch", F.lit(bool(n_data_batches >= 2))
+    )
