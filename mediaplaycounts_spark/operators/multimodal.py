@@ -3,11 +3,12 @@
 Images/audio/video ride through the engine as `binary` columns plus
 typed metadata columns; decode / feature-extract / resize / frame-sample
 run as Arrow-batched Python over mapInPandas. This container has no
-image/audio libraries, so the decode kernels are STUBS (clearly marked
-NotImplementedError or deterministic fakes) — but the Spark-side
-plumbing is real and tested: schema contracts, Arrow batch iteration,
-partition-preserving mapInPandas, and deterministic metadata extraction
-(byte length, md5) that IS fully implemented.
+image/audio codec libraries (PIL/opencv/ffmpeg), so the image format is
+uncompressed P6 PPM — and that path is REAL end-to-end: header grammar
+parse, numpy raster decode, nearest-neighbor resize, perceptual hash,
+frame sampling, energy VAD. Swapping in a compressed codec changes only
+the parse function; schema contracts, Arrow batch iteration, and
+partition-preserving mapInPandas are production-shaped as-is.
 
 Scale notes: mapInPandas streams Arrow record batches through one Python
 worker per core — no driver collect, no per-row pickling. Binary-heavy
@@ -19,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -85,41 +87,46 @@ def synth_ppm_bytes(doc_id: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
+def parse_ppm(b: bytes):
+    """Parse a binary P6 PPM: full header grammar (``#`` comments,
+    arbitrary whitespace) -> (width, height, HxWx3 uint8 raster)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # header comment runs to EOL
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    n = w * h * 3
+    if len(b) - pos < n:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+    return w, h, px
+
+
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     """REAL image decode: binary P6 PPM -> dims + per-channel pixel sums.
 
     Pure stdlib + numpy (no PIL/opencv in this container, so the fixture
-    format is uncompressed PPM — the header grammar, including ``#``
-    comments and arbitrary whitespace, is parsed for real, and pixels go
-    through ``np.frombuffer``/reshape exactly as a JPEG kernel's output
-    would). Swapping in a compressed codec changes only this function.
+    format is uncompressed PPM — the header grammar is parsed for real
+    by :func:`parse_ppm`, and pixels go through ``np.frombuffer``/
+    reshape exactly as a JPEG kernel's output would). Swapping in a
+    compressed codec changes only the parse.
     """
-    import numpy as np
-
     rows = []
     for raw in payloads:
-        b = bytes(raw)
-        if not b.startswith(b"P6"):
-            raise ValueError("not a binary PPM (P6) payload")
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(b) and b[pos : pos + 1].isspace():
-                pos += 1
-            if b[pos : pos + 1] == b"#":  # header comment runs to EOL
-                pos = b.index(b"\n", pos) + 1
-                continue
-            start = pos
-            while pos < len(b) and not b[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(b[start:pos]))
-        pos += 1  # exactly one whitespace byte separates header from raster
-        w, h, maxval = fields
-        if maxval != 255:
-            raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+        w, h, px = parse_ppm(bytes(raw))
         n = w * h * 3
-        if len(b) - pos < n:
-            raise ValueError("truncated PPM raster")
-        px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
         sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         rows.append(
             {
@@ -449,3 +456,49 @@ def image_phash(df: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> pd.D
             ).astype("int64")
 
     return df.mapInPandas(phash_batches, PHASH_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "r4_sum bigint, g4_sum bigint, b4_sum bigint"
+)
+
+
+def resize_image_nn(
+    df: DataFrame, id_col: str = "doc_id", target: int = 4
+) -> DataFrame:
+    """Nearest-neighbor RESIZE over the real decode path: parse the P6
+    raster, sample it down to a fixed ``target x target`` grid
+    (src index = floor(dst * src_dim / target) per axis — the textbook
+    NN mapping), and emit per-channel sums of the resized thumbnail.
+
+    The sampled indices are pure integer functions of (w, h), so a SQL
+    oracle recomputes the thumbnail from the closed-form pixel formula
+    without any decoder — grading resize semantics end-to-end.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["payload"]:
+                w, h, px = parse_ppm(bytes(raw))
+                rr = (np.arange(target, dtype=np.int64) * h) // target
+                cc = (np.arange(target, dtype=np.int64) * w) // target
+                thumb = px[rr][:, cc]  # (target, target, 3)
+                sums = thumb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "r4_sum": int(sums[0]),
+                        "g4_sum": int(sums[1]),
+                        "b4_sum": int(sums[2]),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(
+        resize_batches, IMAGE_RESIZE_SCHEMA
+    )

@@ -445,11 +445,19 @@ def graph_hits_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h", F.lit(1000000).cast("long")
     )
     auth = None
-    for _ in range(2):
+    for it in range(2):
         ar = pairs.join(hubs, "c").groupBy("s").agg(F.sum("h").alias("a"))
         auth = ar.withColumn("m", F.max("a").over(wall)).select(
             "s", F.expr("cast(a * 1000000 div m as bigint)").alias("a")
         )
+        if it == 1:
+            # Materialize the final authority table once (tiny:
+            # <= |suppliers| rows). Both output branches of the union
+            # hang off `auth`, so without this the whole round chain
+            # executes twice — same localCheckpoint rationale as
+            # pagerank above, applied at the lineage fork instead of
+            # per round (one eager job, not four).
+            auth = auth.localCheckpoint()
         hr = pairs.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
         hubs = hr.withColumn("m", F.max("h").over(wall)).select(
             "c", F.expr("cast(h * 1000000 div m as bigint)").alias("h")

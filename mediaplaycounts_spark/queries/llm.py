@@ -2361,3 +2361,186 @@ def dedup_unicode_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nk").alias("norm_keeper"),
         )
     )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 9) % 9 AS h
+            FROM documents),
+        g AS (
+            SELECT doc_id, w, h, unnest(generate_series(0, 15)) AS gi
+            FROM dims),
+        px AS (
+            SELECT doc_id, w, h,
+                   (((gi // 4) * h // 4) * w + ((gi % 4) * w // 4)) * 3
+                     AS base
+            FROM g)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM((doc_id * 7 + (base + 0) * 13) % 256) AS BIGINT)
+                 AS r4_sum,
+               CAST(SUM((doc_id * 7 + (base + 1) * 13) % 256) AS BIGINT)
+                 AS g4_sum,
+               CAST(SUM((doc_id * 7 + (base + 2) * 13) % 256) AS BIGINT)
+                 AS b4_sum
+        FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE (nearest-neighbor to 4x4) over the REAL P6 PPM
+    decode path: parse header + raster, sample ``src = dst*dim div 4``
+    per axis, emit per-channel thumbnail sums — the
+    decode->resize->featurize hop every vision-language pipeline runs
+    before embedding. Fully value-oracled: dims and pixels are
+    closed-form in doc_id, so DuckDB recomputes the exact thumbnail
+    the numpy kernel produced (operators/multimodal.py:resize_image_nn;
+    swap the parse for a JPEG codec and nothing else changes).
+    Arrow-batched mapInPandas, zero shuffle, embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_image_nn(M.with_ppm_payload(docs, "doc_id"), "doc_id")
+
+
+def _bpe_oracle() -> str:
+    def counts(src: str, c: str) -> str:
+        return f"""
+        {c} AS (SELECT pair, COUNT(*) AS n FROM (
+                 SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS pair
+                 FROM {src} WHERE len(toks) >= 2) GROUP BY pair)"""
+
+    def rewrite(src: str, w: str, s: str, t: str) -> str:
+        return f"""
+        {s} AS (SELECT doc_id,
+                 replace(chr(31) || array_to_string(toks, chr(31)) || chr(31),
+                         chr(31) || replace((SELECT pair FROM {w}), ' ',
+                                            chr(31)) || chr(31),
+                         chr(31) || replace((SELECT pair FROM {w}), ' ',
+                                            '_') || chr(31)) AS s
+               FROM {src}),
+        {t} AS (SELECT doc_id, string_split(trim(s, chr(31)), chr(31)) AS toks
+                FROM {s})"""
+
+    return f"""
+        WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+        {counts('t0', 'c1')},
+        w1 AS (SELECT pair, n FROM c1 ORDER BY n DESC, pair LIMIT 1),
+        {rewrite('t0', 'w1', 's1', 't1')},
+        {counts('t1', 'c2')},
+        w2 AS (SELECT pair, n FROM c2 ORDER BY n DESC, pair LIMIT 1),
+        {rewrite('t1', 'w2', 's2', 't2')}
+        SELECT 1 AS round, split_part(pair, ' ', 1) AS left_tok,
+               split_part(pair, ' ', 2) AS right_tok, n AS pair_n,
+               (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM t1)
+                 AS tokens_after
+        FROM w1
+        UNION ALL
+        SELECT 2, split_part(pair, ' ', 1), split_part(pair, ' ', 2), n,
+               (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM t2)
+        FROM w2
+    """
+
+
+@register("text_bpe_merge_rounds", oracle=_bpe_oracle())
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style MERGE TRAINING rounds at the word level (phrase
+    mining): per round, count every adjacent token pair corpus-wide,
+    pick the most frequent (ties -> lexicographically smallest), fuse
+    it into a single ``left_right`` symbol everywhere, and repeat on
+    the rewritten corpus — the inner loop of byte-pair-encoding
+    tokenizer training, run distributed. Two unrolled rounds; output
+    per round: the winning pair, its adjacency count, and the corpus
+    token count after the merge.
+
+    Determinism contract: pair counting sees ALL adjacencies (explode
+    over the token sequence); the rewrite is Spark's/DuckDB's
+    ``replace`` on a unit-separator-joined token string — greedy
+    left-to-right non-overlapping, so an immediate repeat chain
+    ``L R L R`` fuses its first occurrence only (the consumed boundary
+    separator shields the second; both engines implement replace
+    identically, and the docstring is the spec). Winner selection is a
+    two-step exact argmax (global MAX(n), then MIN(pair) at that
+    count) — two one-row aggregates, never a global sort of the pair
+    table.
+
+    Scale shape: each round = one explode + hash agg on (pair) keys
+    (map-side combinable), two 1-row aggs, and a broadcast of the
+    single winning pair into a codegen ``replace`` projection — the
+    corpus rewrite never shuffles. Real BPE runs hundreds of rounds
+    with k winners per round; this is the per-round dataflow, unrolled
+    twice to keep one Catalyst plan.
+    """
+    sep = "\x1f"
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+
+    def pair_counts(tdf: DataFrame) -> DataFrame:
+        pairs = tdf.filter(F.size("toks") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("pair")
+        )
+        return pairs.groupBy("pair").agg(F.count("*").alias("n"))
+
+    def winner(cnt: DataFrame) -> DataFrame:
+        mx = cnt.agg(F.max("n").alias("n"))
+        return (
+            cnt.join(F.broadcast(mx), "n")
+            .groupBy("n")
+            .agg(F.min("pair").alias("pair"))
+            .select("pair", "n")
+        )
+
+    def apply_merge(tdf: DataFrame, win: DataFrame) -> DataFrame:
+        s = tdf.select(
+            "doc_id",
+            F.concat(
+                F.lit(sep), F.array_join("toks", sep), F.lit(sep)
+            ).alias("s"),
+        )
+        j = s.join(F.broadcast(win))
+        needle = F.concat(
+            F.lit(sep), F.expr("replace(pair, ' ', char(31))"), F.lit(sep)
+        )
+        repl = F.concat(
+            F.lit(sep), F.expr("replace(pair, ' ', '_')"), F.lit(sep)
+        )
+        return j.select(
+            "doc_id",
+            F.split(
+                F.expr(
+                    "trim(BOTH char(31) FROM"
+                    " replace(s, concat(char(31),"
+                    " replace(pair, ' ', char(31)), char(31)),"
+                    " concat(char(31), replace(pair, ' ', '_'),"
+                    " char(31))))"
+                ),
+                sep,
+            ).alias("toks"),
+        )
+
+    out_rows = []
+    cur = toks
+    for rnd in (1, 2):
+        win = winner(pair_counts(cur)).localCheckpoint()
+        cur = apply_merge(cur, win)
+        total = cur.agg(F.sum(F.size("toks")).alias("tokens_after"))
+        out_rows.append(
+            win.join(F.broadcast(total)).select(
+                F.lit(rnd).alias("round"),
+                F.expr("split_part(pair, ' ', 1)").alias("left_tok"),
+                F.expr("split_part(pair, ' ', 2)").alias("right_tok"),
+                F.col("n").alias("pair_n"),
+                "tokens_after",
+            )
+        )
+    return out_rows[0].unionByName(out_rows[1])

@@ -66,6 +66,7 @@ ALLOWED = {
     "ts_changepoint_cusum": "1-row total and 1-row peak-max broadcast onto the daily series",
     "ts_autocorr_int": "1-row total aggregate broadcast onto the daily series",
     "agg_benford_digit_test": "1-row total broadcast onto the 9-row digit spine",
+    "text_bpe_merge_rounds": "1-row winning-pair broadcast into the rewrite projection; 1-row totals crossed onto 1-row winner rows",
 }
 
 
@@ -246,6 +247,17 @@ MAX_SHUFFLES = {
     "agg_hll_intersection": 4,
     "win_rolling_corr": 2,
     "sql_udf_params_lateral": 1,
+    # r3 continuation batch (audited at sf0.001):
+    "join_asof_nearest": 1,
+    "ts_interval_merge": 1,
+    "agg_chi_square_independence": 1,
+    "pipeline_dataset_card": 4,
+    # post-localCheckpoint plan: the final authority table is
+    # materialized at the union fork, last half-round only remains.
+    "graph_hits_int": 4,
+    "join_geo_grid": 2,  # broadcast at sf0.001; cell-key shuffle at scale
+    "agg_ols_normal_eq": 1,
+    "text_bpe_merge_rounds": 4,  # per-round (pair) hash agg + 1-row aggs
 }
 
 
