@@ -851,3 +851,63 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(250000000000)))
         .select("id_a", "id_b", d2.alias("dist2_u"))
     )
+
+
+@register(
+    "join_star_multi_dim",
+    oracle=f"""
+        SELECT r.r_name AS region, c.c_mktsegment AS segment,
+               p.p_brand AS brand,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY region, segment, brand
+    """,
+)
+def join_star_multi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-SCHEMA multi-dimension rollup: one fact scan joined through
+    FIVE dimensions (orders -> customer -> nation -> region, plus part)
+    to a (region, segment, brand) revenue cube — the canonical BI plan
+    every warehouse engine is judged on.
+
+    Plan discipline: every dimension side is explicitly broadcast, so
+    the fact table is scanned ONCE and never shuffled for any join —
+    the only exchange in the plan is the final (region, segment, brand)
+    hash agg, which partial-aggregates map-side first. orders/customer
+    outgrow broadcast at true 100 TB scale; there the orders join flips
+    to a bucketed SMJ while nation/region/part stay broadcast — the
+    plan shape degrades one join at a time, never all at once. Revenue
+    is the exact e4-integer ladder (price cents x (100 - pct)).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = revenue_e4("l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).alias("revenue_e4"),
+        )
+    )

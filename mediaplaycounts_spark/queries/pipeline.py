@@ -962,3 +962,53 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chars_e2"
         ),
     )
+
+
+@register(
+    "pipeline_vocab_coverage",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+        vocab AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 100),
+        j AS (SELECT t.lang,
+                     CAST(v.tok IS NOT NULL AS BIGINT) AS in_vocab
+              FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+        SELECT lang, COUNT(*) AS total_tokens,
+               CAST(SUM(in_vocab) AS BIGINT) AS vocab_tokens,
+               CAST(SUM(in_vocab) * 1000000 // COUNT(*) AS BIGINT)
+                 AS coverage_ppm
+        FROM j GROUP BY lang
+    """,
+)
+def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VOCAB COVERAGE: build the top-100 corpus vocabulary
+    (frequency desc, token asc tiebreak) and measure what fraction of
+    each language's token stream it covers (exact ppm) — the
+    OOV-rate check run before freezing a tokenizer on multilingual
+    data.
+
+    Plan: one explode + (tok) hash agg builds the frequency table;
+    top-k is a sort-limit on the AGGREGATED vocab table (TakeOrdered,
+    never a sort of the token stream); the 100-row vocab broadcasts
+    into a left join against the exploded stream, and one (lang) agg
+    emits coverage. Two scans of documents, no token-stream shuffle
+    except the frequency agg (map-side combinable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = cnt.orderBy(F.desc("n"), F.col("tok")).limit(100).select("tok")
+    j = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    ).select("lang", F.coalesce("in_vocab", F.lit(0)).cast("long").alias("in_vocab"))
+    return j.groupBy("lang").agg(
+        F.count("*").alias("total_tokens"),
+        F.sum("in_vocab").alias("vocab_tokens"),
+        F.expr(
+            "CAST(SUM(in_vocab) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )

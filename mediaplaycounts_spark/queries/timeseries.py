@@ -750,3 +750,140 @@ def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.min("s").cast("timestamp"))
         ).alias("span_us"),
     )
+
+
+# ------------------------------------------------- trend estimation
+
+
+@register(
+    "win_rolling_slope",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        x AS (SELECT event_type, d, c,
+                     date_diff('day', DATE '2024-01-01', d) AS xd
+              FROM daily),
+        w AS (SELECT event_type, d,
+                     COUNT(*) OVER fr AS k,
+                     SUM(xd) OVER fr AS sx,
+                     SUM(c) OVER fr AS sy,
+                     SUM(xd * c) OVER fr AS sxy,
+                     SUM(xd * xd) OVER fr AS sxx
+              FROM x
+              WINDOW fr AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT event_type, d, CAST(k AS BIGINT) AS k,
+               CAST((k * sxy - sx * sy) * 1000000
+                    // NULLIF(k * sxx - sx * sx, 0) AS BIGINT)
+                 AS slope7_e6
+        FROM w
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS SLOPE: 7-day windowed least-squares trend of the
+    daily cents total per event_type — the trend-change detector that
+    pairs with `agg_trend_slope` (global fit) and `ts_changepoint_cusum`
+    (level shifts). Slope is the fraction-free integer form
+    ``(k*Sxy - Sx*Sy) * 1e6 div (k*Sxx - Sx^2)`` over window moment
+    sums; x is days-since-anchor so magnitudes stay far from int64
+    edges, division truncates toward zero identically on both engines
+    (verified for negative slopes), and the first row of each series is
+    NULL via NULLIF (k=1 denominator).
+
+    One shuffle to the (type, day) grid; four window sums share one
+    frame over the tiny grid — raw events are never window-scanned.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    x = daily.withColumn(
+        "xd", F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("long")
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = x.select(
+        "event_type",
+        "d",
+        F.count("*").over(fr).alias("k"),
+        F.sum("xd").over(fr).alias("sx"),
+        F.sum("c").over(fr).alias("sy"),
+        F.sum(F.col("xd") * F.col("c")).over(fr).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).over(fr).alias("sxx"),
+    )
+    return w.select(
+        "event_type",
+        "d",
+        F.col("k").cast("long").alias("k"),
+        F.expr(
+            "CAST((k * sxy - sx * sy) * 1000000"
+            " div NULLIF(k * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("slope7_e6"),
+    )
+
+
+@register(
+    "ts_theil_sen",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        x AS (SELECT event_type, d, c,
+                     date_diff('day', DATE '2024-01-01', d) AS xd
+              FROM daily),
+        p AS (SELECT a.event_type,
+                     (b.c - a.c) * 1000000 // (b.xd - a.xd) AS slope_e6
+              FROM x a JOIN x b
+                ON a.event_type = b.event_type AND a.xd < b.xd),
+        r AS (SELECT event_type, slope_e6,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY slope_e6) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM p)
+        SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+               CAST(slope_e6 AS BIGINT) AS theil_sen_e6
+        FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend: the (lower) median of all pairwise
+    slopes of the daily series per event_type — the estimator that
+    shrugs off the outlier days that wreck OLS (`agg_trend_slope`).
+
+    Pairwise slopes are O(days^2) ONLY on the aggregated (type, day)
+    grid — ~30 rows per type regardless of raw scale, so the self-join
+    is a few hundred rows per type after ONE events shuffle; this is
+    the same aggregate-first-then-quadratic discipline as
+    `join_interval_overlap`. Slopes are exact integer micro-units
+    (truncating division, engine-verified for negatives); the lower
+    median is rank (n+1) div 2 of the sorted slope multiset, so no
+    two-value averaging and no floats anywhere.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    x = daily.withColumn(
+        "xd", F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("long")
+    )
+    a = x.select(
+        "event_type", F.col("xd").alias("xa"), F.col("c").alias("ya")
+    )
+    b = x.select(
+        "event_type", F.col("xd").alias("xb"), F.col("c").alias("yb")
+    )
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            F.expr("(yb - ya) * 1000000 div (xb - xa)").alias("slope_e6"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_e6")
+    wn = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "slope_e6",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope_e6").alias("theil_sen_e6"),
+    )

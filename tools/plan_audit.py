@@ -258,6 +258,10 @@ MAX_SHUFFLES = {
     "join_geo_grid": 2,  # broadcast at sf0.001; cell-key shuffle at scale
     "agg_ols_normal_eq": 1,
     "text_bpe_merge_rounds": 4,  # per-round (pair) hash agg + 1-row aggs
+    "join_star_multi_dim": 1,  # all dims broadcast; only the cube agg shuffles
+    "win_rolling_slope": 2,
+    "ts_theil_sen": 3,
+    "pipeline_vocab_coverage": 2,
 }
 
 
