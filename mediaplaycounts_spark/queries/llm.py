@@ -2544,3 +2544,54 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out_rows[0].unionByName(out_rows[1])
+
+
+@register(
+    "sim_threshold_sweep",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.label, round({_COS_AB}, 6) AS cos_sim
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round({_COS_AB}, 6) >= 0.3),
+        thr AS (SELECT unnest([300000, 500000, 700000, 900000]) AS thr_ppm)
+        SELECT p.label AS label, t.thr_ppm,
+               COUNT(*) AS n_pairs
+        FROM pairs p JOIN thr t
+          ON p.cos_sim >= t.thr_ppm / 1000000.0
+        GROUP BY p.label, t.thr_ppm
+    """,
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD SWEEP: near-duplicate pair counts per label at
+    four cosine thresholds, from ONE pass over the blocked pair table —
+    the tuning artifact you produce before committing a corpus to a
+    single similarity cutoff (how many docs would each threshold
+    remove?).
+
+    The pair table is computed once at the loosest threshold (salted
+    block join, never all-pairs); the sweep is a 4-row threshold spine
+    broadcast against it — adding thresholds costs nothing but the
+    extra output rows. Cosines are the repo's exact float64 convention
+    (identical element order + round-6 on both engines), thresholds
+    exact ppm integers.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_blocked(
+        em, "vec_id", "embedding", "label", threshold=0.3
+    )
+    lab = em.select(F.col("vec_id").alias("id_a"), "label")
+    p = pairs.join(F.broadcast(lab), "id_a")
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (300000, 500000, 700000, 900000)])
+        ).alias("thr_ppm")
+    )
+    return (
+        p.join(
+            F.broadcast(thr),
+            F.col("cos_sim") >= F.col("thr_ppm") / F.lit(1000000.0),
+        )
+        .groupBy("label", "thr_ppm")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -1012,3 +1012,61 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(in_vocab) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+@register(
+    "pipeline_feature_vector_assemble",
+    oracle="""
+        WITH p AS (
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events GROUP BY user_id)
+        SELECT user_id,
+               [n_click, n_error, n_purchase, n_signup, n_view, value_cents]
+                 AS feature_vec,
+               n_click + n_error + n_purchase + n_signup + n_view AS n_events
+        FROM p
+    """,
+)
+def pipeline_feature_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE EXPORT: assemble one fixed-order integer feature
+    vector per user (per-type event counts + total spend cents) as an
+    ``array<bigint>`` column — the handoff shape ML training jobs
+    consume (VectorAssembler semantics, done in pure SQL expressions).
+
+    One hash agg on user_id with FILTER-clause conditional counts (no
+    pivot shuffle, no second scan), then a codegen ``array()`` pack.
+    Feature order is the explicit documented contract (alphabetical
+    event types, then spend) — never derived from data order, so the
+    vector layout is stable across runs and engines. Scale: single
+    map-side-combinable agg keyed on user_id; the array pack is free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+    p = ev.groupBy("user_id").agg(
+        cnt("click"),
+        cnt("error"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("view"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    return p.select(
+        "user_id",
+        F.array(
+            "n_click", "n_error", "n_purchase", "n_signup", "n_view",
+            "value_cents",
+        ).alias("feature_vec"),
+        (
+            F.col("n_click") + F.col("n_error") + F.col("n_purchase")
+            + F.col("n_signup") + F.col("n_view")
+        ).alias("n_events"),
+    )

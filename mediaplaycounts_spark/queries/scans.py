@@ -763,3 +763,85 @@ def scan_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-filter pruning; pin it on so the point lookup prunes
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark.table(o_t).filter(F.col("o_orderkey").isin(7, 42, 1337))
+
+
+@register(
+    "scan_table_profile",
+    oracle="""
+        SELECT 'event_id' AS col_name,
+               COUNT(*) - COUNT(event_id) AS n_nulls,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               CAST(MIN(event_id) AS VARCHAR) AS min_repr,
+               CAST(MAX(event_id) AS VARCHAR) AS max_repr
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*) - COUNT(user_id),
+               COUNT(DISTINCT user_id),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*) - COUNT(event_type),
+               COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type)
+        FROM events
+        UNION ALL
+        SELECT 'value_cents', COUNT(*) - COUNT(value),
+               COUNT(DISTINCT CAST(round(value * 100, 0) AS BIGINT)),
+               CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS VARCHAR),
+               CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'ts', COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+        FROM events
+    """,
+)
+def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS TABLE PROFILER: null count, exact distinct count, and
+    typed min/max for every events column, emitted as one row per
+    column — the ANALYZE/data-quality summary a catalog publishes next
+    to each table.
+
+    All 20 statistics come from a SINGLE aggregate over one scan
+    (Spark evaluates the multi-distinct agg with one expand, still one
+    pass over the data), then a codegen ``stack`` unpivots the 1-row
+    summary into the per-column report — the oracle's 5-scan UNION is
+    the semantics spec, not the plan. Representations are explicitly
+    typed (ints as strings, doubles as exact cents, timestamps
+    second-formatted) so min/max compare numerically, never
+    lexicographically, and hash identically across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100, 0).cast("long")
+    a = ev.agg(
+        F.count("*").alias("n"),
+        F.count("event_id").alias("c_eid"),
+        F.countDistinct("event_id").alias("d_eid"),
+        F.min("event_id").cast("string").alias("mn_eid"),
+        F.max("event_id").cast("string").alias("mx_eid"),
+        F.count("user_id").alias("c_uid"),
+        F.countDistinct("user_id").alias("d_uid"),
+        F.min("user_id").cast("string").alias("mn_uid"),
+        F.max("user_id").cast("string").alias("mx_uid"),
+        F.count("event_type").alias("c_et"),
+        F.countDistinct("event_type").alias("d_et"),
+        F.min("event_type").alias("mn_et"),
+        F.max("event_type").alias("mx_et"),
+        F.count("value").alias("c_v"),
+        F.countDistinct(cents_v).alias("d_v"),
+        F.min(cents_v).cast("string").alias("mn_v"),
+        F.max(cents_v).cast("string").alias("mx_v"),
+        F.count("ts").alias("c_ts"),
+        F.countDistinct("ts").alias("d_ts"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("mn_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx_ts"),
+    )
+    return a.selectExpr(
+        "stack(5,"
+        " 'event_id', n - c_eid, d_eid, mn_eid, mx_eid,"
+        " 'user_id', n - c_uid, d_uid, mn_uid, mx_uid,"
+        " 'event_type', n - c_et, d_et, mn_et, mx_et,"
+        " 'value_cents', n - c_v, d_v, mn_v, mx_v,"
+        " 'ts', n - c_ts, d_ts, mn_ts, mx_ts)"
+        " AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+    )

@@ -67,6 +67,7 @@ ALLOWED = {
     "ts_autocorr_int": "1-row total aggregate broadcast onto the daily series",
     "agg_benford_digit_test": "1-row total broadcast onto the 9-row digit spine",
     "text_bpe_merge_rounds": "1-row winning-pair broadcast into the rewrite projection; 1-row totals crossed onto 1-row winner rows",
+    "sim_threshold_sweep": "4-row threshold spine broadcast-theta-joined onto the blocked pair table",
 }
 
 
@@ -262,6 +263,9 @@ MAX_SHUFFLES = {
     "win_rolling_slope": 2,
     "ts_theil_sen": 3,
     "pipeline_vocab_coverage": 2,
+    "sim_threshold_sweep": 2,
+    "scan_table_profile": 1,
+    "pipeline_feature_vector_assemble": 1,
 }
 
 
