@@ -760,3 +760,160 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("cast(n * 1000000 div row_total as bigint)").alias("p_ppm"),
     )
+
+
+@register(
+    "agg_basket_lift_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+        nn AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+        pc AS (SELECT pk, COUNT(*) AS np FROM items GROUP BY pk),
+        pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= 2)
+        SELECT p.part_a, p.part_b, p.n_ab,
+               CAST(p.n_ab * 1000000 // ca.np AS BIGINT) AS confidence_ppm,
+               CAST(p.n_ab * nn.n * 1000000 // (ca.np * cb.np) AS BIGINT)
+                 AS lift_ppm
+        FROM pairs p
+        JOIN pc ca ON p.part_a = ca.pk
+        JOIN pc cb ON p.part_b = cb.pk
+        CROSS JOIN nn
+    """,
+)
+def agg_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association pairs: for part pairs co-bought in >= 2
+    orders, exact support / confidence / lift in integer ppm — the
+    frequent-itemset primitive (Apriori's k=2 layer) behind
+    recommenders and co-occurrence mining.
+
+    Scale shape: pair generation is a self-join ON THE ORDER KEY only
+    (fanout bounded by items-per-order squared, never |parts|^2 — the
+    same block-then-count discipline as the dedup family); per-part
+    counts join back BROADCAST (the part dimension is small relative to
+    facts), and the single corpus total crosses in as a 1-row
+    broadcast. Lift's fraction is cleared to one floored integer
+    division, so values hash-match DuckDB exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    nn = items.agg(F.countDistinct("ok").alias("n"))
+    pc = items.groupBy("pk").agg(F.count("*").alias("np"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = pc.select(F.col("pk").alias("part_a"), F.col("np").alias("na"))
+    cb = pc.select(F.col("pk").alias("part_b"), F.col("np").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .join(F.broadcast(nn))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("CAST(n_ab * 1000000 div na AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(n_ab * n * 1000000 div (na * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+@register(
+    "agg_rfm_scores",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey AS c_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey),
+        r AS (SELECT *, date_diff('day', last_order,
+                                  (SELECT MAX(o_orderdate) FROM orders))
+                          AS r_days
+              FROM m),
+        s AS (SELECT c_custkey, r_days, n_orders, monetary_cents,
+                     6 - ntile(5) OVER (ORDER BY r_days, c_custkey)
+                       AS r_score,
+                     6 - ntile(5) OVER (ORDER BY n_orders DESC, c_custkey)
+                       AS f_score,
+                     6 - ntile(5) OVER (ORDER BY monetary_cents DESC,
+                                        c_custkey) AS m_score
+              FROM r)
+        SELECT c_custkey, CAST(r_days AS BIGINT) AS r_days, n_orders,
+               monetary_cents,
+               CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                 || CAST(m_score AS VARCHAR) AS segment
+        FROM s
+    """,
+)
+def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION: per-customer recency / frequency / monetary
+    metrics quintile-scored 5-to-1 (5 = best) with fully deterministic
+    tie-breaking (metric, then custkey) — the classic CRM scoring table,
+    exact end to end (day integers, cents, ntile bucket arithmetic
+    identical across engines).
+
+    One (custkey) hash agg over orders builds the metric table; the
+    corpus max date is a window max over that AGGREGATED table; the
+    three ntiles are global windows over |customers| rows — fine here
+    because the scoring table is orders-of-magnitude smaller than the
+    fact table, and the documented scale path for a truly huge customer
+    base is percent_rank over a range-partitioned sort (same scores,
+    no single-partition window).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    wall = Window.partitionBy()
+    r = m.withColumn(
+        "r_days",
+        F.datediff(F.max("last_order").over(wall), F.col("last_order")).cast(
+            "long"
+        ),
+    )
+    nt = lambda *cols: (6 - F.ntile(5).over(Window.orderBy(*cols))).cast("long")
+    s = r.select(
+        "c_custkey",
+        "r_days",
+        "n_orders",
+        "monetary_cents",
+        nt(F.col("r_days"), F.col("c_custkey")).alias("r_score"),
+        nt(F.col("n_orders").desc(), F.col("c_custkey")).alias("f_score"),
+        nt(F.col("monetary_cents").desc(), F.col("c_custkey")).alias(
+            "m_score"
+        ),
+    )
+    return s.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

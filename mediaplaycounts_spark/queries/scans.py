@@ -845,3 +845,61 @@ def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'ts', n - c_ts, d_ts, mn_ts, mx_ts)"
         " AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
     )
+
+
+def write_ts_sorted(ev, path: str, n_files: int = 4) -> None:
+    """Range-cluster events on ts and sort within partitions before the
+    parquet write — every row group's ts min/max stats become tight,
+    non-overlapping ranges, which is what lets scan-side predicate
+    pushdown skip whole row groups (shared by the graded key and the
+    layout-tightness unit test)."""
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(path)
+    )
+
+
+@register(
+    "sink_sorted_rowgroup_prune",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        GROUP BY event_type
+    """,
+)
+def sink_sorted_rowgroup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-ON-WRITE layout: events are range-clustered on ts
+    (repartitionByRange + sortWithinPartitions) before the parquet
+    write, then a one-day point query runs against the written layout —
+    the single-key complement to `sort_zorder_cluster` (multi-column)
+    and the cheapest 100 TB lever there is: with ts-ordered row groups,
+    the min/max footer stats of all but ~1/30th of the data exclude the
+    predicate, so the scan skips whole row groups and files
+    (tests/test_r3c_ops.py asserts the written stats are tight and
+    non-overlapping via pyarrow metadata).
+
+    Graded exactly: the read-back day aggregate must equal the oracle's
+    answer over the original table — layout changes must never change
+    answers, only cost.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out = str(SCRATCH / f"ts_sorted_{uuid.uuid4().hex[:12]}")
+    write_ts_sorted(ev, out)
+    back = spark.read.parquet(out)
+    day = back.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp_ntz"))
+    )
+    return day.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )

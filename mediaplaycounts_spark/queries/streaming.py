@@ -925,3 +925,51 @@ def stream_maxfiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).withColumn(
         "multi_batch", F.lit(bool(n_data_batches >= 2))
     )
+
+
+@register(
+    "stream_update_mode_final",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def stream_update_mode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, graded at the fixed point: the backlog is
+    split into multiple micro-batches (4-file source,
+    maxFilesPerTrigger=1), the streaming count aggregation emits ONLY
+    changed keys per batch into the memory sink, and the final answer
+    is recovered as MAX(n) per key over the accumulated update log —
+    counts are monotone under updates, so the fixed point equals the
+    batch answer, which the oracle asserts exactly.
+
+    This is the mode a serving upsert consumes (emit deltas, not the
+    world); `stream_maxfiles_incremental` grades complete-mode state,
+    this grades the update-stream view of the same state machine. The
+    MAX-per-key fold is itself order-independent, so nondeterministic
+    batch boundaries (which rows land in which file) cannot change the
+    graded output.
+    """
+    from mediaplaycounts_spark.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("event_id", "event_type")
+    src = SCRATCH / f"updmode_src_{uuid.uuid4().hex[:12]}"
+    ev.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"mpc_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.table(name)
+    return log.groupBy("event_type").agg(F.max("n").alias("n"))

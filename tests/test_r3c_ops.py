@@ -262,3 +262,60 @@ def test_map_in_arrow_matches_python_reference(spark):
         assert out.loc[doc_id].n_upper == sum(
             1 for ch in t if "A" <= ch <= "Z"
         )
+
+
+# ----------------------------------------------------- storage layout
+
+
+def test_sorted_write_rowgroup_stats_tight(spark, tmp_path):
+    """write_ts_sorted must produce non-overlapping per-file ts ranges
+    (range clustering) so footer stats can prune the one-day probe."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from mediaplaycounts_spark.queries.scans import write_ts_sorted
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    out = str(tmp_path / "sorted")
+    write_ts_sorted(ev, out, n_files=4)
+    spans = []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            spans.append((st.min, st.max))
+    spans.sort()
+    assert len(spans) >= 4
+    # ranges are internally ordered and pairwise non-overlapping
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a0 <= a1 and a1 <= b0
+
+
+def test_basket_lift_self_consistent(spark):
+    out = run("agg_basket_lift_pairs", spark).toPandas()
+    assert (out.n_ab >= 2).all()
+    assert (out.confidence_ppm.between(0, 1_000_000)).all()
+    assert (out.lift_ppm > 0).all()
+
+
+def test_rfm_scores_quintile_shape(spark):
+    out = run("agg_rfm_scores", spark).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        counts = out[c].value_counts()
+        assert set(counts.index) <= {1, 2, 3, 4, 5}
+        assert counts.max() - counts.min() <= 1  # ntile balance
+    assert (out.segment.str.len() == 3).all()
+
+
+def test_update_mode_reaches_batch_fixed_point(spark):
+    out = run("stream_update_mode_final", spark).toPandas()
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")
+    )
+    for row in out.itertuples():
+        assert row.n == batch.loc[row.event_type]["count"]

@@ -68,6 +68,7 @@ ALLOWED = {
     "agg_benford_digit_test": "1-row total broadcast onto the 9-row digit spine",
     "text_bpe_merge_rounds": "1-row winning-pair broadcast into the rewrite projection; 1-row totals crossed onto 1-row winner rows",
     "sim_threshold_sweep": "4-row threshold spine broadcast-theta-joined onto the blocked pair table",
+    "agg_basket_lift_pairs": "1-row basket-total aggregate broadcast onto the pair table",
 }
 
 
@@ -266,6 +267,10 @@ MAX_SHUFFLES = {
     "sim_threshold_sweep": 2,
     "scan_table_profile": 1,
     "pipeline_feature_vector_assemble": 1,
+    "stream_update_mode_final": 1,
+    "sink_sorted_rowgroup_prune": 1,  # rangepartitioning for the sorted write
+    "agg_basket_lift_pairs": 8,  # distinct + order-key pair join + per-part counts
+    "agg_rfm_scores": 1,
 }
 
 
