@@ -917,3 +917,45 @@ def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS d0 FROM act GROUP BY user_id)
+        SELECT a.day,
+               COUNT(*) FILTER (a.day = f.d0) AS n_new,
+               COUNT(*) FILTER (a.day > f.d0) AS n_returning
+        FROM act a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY a.day
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING daily actives: each (user, day) activity row is
+    classified by whether it is the user's first active day — the
+    growth-accounting split (acquisition vs retention) on every product
+    dashboard.
+
+    Two hash aggs on near-uniform keys: distinct (user, day) activity,
+    then per-user first day; the flag join is keyed on user_id (both
+    sides already user-partitioned from the aggs, so the exchange is
+    reused), and one (day) agg with FILTER-clause conditional counts
+    emits the split — no pivot, no second scan of raw events. A
+    user's first day is a one-row-per-user table at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = act.join(first, "user_id")
+    return j.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("d0"), 1)).alias("n_new"),
+        F.count(F.when(F.col("day") > F.col("d0"), 1)).alias(
+            "n_returning"
+        ),
+    )

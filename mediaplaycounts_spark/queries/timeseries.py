@@ -887,3 +887,108 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.col("slope_e6").alias("theil_sen_e6"),
     )
+
+
+# ------------------------------------------------ series health metrics
+
+
+@register(
+    "win_drawdown_max",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        cum AS (SELECT event_type, d,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) AS cu
+                FROM daily),
+        pk AS (SELECT event_type, d, cu,
+                      MAX(cu) OVER (PARTITION BY event_type ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) AS peak
+               FROM cum)
+        SELECT event_type,
+               CAST(MAX(peak - cu) AS BIGINT) AS max_drawdown_cents,
+               CAST(MAX(cu) AS BIGINT) AS peak_cents,
+               CAST(MAX(CASE WHEN rn = 1 THEN cu END) AS BIGINT)
+                 AS final_cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY d DESC) AS rn
+              FROM pk)
+        GROUP BY event_type
+    """,
+)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN of the cumulative daily series per event_type: the
+    deepest peak-to-trough fall of the running total — the
+    volatility/health metric finance runs on equity curves and SRE runs
+    on cumulative error budgets. Running sum -> running max -> max gap,
+    all exact int64 cents over the (type, day) grid; the final value
+    rides along via a reverse row_number instead of a second scan.
+    One events shuffle; three stacked windows + the final agg share the
+    (event_type, d) sort.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("d"))
+    pk = (
+        daily.withColumn("cu", F.sum("c").over(wc))
+        .withColumn("peak", F.max("cu").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    return pk.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("cu")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+        F.max("cu").cast("long").alias("peak_cents"),
+        F.max(F.when(F.col("rn") == 1, F.col("cu")))
+        .cast("long")
+        .alias("final_cents"),
+    )
+
+
+@register(
+    "ts_wape_naive_eval",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        l AS (SELECT event_type, d, c,
+                     LAG(c, 7) OVER (PARTITION BY event_type ORDER BY d)
+                       AS fc
+              FROM daily)
+        SELECT event_type,
+               COUNT(fc) AS n_eval,
+               CAST(SUM(abs(c - fc)) * 1000000 // SUM(c) AS BIGINT)
+                 AS wape_ppm,
+               CAST(SUM(c - fc) * 1000000 // SUM(c) AS BIGINT)
+                 AS bias_ppm
+        FROM l WHERE fc IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def ts_wape_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST: score the seasonal-naive forecast (value of
+    7 days ago) against actuals per event_type with WAPE and signed
+    bias in exact ppm — the eval loop every demand/load forecasting
+    pipeline runs before trusting a fancier model, and the baseline it
+    must beat.
+
+    LAG(7) over the daily grid aligns forecast to actual with no join;
+    both metrics are fraction-free single divisions over int64 cent
+    sums (bias may be negative — truncating division is
+    engine-verified). One shuffle total.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    l = daily.withColumn("fc", F.lag("c", 7).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    return l.groupBy("event_type").agg(
+        F.count("fc").alias("n_eval"),
+        F.expr(
+            "CAST(SUM(abs(c - fc)) * 1000000 div SUM(c) AS BIGINT)"
+        ).alias("wape_ppm"),
+        F.expr(
+            "CAST(SUM(c - fc) * 1000000 div SUM(c) AS BIGINT)"
+        ).alias("bias_ppm"),
+    )

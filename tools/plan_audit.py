@@ -271,6 +271,9 @@ MAX_SHUFFLES = {
     "sink_sorted_rowgroup_prune": 1,  # rangepartitioning for the sorted write
     "agg_basket_lift_pairs": 8,  # distinct + order-key pair join + per-part counts
     "agg_rfm_scores": 1,
+    "win_drawdown_max": 2,
+    "ts_wape_naive_eval": 2,
+    "agg_new_vs_returning": 3,
 }
 
 
