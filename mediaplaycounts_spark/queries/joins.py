@@ -911,3 +911,74 @@ def join_star_multi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("revenue_e4"),
         )
     )
+
+
+@register(
+    "join_full_outer_reconcile",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey AS ok,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS a_cents
+            FROM orders),
+        b AS (
+            SELECT l_orderkey AS ok,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS b_cents
+            FROM lineitem GROUP BY l_orderkey),
+        j AS (
+            SELECT COALESCE(a.ok, b.ok) AS ok, a_cents, b_cents,
+                   CASE WHEN b.ok IS NULL THEN 'a_only'
+                        WHEN a.ok IS NULL THEN 'b_only'
+                        WHEN a_cents = b_cents THEN 'match'
+                        ELSE 'mismatch' END AS status
+            FROM a FULL OUTER JOIN b ON a.ok = b.ok)
+        SELECT status, COUNT(*) AS n,
+               CAST(SUM(abs(COALESCE(a_cents, 0) - COALESCE(b_cents, 0)))
+                    AS BIGINT) AS abs_diff_cents
+        FROM j GROUP BY status
+    """,
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER RECONCILIATION report: compare two independent
+    computations of the same business quantity (the order header total
+    vs the sum of its line items) and classify every key as a_only /
+    b_only / match / mismatch with the absolute cent drift — the
+    migration/dual-write audit every pipeline cutover runs before
+    flipping traffic.
+
+    One hash agg builds the B side, then a single full outer join on
+    the shared key (both sides already orderkey-partitioned, so the
+    exchange is reused) and one 4-row status rollup. Exact cents
+    throughout — a reconciliation that itself used floats would
+    manufacture phantom mismatches.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("a_cents"),
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("b_cents")
+        )
+    )
+    j = o.alias("a").join(b.alias("b"), "ok", "full_outer").select(
+        F.when(F.col("b.b_cents").isNull(), "a_only")
+        .when(F.col("a.a_cents").isNull(), "b_only")
+        .when(F.col("a.a_cents") == F.col("b.b_cents"), "match")
+        .otherwise("mismatch")
+        .alias("status"),
+        (
+            F.abs(
+                F.coalesce(F.col("a.a_cents"), F.lit(0))
+                - F.coalesce(F.col("b.b_cents"), F.lit(0))
+            )
+        ).alias("d"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("d").cast("long").alias("abs_diff_cents"),
+    )

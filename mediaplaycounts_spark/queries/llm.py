@@ -2595,3 +2595,76 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "thr_ppm")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                     AS t
+            FROM documents),
+        f AS (SELECT doc_id, t FROM tok WHERE length(t) >= 6),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        tc AS (SELECT t, COUNT(*) AS nt FROM f GROUP BY t),
+        pairs AS (
+            SELECT a.t AS tok_a, b.t AS tok_b, COUNT(*) AS n_ab
+            FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY a.t, b.t
+            HAVING COUNT(*) >= 2)
+        SELECT p.tok_a, p.tok_b, p.n_ab,
+               CAST(p.n_ab * nn.n * 1000000 // (ca.nt * cb.nt) AS BIGINT)
+                 AS pmi_ratio_ppm
+        FROM pairs p
+        JOIN tc ca ON p.tok_a = ca.t
+        JOIN tc cb ON p.tok_b = cb.t
+        CROSS JOIN nn
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style CO-OCCURRENCE mining: content-word pairs (length >= 6,
+    document-level sets) that appear together in >= 2 documents, scored
+    by the exact probability ratio P(a,b)/(P(a)P(b)) in integer ppm —
+    monotone in PMI (log of it), so ranking and thresholding behave
+    identically without ever taking a float logarithm. The
+    collocation/topic-pair primitive, and the text-domain sibling of
+    `agg_basket_lift_pairs` (same fraction-free lift algebra, different
+    blocking).
+
+    Scale shape: pairs are generated ONLY within a document (doc-id
+    equi-join over the length-filtered distinct-token list — fanout
+    bounded by content-words-per-doc squared, never vocabulary
+    squared); token marginals join back broadcast; the corpus size
+    crosses in as a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    ).filter(F.length("t") >= 6)
+    nn = docs.agg(F.count("*").alias("n"))
+    tc = f.groupBy("t").agg(F.count("*").alias("nt"))
+    a = f.select("doc_id", F.col("t").alias("tok_a"))
+    b = f.select("doc_id", F.col("t").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = tc.select(F.col("t").alias("tok_a"), F.col("nt").alias("na"))
+    cb = tc.select(F.col("t").alias("tok_b"), F.col("nt").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .join(F.broadcast(nn))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.expr(
+                "CAST(n_ab * n * 1000000 div (na * nb) AS BIGINT)"
+            ).alias("pmi_ratio_ppm"),
+        )
+    )

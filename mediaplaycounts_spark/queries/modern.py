@@ -385,3 +385,36 @@ def reshape_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", F.explode_outer("tags").alias("tag")
     ).withColumn("is_empty", F.col("tag").isNull().cast("long"))
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               user_id % 4 AS cohort,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        GROUP BY event_type, day, cohort
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+ / modern-SQL surface): the engine
+    infers the grouping set as every non-aggregate select item —
+    killing the copy-the-select-list boilerplate that drifts out of
+    sync in wide rollups. Purely parser surface: Catalyst resolves it
+    to the identical hash-aggregate plan the explicit GROUP BY (the
+    oracle) produces, so pushdown/partial-agg behavior is unchanged."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gba")
+    return spark.sql(
+        """
+        SELECT event_type, date_trunc('DAY', ts) AS day,
+               user_id % 4 AS cohort,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events_gba
+        GROUP BY ALL
+        """
+    )

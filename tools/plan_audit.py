@@ -69,6 +69,7 @@ ALLOWED = {
     "text_bpe_merge_rounds": "1-row winning-pair broadcast into the rewrite projection; 1-row totals crossed onto 1-row winner rows",
     "sim_threshold_sweep": "4-row threshold spine broadcast-theta-joined onto the blocked pair table",
     "agg_basket_lift_pairs": "1-row basket-total aggregate broadcast onto the pair table",
+    "text_pmi_cooccurrence": "1-row corpus-size aggregate broadcast onto the pair table",
 }
 
 
@@ -274,6 +275,9 @@ MAX_SHUFFLES = {
     "win_drawdown_max": 2,
     "ts_wape_naive_eval": 2,
     "agg_new_vs_returning": 3,
+    "sql_group_by_all": 1,
+    "join_full_outer_reconcile": 3,
+    "text_pmi_cooccurrence": 4,  # doc-blocked pair join + marginal joins
 }
 
 
