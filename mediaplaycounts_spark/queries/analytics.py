@@ -959,3 +959,152 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_returning"
         ),
     )
+
+
+@register(
+    "win_rank_movers",
+    oracle="""
+        WITH b AS (SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+                   FROM orders),
+        fact AS (
+            SELECT p.p_brand AS brand,
+                   CASE WHEN o.o_orderdate <= b.d0 + (b.d1 - b.d0) / 2
+                        THEN 1 ELSE 2 END AS period,
+                   CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            CROSS JOIN b),
+        rev AS (SELECT brand, period,
+                       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+                FROM fact GROUP BY brand, period),
+        rk AS (SELECT brand, period, revenue_cents,
+                      ROW_NUMBER() OVER (PARTITION BY period
+                                         ORDER BY revenue_cents DESC, brand)
+                        AS rnk
+               FROM rev)
+        SELECT a.brand, CAST(a.rnk AS BIGINT) AS rank_p1,
+               CAST(c.rnk AS BIGINT) AS rank_p2,
+               CAST(a.rnk - c.rnk AS BIGINT) AS rank_gain
+        FROM rk a JOIN rk c
+          ON a.brand = c.brand AND a.period = 1 AND c.period = 2
+    """,
+)
+def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK MOVERS report: brand revenue rank in the first half of the
+    order-date range vs the second half, with the rank gain — the
+    period-over-period movers/shakers table every BI deck has. The
+    period split point is computed FROM the data (min + half the span,
+    exact date arithmetic) so the key is scale-factor-robust.
+
+    One fact pass (orders+part broadcast-joined, 1-row date-bounds
+    broadcast), one (brand, period) agg, per-period ranks as windows
+    over the tiny brand table, self-joined on brand. Deterministic
+    tie-break (revenue desc, brand asc).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    fact = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(b))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.col("o_orderdate")
+                <= F.expr("d0 + (d1 - d0) / 2"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(2))
+            .alias("period"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    rev = fact.groupBy("brand", "period").agg(
+        F.sum("cents").alias("revenue_cents")
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.desc("revenue_cents"), F.col("brand")
+    )
+    rk = rev.withColumn("rnk", F.row_number().over(w))
+    a = rk.filter(F.col("period") == 1).select(
+        "brand", F.col("rnk").cast("long").alias("rank_p1")
+    )
+    c = rk.filter(F.col("period") == 2).select(
+        "brand", F.col("rnk").cast("long").alias("rank_p2")
+    )
+    return a.join(c, "brand").select(
+        "brand",
+        "rank_p1",
+        "rank_p2",
+        (F.col("rank_p1") - F.col("rank_p2")).alias("rank_gain"),
+    )
+
+
+@register(
+    "agg_dau_mau_stickiness",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('month', ts) AS month,
+                   date_trunc('day', ts) AS day
+            FROM events),
+        daily AS (SELECT month, day, COUNT(*) AS dau
+                  FROM act GROUP BY month, day),
+        monthly AS (SELECT month, COUNT(DISTINCT user_id) AS mau
+                    FROM act GROUP BY month)
+        SELECT d.month,
+               CAST(SUM(d.dau) AS BIGINT) AS dau_day_sum,
+               COUNT(*) AS n_days,
+               CAST(m.mau AS BIGINT) AS mau,
+               CAST(SUM(d.dau) * 1000000 // (COUNT(*) * m.mau) AS BIGINT)
+                 AS stickiness_ppm
+        FROM daily d JOIN monthly m ON d.month = m.month
+        GROUP BY d.month, m.mau
+    """,
+)
+def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per month: average daily actives over monthly
+    actives in exact ppm — the engagement ratio product teams steer by.
+    Computed fraction-free: (sum of daily distinct counts) * 1e6 div
+    (days x monthly distinct), never an average of floats.
+
+    One distinct (user, month, day) pass feeds both the daily and
+    monthly rollups (same exchange key prefix); the final join is on
+    the O(months) table. Scale: distinct activity is the only big agg,
+    keyed near-uniform."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.date_trunc("MONTH", "ts").alias("month"),
+        F.date_trunc("DAY", "ts").alias("day"),
+    ).distinct()
+    daily = act.groupBy("month", "day").agg(F.count("*").alias("dau"))
+    monthly = act.groupBy("month").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        daily.join(F.broadcast(monthly), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.sum("dau").cast("long").alias("dau_day_sum"),
+            F.count("*").alias("n_days"),
+        )
+        .select(
+            "month",
+            "dau_day_sum",
+            "n_days",
+            F.col("mau").cast("long").alias("mau"),
+            F.expr(
+                "CAST(dau_day_sum * 1000000 div (n_days * mau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )

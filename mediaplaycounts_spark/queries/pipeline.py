@@ -1070,3 +1070,42 @@ def pipeline_feature_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFr
             + F.col("n_signup") + F.col("n_view")
         ).alias("n_events"),
     )
+
+
+@register(
+    "pipeline_epoch_shuffle_plan",
+    oracle="""
+        SELECT doc_id,
+               substr(md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 AS epoch1_shard,
+               substr(md5('e2:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 AS epoch2_shard,
+               substr(md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 <> substr(md5('e2:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 AS moved
+        FROM documents
+    """,
+)
+def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH RESHUFFLE PLAN: every document gets a deterministic
+    shard assignment per training epoch from a salted content-free hash
+    (``md5(epoch:doc_id)``) — different epochs visit data in different
+    order (the `moved` flag proves reassignment), yet any worker can
+    recompute any epoch's plan with zero coordination, zero RNG state,
+    and zero shuffle. This is the same no-`df.sample` discipline as
+    `sample_hash_bucket`, extended from a one-time split to the
+    epoch-indexed orderings a multi-epoch training run needs (resume a
+    crashed epoch 7 mid-way: just re-derive its plan).
+
+    Pure projection — embarrassingly parallel at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = lambda e: F.substring(
+        F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return docs.select(
+        "doc_id",
+        shard("e1").alias("epoch1_shard"),
+        shard("e2").alias("epoch2_shard"),
+        (shard("e1") != shard("e2")).alias("moved"),
+    )

@@ -70,6 +70,7 @@ ALLOWED = {
     "sim_threshold_sweep": "4-row threshold spine broadcast-theta-joined onto the blocked pair table",
     "agg_basket_lift_pairs": "1-row basket-total aggregate broadcast onto the pair table",
     "text_pmi_cooccurrence": "1-row corpus-size aggregate broadcast onto the pair table",
+    "win_rank_movers": "1-row order-date-bounds aggregate broadcast onto the fact scan",
 }
 
 
@@ -278,6 +279,9 @@ MAX_SHUFFLES = {
     "sql_group_by_all": 1,
     "join_full_outer_reconcile": 3,
     "text_pmi_cooccurrence": 4,  # doc-blocked pair join + marginal joins
+    "win_rank_movers": 6,
+    "agg_dau_mau_stickiness": 5,
+    # pipeline_epoch_shuffle_plan: pure projection, zero shuffles (absent = 0)
 }
 
 
