@@ -502,3 +502,43 @@ def resize_image_nn(
     return df.select(id_col, "payload").mapInPandas(
         resize_batches, IMAGE_RESIZE_SCHEMA
     )
+
+
+PATCH_SCHEMA = (
+    "doc_id bigint, patch_row bigint, patch_col bigint, n_px bigint, "
+    "r_sum bigint, g_sum bigint, b_sum bigint"
+)
+
+
+def tile_image_patches(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ViT-style PATCH TILING over the real decode path: split each
+    raster into a 2x2 patch grid (boundary at ``(dim+1) div 2`` — the
+    same ``(idx*2) div dim`` assignment the SQL oracle uses) and emit
+    one row per patch with per-channel sums. One row in -> four out:
+    the patch-embedding fan-out every vision transformer front-end
+    performs before projection."""
+
+    def patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf["payload"]):
+                w, h, px = parse_ppm(bytes(raw))
+                rb, cb = (h + 1) // 2, (w + 1) // 2
+                for pr, (r0, r1) in enumerate(((0, rb), (rb, h))):
+                    for pc, (c0, c1) in enumerate(((0, cb), (cb, w))):
+                        tile = px[r0:r1, c0:c1].reshape(-1, 3)
+                        s = tile.sum(axis=0, dtype=np.int64)
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "patch_row": pr,
+                                "patch_col": pc,
+                                "n_px": tile.shape[0],
+                                "r_sum": int(s[0]),
+                                "g_sum": int(s[1]),
+                                "b_sum": int(s[2]),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(patch_batches, PATCH_SCHEMA)

@@ -2668,3 +2668,45 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_ratio_ppm"),
         )
     )
+
+
+@register(
+    "multimodal_tiled_patches",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 9) % 9 AS h
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, w * h * 3 - 1)) AS i
+            FROM dims)
+        SELECT doc_id,
+               ((i // 3) // w) * 2 // h AS patch_row,
+               ((i // 3) % w) * 2 // w AS patch_col,
+               CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
+               CAST(SUM(CASE WHEN i % 3 = 0
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS r_sum,
+               CAST(SUM(CASE WHEN i % 3 = 1
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS g_sum,
+               CAST(SUM(CASE WHEN i % 3 = 2
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS b_sum
+        FROM px GROUP BY doc_id, patch_row, patch_col
+    """,
+)
+def multimodal_tiled_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style PATCH GRID over the REAL P6 decode path: each image
+    splits into a 2x2 patch grid (one row in -> four out) with
+    per-channel pixel sums — the patch-embedding fan-out a vision
+    transformer front-end performs, with the patch-boundary arithmetic
+    (``(idx*2) div dim``) identical in the numpy kernel and the
+    closed-form DuckDB oracle. Completes the image family: decode
+    (features), resample (resize), fingerprint (phash), now tiling.
+    Arrow-batched mapInPandas, zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return M.tile_image_patches(M.with_ppm_payload(docs, "doc_id"), "doc_id")

@@ -1109,3 +1109,53 @@ def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard("e2").alias("epoch2_shard"),
         (shard("e1") != shard("e2")).alias("moved"),
     )
+
+
+@register(
+    "pipeline_chat_format",
+    oracle="""
+        WITH split_doc AS (
+            SELECT doc_id,
+                   substr(text, 1, 120) AS prompt,
+                   substr(text, 121) AS response
+            FROM documents),
+        r AS (
+            SELECT doc_id,
+                   '<|system|>' || chr(10) || 'You are a helpful assistant.'
+                   || chr(10) || '<|user|>' || chr(10) || prompt || chr(10)
+                   || '<|assistant|>' || chr(10) || response AS rendered
+            FROM split_doc)
+        SELECT doc_id, md5(rendered) AS rendered_md5,
+               CAST(length(rendered) AS BIGINT) AS n_chars,
+               CAST(len(string_split(rendered, ' ')) AS BIGINT) AS n_ws_tokens
+        FROM r
+    """,
+)
+def pipeline_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAT-TEMPLATE RENDERING: split each document into a prompt
+    (first 120 chars) and response, render the SFT conversation string
+    (system / user / assistant role markers, newline-joined — the
+    apply_chat_template step every instruction-tuning pipeline runs
+    before tokenization), and emit content digest + length stats. The
+    md5 makes the oracle grade the rendered BYTES, not just the shape —
+    any drift in role markers, separators, or slicing is a hash
+    mismatch.
+
+    Pure codegen string projection, zero shuffle, embarrassingly
+    parallel; newlines built with chr(10) on both engines so no
+    escape-sequence parsing ambiguity exists.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nl = F.expr("char(10)")
+    rendered = F.concat(
+        F.lit("<|system|>"), nl, F.lit("You are a helpful assistant."),
+        nl, F.lit("<|user|>"), nl, F.expr("substr(text, 1, 120)"),
+        nl, F.lit("<|assistant|>"), nl, F.expr("substr(text, 121)"),
+    )
+    r = docs.select("doc_id", rendered.alias("rendered"))
+    return r.select(
+        "doc_id",
+        F.md5("rendered").alias("rendered_md5"),
+        F.length("rendered").cast("long").alias("n_chars"),
+        F.size(F.split("rendered", " ")).cast("long").alias("n_ws_tokens"),
+    )

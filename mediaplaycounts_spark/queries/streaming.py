@@ -973,3 +973,88 @@ def stream_update_mode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     log = spark.table(name)
     return log.groupBy("event_type").agg(F.max("n").alias("n"))
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             wm AS (SELECT least((SELECT MAX(ts) FROM c),
+                                 (SELECT MAX(ts) FROM p))
+                           - INTERVAL 2 HOUR AS w),
+             j AS (SELECT c.event_id AS click_id, c.user_id,
+                          p.event_id AS purchase_id, p.user_id AS p_uid
+                   FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        SELECT click_id, user_id, purchase_id,
+               CAST(1 AS BIGINT) AS matched
+        FROM j
+        UNION ALL
+        SELECT c.event_id, c.user_id, CAST(NULL AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.click_id = c.event_id)
+          AND c.ts + INTERVAL 1 HOUR < wm.w
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), p.user_id, p.event_id,
+               CAST(0 AS BIGINT)
+        FROM p, wm
+        WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.purchase_id = p.event_id)
+          AND p.ts < wm.w
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — BOTH eviction
+    boundaries graded at once: an unmatched click emits (NULL purchase)
+    when the watermark passes t_click + 1h (its join window's upper
+    bound), and an unmatched purchase emits (NULL click) when the
+    watermark passes t_purchase itself (no click at-or-before it can
+    still arrive; the range condition is asymmetric, so the two sides
+    evict at DIFFERENT offsets — exactly the subtlety that silently
+    drops rows when an outer streaming join is misconfigured). Rows
+    newer than their cutoff are correctly withheld on bounded replay,
+    and the oracle mirrors both cutoffs against the global watermark
+    (min of the two streams' max event time − 2h).
+
+    Completes the stream-stream matrix with `stream_stream_join`
+    (inner) and `stream_stream_left_outer`; state per side is
+    watermark-bounded, keyed by user_id."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("t_click"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("t_purchase"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("t_purchase") >= F.col("t_click"))
+        & (F.col("t_purchase") <= F.col("t_click") + F.expr("interval 1 hour")),
+        "full_outer",
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.select(
+        "click_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "purchase_id",
+        (
+            F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+        ).cast("bigint").alias("matched"),
+    )
