@@ -1108,3 +1108,58 @@ def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_ppm"),
         )
     )
+
+
+@register(
+    "agg_target_encoding",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        AS HUGEINT) AS gsum,
+                   CAST(COUNT(*) AS HUGEINT) AS gn
+            FROM events),
+        c AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        AS HUGEINT) AS csum,
+                   CAST(COUNT(*) AS HUGEINT) AS cn
+            FROM events GROUP BY event_type)
+        SELECT c.event_type, CAST(c.cn AS BIGINT) AS n,
+               CAST((c.csum * g.gn + 10 * g.gsum) * 1000000
+                    // (g.gn * (c.cn + 10)) AS BIGINT)
+                 AS encoded_cents_ppm
+        FROM c CROSS JOIN g
+    """,
+)
+def agg_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTHED TARGET ENCODING (the ML featurization for categorical
+    columns): each category's mean target value shrunk toward the
+    global mean with pseudo-count m=10 —
+    ``(sum_c + m*mean_g) / (n_c + m)`` — held as ONE exact integer
+    fraction ``(sum_c*n_g + m*sum_g) * 1e6 div (n_g*(n_c + m))`` in
+    DECIMAL(38,0)/HUGEINT (the cross-moment products pass int64 around
+    1e20), so the encoding is bit-identical across engines and immune
+    to category-size skew.
+
+    Two aggs over one scan shape (category + global), 1-row global
+    moment broadcast onto the tiny category table. Rare categories
+    shrink to the prior, hot ones keep their mean — the Micci-Barreca
+    encoding, exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100, 0).cast("long")
+    g = ev.agg(
+        F.sum(cents_v).alias("gsum"), F.count("*").alias("gn")
+    )
+    c = ev.groupBy("event_type").agg(
+        F.sum(cents_v).alias("csum"), F.count("*").alias("cn")
+    )
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    return c.join(F.broadcast(g)).selectExpr(
+        "event_type",
+        "CAST(cn AS BIGINT) AS n",
+        f"CAST(({d38.format('csum')} * {d38.format('gn')}"
+        f" + 10 * {d38.format('gsum')}) * 1000000"
+        f" div ({d38.format('gn')} * ({d38.format('cn')} + 10))"
+        " AS BIGINT) AS encoded_cents_ppm",
+    )

@@ -2710,3 +2710,109 @@ def multimodal_tiled_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return M.tile_image_patches(M.with_ppm_payload(docs, "doc_id"), "doc_id")
+
+
+_COS_PROBE0 = S.COSINE_SQL.format(a="e.embedding", b="pv.pvec")
+
+
+@register(
+    "sim_rerank_rrf",
+    oracle=f"""
+        WITH pv AS (SELECT embedding AS pvec FROM embeddings
+                    WHERE vec_id = 0),
+        pt AS (SELECT list_distinct(string_split(text, ' ')) AS ptoks
+               FROM documents WHERE doc_id = 0),
+        base AS (
+            SELECT e.vec_id AS id,
+                   round({_COS_PROBE0}, 6) AS cos_sim,
+                   len(list_intersect(
+                       list_distinct(string_split(d.text, ' ')),
+                       pt.ptoks)) AS tok_overlap
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            CROSS JOIN pv CROSS JOIN pt),
+        rk AS (
+            SELECT id, cos_sim, tok_overlap,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id)
+                     AS rank_dense,
+                   ROW_NUMBER() OVER (ORDER BY tok_overlap DESC, id)
+                     AS rank_lexical
+            FROM base),
+        fused AS (
+            SELECT id, CAST(rank_dense AS BIGINT) AS rank_dense,
+                   CAST(rank_lexical AS BIGINT) AS rank_lexical,
+                   CAST(1000000000 // (60 + rank_dense)
+                        + 1000000000 // (60 + rank_lexical) AS BIGINT)
+                     AS rrf_e9
+            FROM rk)
+        SELECT id, rank_dense, rank_lexical, rrf_e9
+        FROM fused ORDER BY rrf_e9 DESC, id LIMIT 20
+    """,
+)
+def sim_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID-SEARCH FUSION via Reciprocal Rank Fusion: rank the corpus
+    against probe item 0 by BOTH dense similarity (embedding cosine)
+    and lexical overlap (distinct-token intersection with the probe
+    document), then fuse with the standard RRF formula
+    ``sum 1/(60 + rank_i)`` — held exact as two floored integer
+    divisions in 1e-9 units, so the fused ordering hash-matches DuckDB
+    with no float addition. This is the retrieval stack every RAG
+    system runs (vector channel + keyword channel -> one list), graded
+    end to end.
+
+    The probe row enters the plan as a 1-row broadcast (never a driver
+    constant in the logical plan's values); ranks are deterministic via
+    (score desc, id) total orders. Global rank windows run over the
+    joined corpus — the documented scale path is per-channel
+    distributed top-k (TakeOrdered) before fusing, which preserves the
+    top of the fused list whenever k exceeds the fusion window.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    probe_vec = em.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pvec")
+    )
+    probe_toks = docs.filter(F.col("doc_id") == 0).select(
+        F.array_distinct(F.split("text", " ")).alias("ptoks")
+    )
+    base = (
+        em.join(docs, em.vec_id == docs.doc_id)
+        .join(F.broadcast(probe_vec))
+        .join(F.broadcast(probe_toks))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                S.cosine(
+                    S.as_double("embedding"), S.as_double("pvec")
+                ),
+                6,
+            ).alias("cos_sim"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split("text", " ")), F.col("ptoks")
+                )
+            ).alias("tok_overlap"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = base.select(
+        "id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), F.col("id")))
+        .cast("long")
+        .alias("rank_dense"),
+        F.row_number()
+        .over(W.orderBy(F.desc("tok_overlap"), F.col("id")))
+        .cast("long")
+        .alias("rank_lexical"),
+    )
+    fused = rk.select(
+        "id",
+        "rank_dense",
+        "rank_lexical",
+        F.expr(
+            "CAST(1000000000 div (60 + rank_dense)"
+            " + 1000000000 div (60 + rank_lexical) AS BIGINT)"
+        ).alias("rrf_e9"),
+    )
+    return fused.orderBy(F.desc("rrf_e9"), F.col("id")).limit(20)

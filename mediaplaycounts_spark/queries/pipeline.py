@@ -1159,3 +1159,64 @@ def pipeline_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("rendered").cast("long").alias("n_chars"),
         F.size(F.split("rendered", " ")).cast("long").alias("n_ws_tokens"),
     )
+
+
+@register(
+    "pipeline_rag_chunking",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   unnest(generate_series(
+                       0,
+                       greatest((n_chars - 51) // 150, 0))) AS chunk_idx
+            FROM documents),
+        s AS (
+            SELECT c.doc_id, c.chunk_idx,
+                   substr(d.text, CAST(c.chunk_idx * 150 + 1 AS INT), 200)
+                     AS chunk
+            FROM c JOIN documents d ON c.doc_id = d.doc_id)
+        SELECT doc_id, chunk_idx,
+               CAST(length(chunk) AS BIGINT) AS n_chars,
+               md5(chunk) AS chunk_md5
+        FROM s
+    """,
+)
+def pipeline_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG CHUNKING: overlapping character windows (size 200, stride
+    150 => 50-char overlap) per document with content digests — the
+    retrieval-ingestion primitive between corpus and embedding model.
+    Chunk count is ``1 + max((n_chars - overlap - 1) div stride, 0)``
+    so the tail is always covered and a short doc yields exactly one
+    chunk; md5 grades the chunk BYTES so an off-by-one in offsets is a
+    driver-visible hash mismatch (the overlap region appearing in two
+    chunks is exactly what makes offset bugs otherwise silent).
+
+    One row in -> many out via sequence+explode, substring in codegen —
+    zero shuffle, embarrassingly parallel, same family as
+    `multimodal_frame_sample` (non-overlapping stride) but with the
+    overlap semantics retrieval actually uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.expr("(n_chars - 51) div 150"), F.lit(0)
+                ).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    s = c.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr("substr(text, chunk_idx * 150 + 1, 200)").alias("chunk"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length("chunk").cast("long").alias("n_chars"),
+        F.md5("chunk").alias("chunk_md5"),
+    )

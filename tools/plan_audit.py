@@ -71,6 +71,8 @@ ALLOWED = {
     "agg_basket_lift_pairs": "1-row basket-total aggregate broadcast onto the pair table",
     "text_pmi_cooccurrence": "1-row corpus-size aggregate broadcast onto the pair table",
     "win_rank_movers": "1-row order-date-bounds aggregate broadcast onto the fact scan",
+    "sim_rerank_rrf": "1-row probe embedding + probe token-set broadcast onto the corpus scan",
+    "agg_target_encoding": "1-row global moment aggregate broadcast onto the category table",
 }
 
 
@@ -282,6 +284,9 @@ MAX_SHUFFLES = {
     "win_rank_movers": 6,
     "agg_dau_mau_stickiness": 5,
     # pipeline_epoch_shuffle_plan: pure projection, zero shuffles (absent = 0)
+    "agg_target_encoding": 1,
+    # sim_rerank_rrf / pipeline_rag_chunking / pipeline_chat_format /
+    # multimodal_tiled_patches: zero shuffles at sf0.001 (absent = 0)
 }
 
 
