@@ -1163,3 +1163,202 @@ def agg_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" div ({d38.format('gn')} * ({d38.format('cn')} + 10))"
         " AS BIGINT) AS encoded_cents_ppm",
     )
+
+
+@register(
+    "agg_price_volume_mix",
+    oracle="""
+        WITH b AS (SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+                   FROM orders),
+        fact AS (
+            SELECT p.p_brand AS brand,
+                   CASE WHEN o.o_orderdate <= b.d0 + (b.d1 - b.d0) / 2
+                        THEN 1 ELSE 2 END AS period,
+                   CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                   CAST(round(l.l_quantity, 0) AS BIGINT) AS qty
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            CROSS JOIN b),
+        per AS (SELECT brand, period,
+                       CAST(SUM(cents) AS HUGEINT) AS r,
+                       CAST(SUM(qty) AS HUGEINT) AS q
+                FROM fact GROUP BY brand, period),
+        w AS (SELECT a.brand, a.r AS r0, a.q AS q0, c.r AS r1, c.q AS q1
+              FROM per a JOIN per c
+                ON a.brand = c.brand AND a.period = 1 AND c.period = 2)
+        SELECT brand,
+               CAST(r1 - r0 AS BIGINT) AS delta_cents,
+               CAST((r1 * q0 - r0 * q1) * 1000 // q0 AS BIGINT)
+                 AS price_effect_e3,
+               CAST(r0 * (q1 - q0) * 1000 // q0 AS BIGINT)
+                 AS volume_effect_e3
+        FROM w
+    """,
+)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME-MIX decomposition: split each brand's revenue change
+    between the two halves of the order-date range into a price effect
+    ``(p1 - p0) * q1`` and a volume effect ``p0 * (q1 - q0)`` — the
+    FP&A bridge chart, with both effects held as exact HUGEINT /
+    DECIMAL(38,0) fractions over integer revenue and quantity sums
+    (unit price never materializes as a float; the two effects sum to
+    the exact revenue delta before the final e-3 floor, which the unit
+    test asserts).
+
+    Same fact shape as `win_rank_movers` (broadcast dims + 1-row date
+    bounds), one (brand, period) agg, then pure arithmetic on the tiny
+    brand table.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    fact = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(b))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.col("o_orderdate") <= F.expr("d0 + (d1 - d0) / 2"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(2))
+            .alias("period"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+        )
+    )
+    per = fact.groupBy("brand", "period").agg(
+        F.sum("cents").alias("r"), F.sum("qty").alias("q")
+    )
+    a = per.filter(F.col("period") == 1).select(
+        "brand", F.col("r").alias("r0"), F.col("q").alias("q0")
+    )
+    c = per.filter(F.col("period") == 2).select(
+        "brand", F.col("r").alias("r1"), F.col("q").alias("q1")
+    )
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    return a.join(c, "brand").selectExpr(
+        "brand",
+        "CAST(r1 - r0 AS BIGINT) AS delta_cents",
+        f"CAST(({d38.format('r1')} * {d38.format('q0')}"
+        f" - {d38.format('r0')} * {d38.format('q1')}) * 1000"
+        f" div {d38.format('q0')} AS BIGINT) AS price_effect_e3",
+        f"CAST({d38.format('r0')} * ({d38.format('q1')}"
+        f" - {d38.format('q0')}) * 1000"
+        f" div {d38.format('q0')} AS BIGINT) AS volume_effect_e3",
+    )
+
+
+@register(
+    "ts_cumulative_uniques",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS d0
+            FROM events GROUP BY user_id),
+        per_day AS (SELECT d0 AS day, COUNT(*) AS n_new FROM f GROUP BY d0)
+        SELECT day, CAST(n_new AS BIGINT) AS n_new,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS users_to_date
+        FROM per_day
+    """,
+)
+def ts_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE UNIQUE USERS curve: distinct users seen up to each
+    day — the growth chart that naive COUNT(DISTINCT) over an expanding
+    window cannot compute scalably. The trick: cumulative distinct ==
+    running sum of FIRST-SEEN counts, so one per-user MIN(day) agg plus
+    a running sum over the tiny day spine replaces an O(days x users)
+    expanding-distinct (the user-domain sibling of
+    `text_novelty_curve`'s token novelty).
+
+    Two hash aggs (user -> first day, day -> new-user count) and one
+    window over O(days) rows. Exact integers throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("DAY", "ts")).alias("d0")
+    )
+    per_day = f.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("users_to_date"),
+    )
+
+
+@register(
+    "agg_pareto_share",
+    oracle="""
+        WITH ua AS (
+            SELECT user_id, COUNT(*) AS n_ev,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY user_id),
+        rk AS (SELECT *, ntile(10) OVER (ORDER BY n_ev DESC, user_id)
+                          AS decile
+               FROM ua),
+        tot AS (SELECT CAST(SUM(n_ev) AS HUGEINT) AS te,
+                       CAST(SUM(cents) AS HUGEINT) AS tc
+                FROM ua)
+        SELECT rk.decile, COUNT(*) AS n_users,
+               CAST(SUM(rk.n_ev) AS BIGINT) AS n_events,
+               CAST(CAST(SUM(rk.n_ev) AS HUGEINT) * 1000000 // tot.te
+                    AS BIGINT) AS event_share_ppm,
+               CAST(CAST(SUM(rk.cents) AS HUGEINT) * 1000000 // tot.tc
+                    AS BIGINT) AS value_share_ppm
+        FROM rk CROSS JOIN tot
+        GROUP BY rk.decile, tot.te, tot.tc
+    """,
+)
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / CONCENTRATION report: activity deciles of the user base
+    (most-active first, deterministic tie-break) with each decile's
+    exact share of events and value in ppm — the 80/20 chart that pairs
+    with `agg_gini_concentration`'s single coefficient.
+
+    One user agg, one decile ntile over the (much smaller) user table,
+    1-row totals broadcast, shares as floored integer divisions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    rk = ua.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("n_ev"), F.col("user_id"))),
+    )
+    tot = ua.agg(
+        F.sum("n_ev").alias("te"), F.sum("cents").alias("tc")
+    )
+    return (
+        rk.join(F.broadcast(tot))
+        .groupBy("decile", "te", "tc")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+            F.sum("cents").alias("sc"),
+        )
+        .selectExpr(
+            "CAST(decile AS BIGINT) AS decile",
+            "n_users",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(n_events * 1000000 div te AS BIGINT) AS event_share_ppm",
+            "CAST(sc * 1000000 div tc AS BIGINT) AS value_share_ppm",
+        )
+    )

@@ -319,3 +319,27 @@ def test_update_mode_reaches_batch_fixed_point(spark):
     )
     for row in out.itertuples():
         assert row.n == batch.loc[row.event_type]["count"]
+
+
+def test_pvm_effects_sum_to_delta(spark):
+    """Price effect + volume effect must reconstruct the exact revenue
+    delta (up to the two e-3 floors) — the decomposition identity."""
+    out = run("agg_price_volume_mix", spark).toPandas()
+    resid = out.delta_cents * 1000 - (out.price_effect_e3 + out.volume_effect_e3)
+    assert (resid.abs() <= 2).all()
+
+
+def test_cumulative_uniques_monotone_total(spark):
+    out = run("ts_cumulative_uniques", spark).toPandas().sort_values("day")
+    assert (out.users_to_date.diff().dropna() > 0).all() or len(out) == 1
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert out.users_to_date.iloc[-1] == n_users
+    assert out.n_new.sum() == n_users
+
+
+def test_pareto_shares_sum_to_whole(spark):
+    out = run("agg_pareto_share", spark).toPandas()
+    assert abs(out.event_share_ppm.sum() - 1_000_000) <= len(out)
+    assert abs(out.value_share_ppm.sum() - 1_000_000) <= len(out)
+    # deciles ordered by activity: first decile has the largest share
+    assert out.set_index("decile").event_share_ppm.idxmax() == 1

@@ -73,6 +73,8 @@ ALLOWED = {
     "win_rank_movers": "1-row order-date-bounds aggregate broadcast onto the fact scan",
     "sim_rerank_rrf": "1-row probe embedding + probe token-set broadcast onto the corpus scan",
     "agg_target_encoding": "1-row global moment aggregate broadcast onto the category table",
+    "agg_price_volume_mix": "1-row order-date-bounds aggregate broadcast onto the fact scan",
+    "agg_pareto_share": "1-row activity-totals aggregate broadcast onto the user table",
 }
 
 
@@ -285,6 +287,9 @@ MAX_SHUFFLES = {
     "agg_dau_mau_stickiness": 5,
     # pipeline_epoch_shuffle_plan: pure projection, zero shuffles (absent = 0)
     "agg_target_encoding": 1,
+    "agg_price_volume_mix": 6,
+    "ts_cumulative_uniques": 3,
+    "agg_pareto_share": 2,
     # sim_rerank_rrf / pipeline_rag_chunking / pipeline_chat_format /
     # multimodal_tiled_patches: zero shuffles at sf0.001 (absent = 0)
 }
