@@ -2816,3 +2816,95 @@ def sim_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_e9"),
     )
     return fused.orderBy(F.desc("rrf_e9"), F.col("id")).limit(20)
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+        WITH n AS (
+            SELECT doc_id, n_chars,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     AS norm
+            FROM documents),
+        rk AS (
+            SELECT sha256(norm) AS norm_hash, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(norm)
+                                      ORDER BY n_chars DESC, doc_id)
+                     AS rn,
+                   COUNT(*) OVER (PARTITION BY sha256(norm)) AS n_copies
+            FROM n)
+        SELECT norm_hash, doc_id AS keeper_id,
+               CAST(n_chars AS BIGINT) AS keeper_chars,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM rk WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup keeper selection: within each
+    normalized-content duplicate group, keep the RICHEST original (most
+    characters before normalization — the copy that preserved casing /
+    spacing), tie-broken by id — the curation policy that beats
+    `dedup_exact_normalized`'s min-id rule when reformatted copies
+    differ in fidelity. One shuffle on the content hash; the keeper is
+    a per-group window argmax (rank 1 of (quality desc, id)), so
+    swapping in any quality score (Gopher, logreg, perplexity) is a
+    one-column change.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n = docs.select(
+        F.sha2(norm, 256).alias("norm_hash"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("norm_hash").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    wc = Window.partitionBy("norm_hash")
+    rk = n.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_copies", F.count("*").over(wc)
+    )
+    return rk.filter(F.col("rn") == 1).select(
+        "norm_hash",
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_chars").cast("long").alias("keeper_chars"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+# Compositional oracle reuse: the confusion matrix is an aggregation
+# OVER the langid key's full result, so its oracle embeds that key's
+# oracle as a CTE (registered earlier in this module).
+from mediaplaycounts_spark import registry as _registry_mod
+
+_LANGID_ORACLE = _registry_mod._REGISTRY["text_langid_char_ngram"].oracle
+
+
+@register(
+    "text_language_confusion",
+    oracle=f"""
+        WITH langid AS ({_LANGID_ORACLE})
+        SELECT lang AS actual, predicted, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN lang = predicted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM langid GROUP BY actual, predicted
+    """,
+)
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVAL as a query: the confusion matrix of the
+    char-trigram language-ID key against the corpus's ground-truth
+    labels — (actual, predicted) counts with the diagonal marked. The
+    eval harness a model registry runs on every classifier refresh,
+    expressed as one aggregation OVER the classifier key (its oracle is
+    embedded verbatim as a CTE, so both the model and its eval share a
+    single semantics spec).
+
+    Adds one tiny hash agg on top of `text_langid_char_ngram`'s plan.
+    """
+    pred = text_langid_char_ngram(spark, sf_dir)
+    return pred.groupBy(
+        F.col("lang").alias("actual"), "predicted"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )

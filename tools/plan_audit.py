@@ -290,6 +290,9 @@ MAX_SHUFFLES = {
     "agg_price_volume_mix": 6,
     "ts_cumulative_uniques": 3,
     "agg_pareto_share": 2,
+    "dedup_keep_best": 1,
+    "text_language_confusion": 5,
+    "graph_kcore_peel": 2,  # final-round plan; earlier rounds checkpointed
     # sim_rerank_rrf / pipeline_rag_chunking / pipeline_chat_format /
     # multimodal_tiled_patches: zero shuffles at sf0.001 (absent = 0)
 }
