@@ -63,6 +63,12 @@ EXTENDED = [
     # r3 additions
     "agg_kll_quantile_merge",    # sketch-blob quantile rollup + exact twin
     "dedup_substring_spans",     # cross-doc span dedup signal
+    # r3 continuation additions
+    "join_star_multi_dim",       # 5-dim broadcast star cube, one exchange
+    "graph_hits_int",            # 2-round HITS, checkpoint at the fork
+    "join_geo_grid",             # grid-blocked spatial pairs
+    "text_bpe_merge_rounds",     # BPE merge training rounds
+    "sim_rerank_rrf",            # hybrid RRF fusion
 ]
 
 
