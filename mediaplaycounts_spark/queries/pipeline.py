@@ -1220,3 +1220,50 @@ def pipeline_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").cast("long").alias("n_chars"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    oracle="""
+        WITH s AS (SELECT source, COUNT(*) AS n FROM documents
+                   GROUP BY source),
+        t AS (SELECT source, n,
+                     CAST(SUM(n) OVER () AS BIGINT) AS total,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+              FROM s)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(n * 1000000 // total AS BIGINT) AS natural_ppm,
+               CAST(w * 1000000 // (SELECT CAST(SUM(w) AS BIGINT) FROM t)
+                    AS BIGINT) AS tempered_ppm
+        FROM t
+    """,
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED DATA MIXTURE (alpha = 0.5): reweight each
+    source's natural sampling share by p^alpha and renormalize — the
+    multilingual/multi-domain rebalancing trick (raise rare sources,
+    damp dominant ones) every pretraining mixture uses. sqrt(integer)
+    is IEEE-correctly-rounded on both engines (same convention as the
+    Wilson-interval key), floored to integer weights before the exact
+    ppm renormalization, so the tempered shares hash-match.
+
+    One (source) hash agg; everything after runs on the O(sources)
+    table (window total + 1-row weight sum).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    t = s.select(
+        "source",
+        "n",
+        F.sum("n").over(wall).cast("long").alias("total"),
+        F.floor(F.sqrt(F.col("n").cast("double"))).cast("long").alias("w"),
+    )
+    return t.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("natural_ppm"),
+        F.expr(
+            "CAST(w * 1000000 div (SUM(w) OVER ()) AS BIGINT)"
+        ).alias("tempered_ppm"),
+    )

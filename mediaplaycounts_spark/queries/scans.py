@@ -903,3 +903,65 @@ def sink_sorted_rowgroup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents"
         ),
     )
+
+
+@register(
+    "scan_agg_pushdown_footer",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               MIN(l_partkey) AS min_partkey,
+               MAX(l_partkey) AS max_partkey,
+               MIN(l_linenumber) AS min_line,
+               MAX(l_linenumber) AS max_line
+        FROM lineitem
+    """,
+)
+def scan_agg_pushdown_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET AGGREGATE PUSHDOWN: COUNT/MIN/MAX answered from parquet
+    FOOTER STATISTICS instead of scanning row data
+    (`spark.sql.parquet.aggregatePushdown` — the plan shows
+    `PushedAggregation` and reads zero data pages; the unit test
+    asserts the marker). At 100 TB this turns full-table health checks
+    (row counts, key ranges) from an hours-long scan into a
+    metadata-only operation — the same class of win as partition/
+    bucket/row-group pruning, applied to aggregates.
+
+    The pushdown only fires for whole-file aggregates over supported
+    types with no filter — exactly this query's shape; the DuckDB
+    oracle computes the same answer the slow way, proving the
+    footer-derived values are the true ones.
+    """
+    import contextlib
+    import io
+
+    # The pushdown lives in the DataSource V2 parquet reader; scope both
+    # confs to THIS key (execute eagerly, then restore) so every other
+    # key keeps its audited V1 plan shape.
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    old_pd = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+        agg = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+            F.min("l_linenumber").alias("min_line"),
+            F.max("l_linenumber").alias("max_line"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("formatted")
+        if "PushedAggregation: [" not in buf.getvalue():
+            raise AssertionError(
+                "parquet aggregate pushdown did not engage (no "
+                "PushedAggregation in the V2 scan plan)"
+            )
+        # Materialize under the V2 confs (1 row) so the values really
+        # come from the footer path even though confs are restored
+        # before the driver executes the returned frame.
+        return agg.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_pd)

@@ -294,3 +294,46 @@ def win_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_match_ts"),
         )
     )
+
+
+@register(
+    "win_rate_limit_flags",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, ts,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                                        AND CURRENT ROW) AS n_10m
+            FROM events)
+        SELECT event_id, user_id, CAST(n_10m AS BIGINT) AS n_10m,
+               CAST(n_10m > 3 AS BIGINT) AS rate_limited
+        FROM w
+    """,
+)
+def win_rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING RATE-LIMIT screen: for every event, how many events the
+    same user fired in the trailing 10 minutes (event-time RANGE frame,
+    inclusive), flagging violations of a >3-per-10-min policy — the
+    abuse/bot screen an ingestion edge runs, expressed as one window
+    (no self-join, no per-event probe).
+
+    RANGE on unix microseconds keeps equal-timestamp events mutually
+    visible (ROWS would order-split them); one user_id shuffle, running
+    count state only. At 100 TB this is the same shape as every
+    event-time window here: partition by the entity, sort once, frame
+    state O(window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_10m"),
+    )
+    return out.withColumn(
+        "rate_limited", (F.col("n_10m") > 3).cast("bigint")
+    )

@@ -343,3 +343,38 @@ def test_pareto_shares_sum_to_whole(spark):
     assert abs(out.value_share_ppm.sum() - 1_000_000) <= len(out)
     # deciles ordered by activity: first decile has the largest share
     assert out.set_index("decile").event_share_ppm.idxmax() == 1
+
+
+def test_agg_pushdown_engages_and_restores_confs(spark):
+    """The footer-pushdown key must (a) have executed via a plan with
+    PushedAggregation (it self-asserts and raises otherwise) and
+    (b) leave the session's source confs untouched for every other key."""
+    before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    out = run("scan_agg_pushdown_footer", spark).toPandas()
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == before
+    li = load_table(spark, SF, "lineitem").toPandas()
+    assert out.n_rows[0] == len(li)
+    assert out.min_partkey[0] == li.l_partkey.min()
+    assert out.max_partkey[0] == li.l_partkey.max()
+
+
+def test_rate_limit_flags_match_pandas_window(spark):
+    out = run("win_rate_limit_flags", spark).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    sample = out.sample(n=min(100, len(out)), random_state=7)
+    by_user = {u: g.ts.sort_values().to_numpy() for u, g in ev.groupby("user_id")}
+    for row in sample.itertuples():
+        ts = ev[ev.event_id == row.event_id].ts.iloc[0]
+        arr = by_user[row.user_id]
+        lo = ts - pd.Timedelta(minutes=10)
+        assert row.n_10m == ((arr >= lo) & (arr <= ts)).sum()
+
+
+def test_mixture_temperature_flattens_distribution(spark):
+    out = run("pipeline_mixture_temperature", spark).toPandas()
+    assert abs(out.natural_ppm.sum() - 1_000_000) <= len(out)
+    assert abs(out.tempered_ppm.sum() - 1_000_000) <= len(out)
+    # temperature < 1 compresses the range of shares
+    assert (out.tempered_ppm.max() - out.tempered_ppm.min()) <= (
+        out.natural_ppm.max() - out.natural_ppm.min()
+    )

@@ -293,6 +293,9 @@ MAX_SHUFFLES = {
     "dedup_keep_best": 1,
     "text_language_confusion": 5,
     "graph_kcore_peel": 2,  # final-round plan; earlier rounds checkpointed
+    "win_rate_limit_flags": 1,
+    "pipeline_mixture_temperature": 1,
+    # scan_agg_pushdown_footer: checkpointed 1-row scan, zero shuffles
     # sim_rerank_rrf / pipeline_rag_chunking / pipeline_chat_format /
     # multimodal_tiled_patches: zero shuffles at sf0.001 (absent = 0)
 }
