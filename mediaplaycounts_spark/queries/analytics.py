@@ -1362,3 +1362,52 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sc * 1000000 div tc AS BIGINT) AS value_share_ppm",
         )
     )
+
+
+@register(
+    "agg_geo_cell_density",
+    oracle="""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   ((c_custkey * 48271) % 180000000 - 90000000) // 10000000
+                     AS cx,
+                   ((c_custkey * 69621) % 360000000 - 180000000) // 10000000
+                     AS cy
+            FROM customer),
+        cells AS (SELECT cx, cy, COUNT(*) AS n_points FROM pts
+                  GROUP BY cx, cy)
+        SELECT cx, cy, n_points,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_points DESC, cx, cy)
+                    AS BIGINT) AS density_rank
+        FROM cells
+        ORDER BY density_rank LIMIT 25
+    """,
+)
+def agg_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL DENSITY heatmap: the 25 densest 10-degree grid cells
+    with deterministic rank — the aggregation face of the spatial
+    family (`join_geo_grid` finds neighbor pairs; this finds hotspots).
+    Same deterministic micro-degree coordinates; cell assignment is one
+    integer division (floor semantics match: operands span negatives,
+    and both engines' `div`/`//` truncate toward zero — the cells are
+    DEFINED by that shared truncation, so the partition of space is
+    identical on both sides even across the sign boundary).
+
+    One hash agg on (cx, cy) + a top-k over the tiny cell table.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.expr(
+            "((c_custkey * 48271) % 180000000 - 90000000) div 10000000"
+        ).alias("cx"),
+        F.expr(
+            "((c_custkey * 69621) % 360000000 - 180000000) div 10000000"
+        ).alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count("*").alias("n_points"))
+    w = Window.orderBy(F.desc("n_points"), F.col("cx"), F.col("cy"))
+    return (
+        cells.withColumn("density_rank", F.row_number().over(w).cast("long"))
+        .orderBy("density_rank")
+        .limit(25)
+    )

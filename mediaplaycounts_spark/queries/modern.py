@@ -418,3 +418,43 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "sql_try_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN CAST(round(o_totalprice * 100, 0) AS BIGINT) %
+                         NULLIF(o_custkey % 7, 0) IS NULL THEN NULL
+                    ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         // NULLIF(o_custkey % 7, 0) END AS safe_div,
+               TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                 AS prio_digit
+        FROM orders
+    """,
+)
+def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-SAFE expression surface (`try_divide` / `try_cast`): the
+    modern-SQL alternative to job-killing runtime errors — division by
+    zero and unparseable casts yield NULL instead of failing the stage,
+    which at 100 TB is the difference between quarantining a bad row
+    and losing a 6-hour job. try_divide's integral result is floored
+    identically to the oracle's NULLIF-guarded ``//``; try_cast of
+    '1-URGENT' is NULL while its leading digit parses.
+
+    Pure codegen projection, zero shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_try")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(try_divide(CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                               o_custkey % 7) AS BIGINT) AS safe_div,
+               try_cast(o_orderpriority AS BIGINT) AS bad_cast,
+               try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)
+                 AS prio_digit
+        FROM orders_try
+        """
+    )

@@ -992,3 +992,63 @@ def ts_wape_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(c - fc) * 1000000 div SUM(c) AS BIGINT)"
         ).alias("bias_ppm"),
     )
+
+
+@register(
+    "ts_burst_flags",
+    oracle="""
+        WITH m AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   COUNT(*) AS c
+            FROM events GROUP BY event_type, h),
+        t AS (SELECT event_type, h, c,
+                     CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_hours
+              FROM m)
+        SELECT event_type, h, c,
+               CAST((c * n_hours > tot AND
+                     (c * n_hours - tot) * (c * n_hours - tot)
+                       > 9 * tot * n_hours) AS BIGINT) AS burst
+        FROM t
+    """,
+)
+def ts_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BURST detection: flag hours whose event count exceeds
+    the type's mean rate by more than 3 standard deviations UNDER THE
+    POISSON MODEL (sigma = sqrt(mean)) — the traffic-spike detector for
+    count data, where `agg_anomaly_flag`'s empirical-variance test
+    underreacts to rare bursts. The test ``c > m + 3*sqrt(m)`` is
+    cleared of the division AND the square root:
+    ``(c*H - T)^2 > 9*T*H`` given ``c*H > T`` (T total, H hours) — all
+    int64, order-independent, bit-identical across engines.
+
+    One (type, hour) hash agg; totals are windows over the aggregated
+    grid. Magnitudes: c*H ~ 1e9 at sf100 scales, squared ~1e18 —
+    promote to DECIMAL(38,0) past ~3e9 counts/hour (documented edge).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("HOUR", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type")
+    t = m.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(w).cast("long").alias("tot"),
+        F.count("*").over(w).cast("long").alias("n_hours"),
+    )
+    dev = F.col("c") * F.col("n_hours") - F.col("tot")
+    return t.select(
+        "event_type",
+        "h",
+        "c",
+        (
+            (F.col("c") * F.col("n_hours") > F.col("tot"))
+            & (dev * dev > 9 * F.col("tot") * F.col("n_hours"))
+        )
+        .cast("bigint")
+        .alias("burst"),
+    )

@@ -296,6 +296,9 @@ MAX_SHUFFLES = {
     "win_rate_limit_flags": 1,
     "pipeline_mixture_temperature": 1,
     # scan_agg_pushdown_footer: checkpointed 1-row scan, zero shuffles
+    "ts_burst_flags": 2,
+    "agg_geo_cell_density": 2,
+    # sql_try_arithmetic: pure projection, zero shuffles
     # sim_rerank_rrf / pipeline_rag_chunking / pipeline_chat_format /
     # multimodal_tiled_patches: zero shuffles at sf0.001 (absent = 0)
 }
