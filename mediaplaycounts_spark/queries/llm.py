@@ -2908,3 +2908,173 @@ def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == F.col("predicted"), 1).otherwise(0)
         ).cast("long").alias("n_correct"),
     )
+
+
+_COS_FULL0 = S.COSINE_SQL.format(a="e.embedding", b="pv.pvec")
+_COS_TRUNC0 = S.COSINE_SQL.format(
+    a="e.embedding[1:16]", b="pv.pvec[1:16]"
+)
+
+
+@register(
+    "sim_dim_truncation_eval",
+    oracle=f"""
+        WITH pv AS (SELECT embedding AS pvec FROM embeddings
+                    WHERE vec_id = 0),
+        sc AS (
+            SELECT e.vec_id AS id,
+                   round({_COS_FULL0}, 6) AS cos_full,
+                   round({_COS_TRUNC0}, 6) AS cos_16
+            FROM embeddings e CROSS JOIN pv
+            WHERE e.vec_id <> 0),
+        rk AS (
+            SELECT id, cos_full, cos_16,
+                   ROW_NUMBER() OVER (ORDER BY cos_full DESC, id) AS r_full,
+                   ROW_NUMBER() OVER (ORDER BY cos_16 DESC, id) AS r_16
+            FROM sc)
+        SELECT a.id, a.r_full AS rank_full, a.r_16 AS rank_16,
+               CAST(a.id IN (SELECT id FROM rk WHERE r_16 <= 10)
+                    AS BIGINT) AS in_truncated_top10
+        FROM rk a WHERE a.r_full <= 10
+    """,
+)
+def sim_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-TRUNCATION EVAL (Matryoshka-style): how much of the
+    full-dimension top-10 neighborhood of probe 0 survives when cosines
+    use only the FIRST 16 of 64 dimensions — the measurement behind
+    shipping truncated embeddings for 4x memory/bandwidth savings.
+    Output: the full-dim top-10 with each item's rank under truncation
+    and a survival flag; exact float64 cosines in identical element
+    order (repo convention) with deterministic (score, id) rank
+    tie-breaks, so the eval is value-hashable.
+
+    One corpus scan computes both cosines (the truncated one is a
+    16-element slice of the same row — no second pass); two rank
+    windows + a 10-row membership semi-join.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    pv = em.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pvec")
+    )
+    sc = (
+        em.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(pv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                S.cosine(S.as_double("embedding"), S.as_double("pvec")), 6
+            ).alias("cos_full"),
+            F.round(
+                S.cosine(
+                    S.as_double(F.slice("embedding", 1, 16)),
+                    S.as_double(F.slice("pvec", 1, 16)),
+                ),
+                6,
+            ).alias("cos_16"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = sc.select(
+        "id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_full"), F.col("id")))
+        .cast("long")
+        .alias("rank_full"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_16"), F.col("id")))
+        .cast("long")
+        .alias("rank_16"),
+    )
+    top16 = rk.filter(F.col("rank_16") <= 10).select(
+        F.col("id").alias("tid")
+    )
+    return (
+        rk.filter(F.col("rank_full") <= 10)
+        .join(F.broadcast(top16), rk.id == F.col("tid"), "left")
+        .select(
+            "id",
+            "rank_full",
+            F.col("rank_16"),
+            F.col("tid").isNotNull().cast("bigint").alias(
+                "in_truncated_top10"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_embedding_norm_stats",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id, label,
+                   CAST(round(sqrt(list_reduce(list_prepend(0.0,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x)), (a, b) -> a + b))
+                       * 1000000, 0) AS BIGINT) AS norm_e6
+            FROM embeddings),
+        med AS (SELECT label,
+                       CAST(median(norm_e6 * 2) AS BIGINT) AS med2_e6
+                FROM n GROUP BY label)
+        SELECT n.label, COUNT(*) AS n_vecs,
+               MIN(n.norm_e6) AS min_norm_e6,
+               MAX(n.norm_e6) AS max_norm_e6,
+               CAST(SUM(CAST(n.norm_e6 * 4 > 3 * med.med2_e6 AS INT))
+                    AS BIGINT) AS n_outliers
+        FROM n JOIN med ON n.label = med.label
+        GROUP BY n.label
+    """,
+)
+def agg_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-NORM QC: per-label L2-norm range plus a count of
+    broken vectors (norm > 1.5x the label median, the classic symptom
+    of truncated writes or un-normalized model output). Norms are
+    quantized to e-6 integers AFTER the float64 sqrt (same summation
+    order both engines); the outlier test is cross-multiplied
+    (4*norm > 3*median2, with median2 = median of DOUBLED norms — an
+    even+even average, hence always integral, so the BIGINT cast can
+    never hit the .5 boundary where DuckDB's half-even and Spark's
+    truncating cast rounding diverge).
+
+    One scan computes norms; medians on the per-label aggregates; one
+    final (label) rollup.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        S.as_double("embedding"), lambda x: x * x
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("norm_e6"),
+    )
+    # median(2x) of int64s is always integral ((even+even)/2), so the
+    # BIGINT cast is exact on both engines.
+    med = n.groupBy("label").agg(
+        F.expr("CAST(median(norm_e6 * 2) AS BIGINT)").alias("med2_e6")
+    )
+    return (
+        n.join(F.broadcast(med), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("norm_e6").alias("min_norm_e6"),
+            F.max("norm_e6").alias("max_norm_e6"),
+            F.sum(
+                (F.col("norm_e6") * 4 > 3 * F.col("med2_e6")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -1267,3 +1267,68 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(w * 1000000 div (SUM(w) OVER ()) AS BIGINT)"
         ).alias("tempered_ppm"),
     )
+
+
+@register(
+    "pipeline_interleave_sources",
+    oracle="""
+        WITH two AS (
+            SELECT DISTINCT source FROM documents
+            ORDER BY source LIMIT 2),
+        d AS (
+            SELECT doc_id, source,
+                   CASE WHEN source = (SELECT MIN(source) FROM two)
+                        THEN 0 ELSE 1 END AS stream_idx
+            FROM documents WHERE source IN (SELECT source FROM two)),
+        r AS (
+            SELECT doc_id, source, stream_idx,
+                   ROW_NUMBER() OVER (PARTITION BY stream_idx
+                                      ORDER BY doc_id) AS rn
+            FROM d)
+        SELECT doc_id, source, CAST(stream_idx AS BIGINT) AS stream_idx,
+               CAST((rn - 1) * 2 + stream_idx AS BIGINT) AS interleave_pos
+        FROM r
+    """,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET INTERLEAVING: produce the deterministic round-robin
+    training order over two corpus streams (the two lexicographically
+    first sources) — stream A at even positions, stream B at odd —
+    the `interleave_datasets` step that keeps a mixed-corpus training
+    run from seeing sources in blocks. Positions are pure arithmetic
+    on per-stream ranks ((rn-1)*2 + stream), so any worker can compute
+    its slice of the order with no coordination and the order is
+    stable under re-runs.
+
+    One rank window per stream (both share the stream_idx partition
+    key); the 2-row source pick broadcasts. At scale the per-stream
+    rank is the only sort — same cost as writing the stream out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    two = (
+        docs.select("source")
+        .distinct()
+        .orderBy("source")
+        .limit(2)
+        .withColumn(
+            "stream_idx",
+            (
+                F.row_number().over(Window.orderBy("source")) - 1
+            ).cast("long"),
+        )
+    )
+    d = docs.join(F.broadcast(two), "source")
+    r = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("stream_idx").orderBy("doc_id")
+        ),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "stream_idx",
+        ((F.col("rn") - 1) * 2 + F.col("stream_idx"))
+        .cast("long")
+        .alias("interleave_pos"),
+    )

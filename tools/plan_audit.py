@@ -74,6 +74,7 @@ ALLOWED = {
     "sim_rerank_rrf": "1-row probe embedding + probe token-set broadcast onto the corpus scan",
     "agg_target_encoding": "1-row global moment aggregate broadcast onto the category table",
     "agg_price_volume_mix": "1-row order-date-bounds aggregate broadcast onto the fact scan",
+    "sim_dim_truncation_eval": "1-row probe embedding broadcast onto the corpus scan; 10-row top-k membership broadcast",
     "agg_pareto_share": "1-row activity-totals aggregate broadcast onto the user table",
 }
 
@@ -297,6 +298,8 @@ MAX_SHUFFLES = {
     "pipeline_mixture_temperature": 1,
     # scan_agg_pushdown_footer: checkpointed 1-row scan, zero shuffles
     "ts_burst_flags": 2,
+    "agg_embedding_norm_stats": 2,
+    "pipeline_interleave_sources": 2,
     "agg_geo_cell_density": 2,
     # sql_try_arithmetic: pure projection, zero shuffles
     # sim_rerank_rrf / pipeline_rag_chunking / pipeline_chat_format /
