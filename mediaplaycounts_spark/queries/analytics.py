@@ -1411,3 +1411,233 @@ def agg_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("density_rank")
         .limit(25)
     )
+
+
+@register(
+    "agg_diff_in_diff",
+    oracle="""
+        WITH b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2
+                          AS mid_us
+                   FROM events),
+        f AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                     AS treated,
+                   CASE WHEN epoch_us(e.ts) <= b.mid_us
+                        THEN 0 ELSE 1 END AS post,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events e CROSS JOIN b),
+        g AS (SELECT treated, post,
+                     CAST(SUM(cents) AS HUGEINT) AS s,
+                     CAST(COUNT(*) AS HUGEINT) AS n
+              FROM f GROUP BY treated, post),
+        w AS (SELECT
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s11,
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n11,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s10,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n10,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s01,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n01,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s00,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00
+              FROM g)
+        SELECT CAST(n11 AS BIGINT) AS n_treated_post,
+               CAST(((s11 * n10 - s10 * n11) * n01 * n00
+                     - (s01 * n00 - s00 * n01) * n11 * n10) * 100
+                    // (n11 * n10 * n01 * n00) AS BIGINT)
+                 AS did_centicents
+        FROM w
+    """,
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout: the change in mean event
+    value for the treated group (purchases) minus the change for the
+    control group (everything else), pre vs post the midpoint of the
+    time range — the quasi-experimental estimator behind every
+    launch-impact analysis. The four group means never materialize as
+    floats: the estimator is assembled over a common denominator in
+    HUGEINT/DECIMAL(38,0) and floored once to centi-cents.
+
+    One scan -> a 4-cell (treated, post) aggregate -> pure arithmetic
+    on one row. The 1-row time-bounds aggregate broadcasts onto the
+    scan (same pattern as the movers/PVM keys).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Split point in pure integer epoch-micros — interval/2 halving has
+    # engine-specific component rounding on dense timestamps.
+    b = ev.agg(
+        (
+            (
+                F.unix_micros(F.min("ts").cast("timestamp"))
+                + F.unix_micros(F.max("ts").cast("timestamp"))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    f = ev.join(F.broadcast(b)).select(
+        (F.col("event_type") == "purchase").cast("int").alias("treated"),
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp")) <= F.col("mid_us"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("post"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = f.groupBy("treated", "post").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    cell = lambda t, p, c: F.max(
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col(c))
+    )
+    w = g.agg(
+        cell(1, 1, "s").alias("s11"), cell(1, 1, "n").alias("n11"),
+        cell(1, 0, "s").alias("s10"), cell(1, 0, "n").alias("n10"),
+        cell(0, 1, "s").alias("s01"), cell(0, 1, "n").alias("n01"),
+        cell(0, 0, "s").alias("s00"), cell(0, 0, "n").alias("n00"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    return w.selectExpr(
+        "CAST(n11 AS BIGINT) AS n_treated_post",
+        f"CAST((({d.format('s11')} * {d.format('n10')}"
+        f" - {d.format('s10')} * {d.format('n11')})"
+        f" * {d.format('n01')} * {d.format('n00')}"
+        f" - ({d.format('s01')} * {d.format('n00')}"
+        f" - {d.format('s00')} * {d.format('n01')})"
+        f" * {d.format('n11')} * {d.format('n10')}) * 100"
+        f" div ({d.format('n11')} * {d.format('n10')}"
+        f" * {d.format('n01')} * {d.format('n00')}) AS BIGINT)"
+        " AS did_centicents",
+    )
+
+
+@register(
+    "agg_also_bought_top1",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+        pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+            FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+            GROUP BY a.pk, b.pk),
+        rk AS (
+            SELECT part_a, part_b, n_ab,
+                   ROW_NUMBER() OVER (PARTITION BY part_a
+                                      ORDER BY n_ab DESC, part_b) AS rn
+            FROM pairs)
+        SELECT part_a AS part, part_b AS also_bought, n_ab AS n_co_orders
+        FROM rk WHERE rn = 1 AND n_ab >= 2
+    """,
+)
+def agg_also_bought_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """\"CUSTOMERS ALSO BOUGHT\": for every part, its most co-purchased
+    partner (>= 2 shared orders, deterministic tie-break) — the
+    item-to-item collaborative-filtering table Amazon popularized,
+    derivable from the same order-blocked pair generation as
+    `agg_basket_lift_pairs` but DIRECTED (both (a,b) and (b,a) exist,
+    so each part gets its own recommendation row).
+
+    Order-key-blocked pair join (fanout = items-per-order squared),
+    one pair agg, one per-part argmax window. Never |parts|^2.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("n_ab"), F.col("part_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_ab") >= 2))
+        .select(
+            F.col("part_a").alias("part"),
+            F.col("part_b").alias("also_bought"),
+            F.col("n_ab").alias("n_co_orders"),
+        )
+    )
+
+
+@register(
+    "pipeline_data_contract_validate",
+    oracle="""
+        SELECT 'event_id_unique' AS rule,
+               CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+                 AS n_violations,
+               COUNT(*) = COUNT(DISTINCT event_id) AS passed
+        FROM events
+        UNION ALL
+        SELECT 'value_non_negative',
+               CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'event_type_in_enum',
+               CAST(SUM(CASE WHEN event_type NOT IN
+                    ('click','error','purchase','signup','view')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN event_type NOT IN
+                   ('click','error','purchase','signup','view')
+                   THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'ts_not_null',
+               CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+               COUNT(*) = COUNT(ts)
+        FROM events
+        UNION ALL
+        SELECT 'user_id_positive',
+               CAST(SUM(CASE WHEN user_id IS NULL OR user_id < 0
+                    THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN user_id IS NULL OR user_id < 0
+                   THEN 1 ELSE 0 END) = 0
+        FROM events
+    """,
+)
+def pipeline_data_contract_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONTRACT VALIDATION report: five declarative rules (key
+    uniqueness, non-negativity, enum membership, non-null, id domain)
+    each emitting a violation count and a pass flag — the
+    dbt-test / Great-Expectations gate a dataset must clear before
+    publication, as one query.
+
+    ALL rules evaluate in a SINGLE aggregate over ONE scan (conditional
+    sums + one exact distinct), then a codegen ``stack`` unpivots the
+    1-row summary into the rule report — the oracle's 5-scan UNION is
+    the semantics spec, not the plan (same discipline as
+    `scan_table_profile`). A failing contract is driver-visible: the
+    pass flags are part of the hashed values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    enum_ok = F.col("event_type").isin(
+        "click", "error", "purchase", "signup", "view"
+    )
+    a = ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("d_eid"),
+        F.sum((F.col("value") < 0).cast("int")).alias("neg_v"),
+        F.sum((~enum_ok).cast("int")).alias("bad_enum"),
+        F.count("ts").alias("c_ts"),
+        F.sum(
+            (F.col("user_id").isNull() | (F.col("user_id") < 0)).cast("int")
+        ).alias("bad_uid"),
+    )
+    return a.selectExpr(
+        "stack(5,"
+        " 'event_id_unique', n - d_eid, n = d_eid,"
+        " 'value_non_negative', CAST(neg_v AS BIGINT), neg_v = 0,"
+        " 'event_type_in_enum', CAST(bad_enum AS BIGINT), bad_enum = 0,"
+        " 'ts_not_null', n - c_ts, n = c_ts,"
+        " 'user_id_positive', CAST(bad_uid AS BIGINT), bad_uid = 0)"
+        " AS (rule, n_violations, passed)"
+    )

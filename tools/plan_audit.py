@@ -75,6 +75,7 @@ ALLOWED = {
     "agg_target_encoding": "1-row global moment aggregate broadcast onto the category table",
     "agg_price_volume_mix": "1-row order-date-bounds aggregate broadcast onto the fact scan",
     "sim_dim_truncation_eval": "1-row probe embedding broadcast onto the corpus scan; 10-row top-k membership broadcast",
+    "agg_diff_in_diff": "1-row time-midpoint aggregate broadcast onto the scan; 4-cell pivot",
     "agg_pareto_share": "1-row activity-totals aggregate broadcast onto the user table",
 }
 
@@ -299,6 +300,9 @@ MAX_SHUFFLES = {
     # scan_agg_pushdown_footer: checkpointed 1-row scan, zero shuffles
     "ts_burst_flags": 2,
     "agg_embedding_norm_stats": 2,
+    "agg_diff_in_diff": 2,
+    "agg_also_bought_top1": 3,
+    "pipeline_data_contract_validate": 1,
     "pipeline_interleave_sources": 2,
     "agg_geo_cell_density": 2,
     # sql_try_arithmetic: pure projection, zero shuffles
