@@ -301,7 +301,7 @@ MAX_SHUFFLES = {
     "ts_burst_flags": 2,
     "agg_embedding_norm_stats": 2,
     "agg_diff_in_diff": 2,
-    "agg_also_bought_top1": 3,
+    "agg_also_bought_top1": 4,
     "pipeline_data_contract_validate": 1,
     "pipeline_interleave_sources": 2,
     "agg_geo_cell_density": 2,
