@@ -1641,3 +1641,120 @@ def pipeline_data_contract_validate(spark: SparkSession, sf_dir: str) -> DataFra
         " 'user_id_positive', CAST(bad_uid AS BIGINT), bad_uid = 0)"
         " AS (rule, n_violations, passed)"
     )
+
+
+@register(
+    "agg_shipping_sla",
+    oracle="""
+        WITH lag AS (
+            SELECT o.o_orderpriority AS priority,
+                   date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT priority, COUNT(*) AS n_items,
+               CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS sla30_ppm,
+               CAST(MAX(lag_days) AS BIGINT) AS max_lag_days,
+               CAST(quantile_disc(lag_days, 0.9) AS BIGINT) AS p90_lag_days
+        FROM lag GROUP BY priority
+    """,
+)
+def agg_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIPPING SLA report: per order priority, the fraction of line
+    items shipped within 30 days (exact ppm), the worst lag, and the
+    exact discrete p90 lag — the fulfillment scorecard every ops
+    dashboard leads with. Lags are whole-day integers; the p90 is the
+    DISCRETE quantile (an actual data value, `percentile(..., 0.9)`
+    exact in Spark mirrors DuckDB's quantile_disc), so no
+    interpolation ambiguity exists between engines.
+
+    One broadcast orders join onto the fact scan, one (priority) hash
+    agg — the exact percentile is per-group over day-integers with
+    bounded distinct values, cheap at any scale (and the KLL key is
+    the documented sketch path when it isn't).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lag = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias(
+            "lag_days"
+        ),
+    )
+    return lag.groupBy("priority").agg(
+        F.count("*").alias("n_items"),
+        F.expr(
+            "CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("sla30_ppm"),
+        F.max("lag_days").alias("max_lag_days"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days)"
+            " AS BIGINT)"
+        ).alias("p90_lag_days"),
+    )
+
+
+@register(
+    "win_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey AS part,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey),
+        c AS (SELECT part, cents,
+                     CAST(SUM(cents) OVER (ORDER BY cents DESC, part
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum,
+                     CAST(SUM(cents) OVER () AS BIGINT) AS total
+              FROM rev)
+        SELECT part, cents,
+               CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                    WHEN cum * 10 <= total * 9 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c
+    """,
+)
+def win_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC INVENTORY CLASSIFICATION: parts ranked by revenue, split at
+    the 70% / 90% cumulative-share boundaries (class A carries ~70% of
+    revenue) — the Pareto workhorse of inventory and SKU management.
+    The share thresholds are CROSS-MULTIPLIED (cum*10 vs total*7) so
+    no fraction or float share ever materializes; the cumulative sum
+    runs over a deterministic (revenue desc, part) total order.
+
+    One (part) hash agg, then the cumulative window over the
+    aggregated part table. The global-ordered window is
+    single-partition — fine for a part dimension; the documented scale
+    path for a billion-SKU table is a two-pass range-partitioned
+    cumulative sum (partition totals + offset broadcast), same
+    classification boundaries.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    wc = Window.orderBy(F.desc("cents"), F.col("part")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    c = rev.select(
+        "part",
+        "cents",
+        F.sum("cents").over(wc).cast("long").alias("cum"),
+        F.sum("cents").over(wall).cast("long").alias("total"),
+    )
+    return c.select(
+        "part",
+        "cents",
+        F.when(F.col("cum") * 10 <= F.col("total") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("total") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -3078,3 +3078,46 @@ def agg_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+_CLUSTERS_ORACLE = _registry_mod._REGISTRY["dedup_clusters"].oracle
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+        WITH clusters AS ({_CLUSTERS_ORACLE}),
+        sizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size
+                  FROM clusters GROUP BY cluster_rep)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-CLUSTER SIZE DISTRIBUTION: how many near-dup clusters
+    exist at each size — the report that tells you whether your corpus
+    has a boilerplate problem (a few giant clusters) or organic noise
+    (many pairs), and therefore how much a dedup pass will actually
+    remove. Built ON the connected-components key: its oracle (a
+    recursive-CTE transitive closure) embeds verbatim as a CTE, so the
+    histogram and the clustering share one semantics spec — the same
+    compositional-oracle pattern as `text_language_confusion`.
+
+    Adds two tiny hash aggs over the component assignment.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.withColumn(
+            "cluster_size", F.col("cluster_size").cast("long")
+        )
+        .groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+    )

@@ -303,6 +303,9 @@ MAX_SHUFFLES = {
     "agg_diff_in_diff": 2,
     "agg_also_bought_top1": 4,
     "pipeline_data_contract_validate": 1,
+    "agg_shipping_sla": 1,
+    "win_abc_classification": 1,
+    "dedup_cluster_size_histogram": 2,  # over checkpointed component output
     "pipeline_interleave_sources": 2,
     "agg_geo_cell_density": 2,
     # sql_try_arithmetic: pure projection, zero shuffles
