@@ -542,3 +542,42 @@ def tile_image_patches(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(patch_batches, PATCH_SCHEMA)
+
+
+HISTOGRAM_SCHEMA = (
+    "doc_id bigint, channel bigint, bucket bigint, n_px bigint"
+)
+
+
+def image_channel_histogram(
+    df: DataFrame, id_col: str = "doc_id", n_buckets: int = 4
+) -> DataFrame:
+    """Per-channel intensity HISTOGRAM over the real decode path:
+    bucket = value div (256 div n_buckets) — the exposure/normalization
+    statistics a vision preprocessing stage computes before augmenting.
+    One row per (image, channel, non-empty bucket)."""
+    width = 256 // n_buckets
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf["payload"]):
+                w, h, px = parse_ppm(bytes(raw))
+                flat = px.reshape(-1, 3)
+                for ch in range(3):
+                    b = flat[:, ch].astype(np.int64) // width
+                    vals, counts = np.unique(b, return_counts=True)
+                    for v, c in zip(vals, counts):
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "channel": ch,
+                                "bucket": int(v),
+                                "n_px": int(c),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(
+        hist_batches, HISTOGRAM_SCHEMA
+    )

@@ -1758,3 +1758,63 @@ def win_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "agg_repeat_purchase",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pts
+            FROM events WHERE event_type = 'purchase'),
+        per_user AS (
+            SELECT user_id, COUNT(*) AS n_purchases,
+                   CAST(min(date_diff('microsecond', pts, ts))
+                        AS BIGINT) AS min_gap_us
+            FROM p GROUP BY user_id)
+        SELECT COUNT(*) AS n_buyers,
+               CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeat_buyers,
+               CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS repeat_rate_ppm,
+               CAST(min(min_gap_us) AS BIGINT) AS fastest_repeat_us
+        FROM per_user
+    """,
+)
+def agg_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PURCHASE readout: share of buyers who purchased at least
+    twice (exact ppm) and the fastest observed repeat interval — the
+    retention metric that separates a storefront from a churn funnel.
+    Gaps come from one LAG window over the purchase stream (no
+    self-join); microsecond-integer intervals.
+
+    One user_id shuffle shared by the window and the per-user rollup,
+    then a 1-row summary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("pts"),
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.min(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("pts").cast("timestamp"))
+        ).alias("min_gap_us"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_buyers"),
+        F.sum((F.col("n_purchases") >= 2).cast("int"))
+        .cast("long")
+        .alias("n_repeat_buyers"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("repeat_rate_ppm"),
+        F.min("min_gap_us").cast("long").alias("fastest_repeat_us"),
+    )

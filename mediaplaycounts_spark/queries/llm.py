@@ -3121,3 +3121,38 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cluster_size").cast("long").alias("n_docs"),
         )
     )
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 9) % 9 AS h
+            FROM documents),
+        px AS (
+            SELECT doc_id,
+                   unnest(generate_series(0, w * h * 3 - 1)) AS i
+            FROM dims)
+        SELECT doc_id,
+               CAST(i % 3 AS BIGINT) AS channel,
+               CAST(((doc_id * 7 + i * 13) % 256) // 64 AS BIGINT)
+                 AS bucket,
+               COUNT(*) AS n_px
+        FROM px GROUP BY doc_id, channel, bucket
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CHANNEL INTENSITY HISTOGRAM (4 buckets of 64) over the REAL
+    P6 decode — the exposure statistics a vision preprocessing stage
+    derives before normalization/augmentation, and the fourth member
+    of the image family (decode stats, resize, phash, tiling, now
+    histograms). The numpy kernel's bucket arithmetic (value div 64)
+    replays closed-form in the DuckDB oracle, one row per non-empty
+    (image, channel, bucket). Arrow mapInPandas, zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return M.image_channel_histogram(
+        M.with_ppm_payload(docs, "doc_id"), "doc_id"
+    )

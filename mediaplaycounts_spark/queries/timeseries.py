@@ -1052,3 +1052,58 @@ def ts_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("burst"),
     )
+
+
+@register(
+    "agg_dow_seasonality_index",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        dw AS (SELECT event_type, d, c,
+                      CAST(dayofweek(d) + 1 AS BIGINT) AS dow  -- DuckDB 0=Sun; Spark 1=Sun
+               FROM daily),
+        g AS (SELECT event_type, dow,
+                     CAST(SUM(c) AS BIGINT) AS dow_sum,
+                     COUNT(*) AS dow_days
+              FROM dw GROUP BY event_type, dow),
+        t AS (SELECT event_type,
+                     CAST(SUM(dow_sum) AS BIGINT) AS total_sum,
+                     CAST(SUM(dow_days) AS BIGINT) AS total_days
+              FROM g GROUP BY event_type)
+        SELECT g.event_type, g.dow, g.dow_sum,
+               CAST(CAST(g.dow_sum AS HUGEINT) * t.total_days * 1000000
+                    // (CAST(t.total_sum AS HUGEINT) * g.dow_days)
+                    AS BIGINT) AS seasonal_index_ppm
+        FROM g JOIN t ON g.event_type = t.event_type
+    """,
+)
+def agg_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK SEASONALITY INDEX: each weekday's mean daily total
+    relative to the overall mean, in exact ppm (index 1e6 = an average
+    day; retail's "Mondays run at 0.85x" table). The two means never
+    materialize: the ratio is one floored division of cross products
+    ``dow_sum * total_days * 1e6 div (total_sum * dow_days)`` in
+    HUGEINT/DECIMAL(38,0).
+
+    One events shuffle to the daily grid; everything after is on
+    O(types x 7) rows. Complements `ts_seasonal_decompose` (which
+    extracts the additive component) with the multiplicative index
+    view.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    dw = daily.withColumn("dow", F.dayofweek("d").cast("long"))
+    g = dw.groupBy("event_type", "dow").agg(
+        F.sum("c").alias("dow_sum"), F.count("*").alias("dow_days")
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("dow_sum").alias("total_sum"),
+        F.sum("dow_days").alias("total_days"),
+    )
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    return g.join(F.broadcast(t), "event_type").selectExpr(
+        "event_type",
+        "dow",
+        "CAST(dow_sum AS BIGINT) AS dow_sum",
+        f"CAST({d38.format('dow_sum')} * {d38.format('total_days')}"
+        f" * 1000000 div ({d38.format('total_sum')}"
+        f" * {d38.format('dow_days')}) AS BIGINT) AS seasonal_index_ppm",
+    )

@@ -306,6 +306,9 @@ MAX_SHUFFLES = {
     "agg_shipping_sla": 1,
     "win_abc_classification": 1,
     "dedup_cluster_size_histogram": 2,  # over checkpointed component output
+    "agg_dow_seasonality_index": 5,
+    "agg_repeat_purchase": 1,
+    # multimodal_image_histogram: Arrow kernel, zero shuffles
     "pipeline_interleave_sources": 2,
     "agg_geo_cell_density": 2,
     # sql_try_arithmetic: pure projection, zero shuffles
