@@ -1818,3 +1818,69 @@ def agg_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repeat_rate_ppm"),
         F.min("min_gap_us").cast("long").alias("fastest_repeat_us"),
     )
+
+
+@register(
+    "agg_attribution_first_touch",
+    oracle="""
+        WITH ce AS (SELECT event_id, user_id, ts, event_type
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+        w AS (SELECT event_id, user_id, ts, event_type,
+                     first_value(CASE WHEN event_type = 'click' THEN ts END
+                                 IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS t_first_click
+              FROM ce)
+        SELECT event_id AS purchase_id, user_id, ts AS t_purchase,
+               t_first_click,
+               CAST(t_first_click IS NOT NULL AS BIGINT) AS attributed,
+               CASE WHEN t_first_click IS NOT NULL
+                    THEN CAST(date_diff('second', t_first_click, ts)
+                              AS BIGINT)
+               END AS seconds_since_first_click
+        FROM w WHERE event_type = 'purchase'
+    """,
+)
+def agg_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution: each purchase credits the user's
+    EARLIEST click before it — the acquisition-centric counterpart of
+    `agg_attribution_last_touch` (same single-window as-of shape, the
+    running aggregate flips from last to first_value ignorenulls), so
+    the two models diff directly for channel-overlap analysis.
+
+    One user_id-keyed window, one exchange total, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.withColumn(
+        "t_first_click",
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return c.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("t_purchase"),
+        "t_first_click",
+        F.col("t_first_click").isNotNull().cast("bigint").alias("attributed"),
+        # unix_timestamp truncates each side to whole seconds — the
+        # oracle's date_diff('second') boundary-count semantics (a
+        # micros-diff div 1e6 is off by one across second edges).
+        F.when(
+            F.col("t_first_click").isNotNull(),
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp("t_first_click")
+            ).cast("bigint"),
+        ).alias("seconds_since_first_click"),
+    )

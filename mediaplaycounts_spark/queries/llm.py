@@ -3156,3 +3156,102 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_channel_histogram(
         M.with_ppm_payload(docs, "doc_id"), "doc_id"
     )
+
+
+@register(
+    "text_nonascii_ratio",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS n_chars_total,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[^\\x00-\\x7F]',
+                                                '', 'g')) AS BIGINT)
+                     AS n_nonascii
+            FROM documents)
+        SELECT doc_id, lang, n_chars_total, n_nonascii,
+               CAST(n_nonascii * 1000000 // n_chars_total AS BIGINT)
+                 AS nonascii_ppm
+        FROM m
+    """,
+)
+def text_nonascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-ASCII character ratio per document (exact ppm) — the cheap
+    encoding-health / script-mix signal curation uses to spot mojibake,
+    mislabeled languages, and emoji-heavy spam before the expensive
+    classifiers run. Counted as codepoints via delete-and-diff
+    (length minus length after removing ``[^\\x00-\\x7F]``) — both
+    engines' regex operates on codepoints and both length() functions
+    count them, so the ratio hash-matches.
+
+    Pure codegen projection, zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = F.length("text").cast("long")
+    n_non = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[^\x00-\x7F]", ""))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_total.alias("n_chars_total"),
+        n_non.alias("n_nonascii"),
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text,"
+            " '[^\\\\x00-\\\\x7F]', ''))) * 1000000"
+            " div length(text) AS BIGINT)"
+        ).alias("nonascii_ppm"),
+    )
+
+
+@register(
+    "dedup_cross_source",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, source,
+                   array_to_string(
+                       string_split(trim(regexp_replace(lower(text),
+                                    '\\s+', ' ', 'g')), ' ')[1:5],
+                       ' ') AS sig
+            FROM documents),
+        g AS (SELECT sig,
+                     COUNT(*) AS n_docs,
+                     CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                     MIN(doc_id) AS keeper_id
+              FROM s GROUP BY sig)
+        SELECT md5(sig) AS sig_hash, n_docs, n_sources,
+               CAST(n_sources >= 2 AS BIGINT) AS cross_source,
+               keeper_id
+        FROM g WHERE n_docs >= 2
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE SYNDICATION detection: documents sharing a lead
+    signature (first 5 normalized tokens — the headline/lede block)
+    grouped across corpus sources, with an exact distinct-source count
+    and a cross_source flag. Byte-exact dedup structurally cannot see
+    mirrored content whose bodies diverge (ads, boilerplate injection);
+    the lead signature is the cheap blocking key syndication dedup
+    starts from — groups flagged here feed the expensive verify stage
+    (`dedup_ngram_jaccard`), exactly like the LSH families.
+
+    One codegen signature projection + one hash groupBy with an exact
+    distinct-source count; only multi-doc groups are reported.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sig = F.array_join(F.slice(F.split(norm, " "), 1, 5), " ")
+    s = docs.select(sig.alias("sig"), "doc_id", "source")
+    g = s.groupBy("sig").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    return g.filter(F.col("n_docs") >= 2).select(
+        F.md5("sig").alias("sig_hash"),
+        "n_docs",
+        "n_sources",
+        (F.col("n_sources") >= 2).cast("bigint").alias("cross_source"),
+        "keeper_id",
+    )

@@ -307,6 +307,9 @@ MAX_SHUFFLES = {
     "win_abc_classification": 1,
     "dedup_cluster_size_histogram": 2,  # over checkpointed component output
     "agg_dow_seasonality_index": 5,
+    "agg_attribution_first_touch": 1,
+    "dedup_cross_source": 2,
+    # text_nonascii_ratio: pure projection, zero shuffles
     "agg_repeat_purchase": 1,
     # multimodal_image_histogram: Arrow kernel, zero shuffles
     "pipeline_interleave_sources": 2,
