@@ -1884,3 +1884,37 @@ def agg_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("seconds_since_first_click"),
     )
+
+
+@register(
+    "agg_activity_heatmap",
+    oracle="""
+        SELECT event_type,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events GROUP BY event_type, dow, hod
+    """,
+)
+def agg_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY HEATMAP: event volume and value on the
+    (day-of-week x hour-of-day) grid per type — the when-are-users-
+    here dashboard staple behind staffing, cron placement, and
+    maintenance-window choices. One hash agg on a bounded 7x24 key
+    space per type (map-side combinable to at most 168 rows per type
+    per partition regardless of input size); dow numbering aligned
+    across engines (DuckDB 0=Sun, Spark 1=Sun).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )

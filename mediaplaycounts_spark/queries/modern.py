@@ -458,3 +458,29 @@ def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_try
         """
     )
+
+
+@register(
+    "sql_select_star_except",
+    oracle="""
+        SELECT * EXCLUDE (props, value),
+               CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+        FROM events
+    """,
+)
+def sql_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (...)`` (Spark 4 parser surface; DuckDB spells
+    it EXCLUDE): project everything BUT the wide/raw columns and append
+    the derived one — the idiom that keeps wide-table queries from
+    silently dragging a JSON blob column through every downstream
+    exchange. Column pruning still reaches the scan (the excluded
+    columns are never read), so this is plan-equivalent to an explicit
+    narrow select with none of its 40-column maintenance burden."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_sse")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (props, value),
+               CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+        FROM events_sse
+        """
+    )

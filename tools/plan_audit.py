@@ -309,6 +309,8 @@ MAX_SHUFFLES = {
     "agg_dow_seasonality_index": 5,
     "agg_attribution_first_touch": 1,
     "dedup_cross_source": 2,
+    "agg_activity_heatmap": 1,
+    # sql_select_star_except: pure projection, zero shuffles
     # text_nonascii_ratio: pure projection, zero shuffles
     "agg_repeat_purchase": 1,
     # multimodal_image_histogram: Arrow kernel, zero shuffles
