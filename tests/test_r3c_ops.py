@@ -378,3 +378,94 @@ def test_mixture_temperature_flattens_distribution(spark):
     assert (out.tempered_ppm.max() - out.tempered_ppm.min()) <= (
         out.natural_ppm.max() - out.natural_ppm.min()
     )
+
+
+# ------------------------------------------------- late-batch invariants
+
+
+def test_shipping_sla_bounds(spark):
+    out = run("agg_shipping_sla", spark).toPandas()
+    assert (out.sla30_ppm.between(0, 1_000_000)).all()
+    assert (out.p90_lag_days <= out.max_lag_days).all()
+
+
+def test_abc_classes_ordered_by_revenue(spark):
+    out = run("win_abc_classification", spark).toPandas()
+    means = out.groupby("abc_class").cents.mean()
+    present = [c for c in ("A", "B", "C") if c in means.index]
+    assert means.reindex(present).is_monotonic_decreasing
+    assert set(out.abc_class) <= {"A", "B", "C"} and "A" in set(out.abc_class)
+
+
+def test_cluster_size_histogram_accounts_every_doc(spark):
+    out = run("dedup_cluster_size_histogram", spark).toPandas()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert out.n_docs.sum() == n_docs
+    assert (out.n_docs == out.cluster_size * out.n_clusters).all()
+
+
+def test_dow_index_weighted_mean_is_unity(spark):
+    out = run("agg_dow_seasonality_index", spark).toPandas()
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.date_trunc("DAY", "ts").alias("d"))
+        .count()
+        .toPandas()
+    )
+    for et, g in out.groupby("event_type"):
+        days = daily[daily.event_type == et]
+        dow_days = (days.d.dt.dayofweek.map(lambda x: (x + 1) % 7 + 1)).value_counts()
+        total_days = len(days)
+        w = sum(
+            row.seasonal_index_ppm * dow_days.get(row.dow, 0)
+            for row in g.itertuples()
+        )
+        assert abs(w / total_days - 1_000_000) <= len(g) + 1
+
+
+def test_first_touch_not_after_last_touch(spark):
+    first = (
+        run("agg_attribution_first_touch", spark)
+        .toPandas()
+        .set_index("purchase_id")
+    )
+    last = (
+        run("agg_attribution_last_touch", spark)
+        .toPandas()
+        .set_index("purchase_id")
+    )
+    j = first.join(last, lsuffix="_f", rsuffix="_l")
+    m = j.dropna(subset=["t_first_click", "t_last_click"])
+    assert (m.t_first_click <= m.t_last_click).all()
+    assert (first.attributed == last.attributed).all()
+
+
+def test_image_histogram_covers_every_pixel(spark):
+    out = run("multimodal_image_histogram", spark).toPandas()
+    from mediaplaycounts_spark.operators import multimodal as M
+
+    per = out.groupby(["doc_id", "channel"]).n_px.sum()
+    for doc_id in (0, 40, 80):
+        w, h, _ = M.parse_ppm(M.synth_ppm_bytes(doc_id))
+        for ch in range(3):
+            assert per.loc[(doc_id, ch)] == w * h
+
+
+def test_cross_source_counts_consistent(spark):
+    out = run("dedup_cross_source", spark).toPandas()
+    if len(out):
+        assert (out.n_sources <= out.n_docs).all()
+        assert ((out.cross_source == 1) == (out.n_sources >= 2)).all()
+
+
+def test_heatmap_accounts_every_event(spark):
+    out = run("agg_activity_heatmap", spark).toPandas()
+    assert out.n.sum() == load_table(spark, SF, "events").count()
+    assert out.dow.between(1, 7).all() and out.hod.between(0, 23).all()
+
+
+def test_star_except_column_contract(spark):
+    out = run("sql_select_star_except", spark)
+    cols = set(out.columns)
+    assert "props" not in cols and "value" not in cols
+    assert "value_cents" in cols and "event_id" in cols
