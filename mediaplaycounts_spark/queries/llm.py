@@ -3255,3 +3255,122 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_sources") >= 2).cast("bigint").alias("cross_source"),
         "keeper_id",
     )
+
+
+@register(
+    "text_source_divergence_jsd",
+    oracle="""
+        WITH two AS (SELECT DISTINCT source FROM documents
+                     ORDER BY source LIMIT 2),
+        tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                FROM documents
+                WHERE source IN (SELECT source FROM two)),
+        ca AS (SELECT t, COUNT(*) AS n FROM tok
+               WHERE source = (SELECT MIN(source) FROM two) GROUP BY t),
+        cb AS (SELECT t, COUNT(*) AS n FROM tok
+               WHERE source = (SELECT MAX(source) FROM two) GROUP BY t),
+        tots AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM ca) AS ta,
+                        (SELECT CAST(SUM(n) AS BIGINT) FROM cb) AS tb),
+        u AS (SELECT COALESCE(ca.n, 0) AS a, COALESCE(cb.n, 0) AS b
+              FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+        terms AS (
+            SELECT
+                CASE WHEN a > 0 THEN a * CAST(round(
+                         ln(CAST(2 * a * tots.tb AS DOUBLE)
+                            / CAST(a * tots.tb + b * tots.ta AS DOUBLE))
+                         * 1000000000, 0) AS BIGINT)
+                     ELSE 0 END AS pa,
+                CASE WHEN b > 0 THEN b * CAST(round(
+                         ln(CAST(2 * b * tots.ta AS DOUBLE)
+                            / CAST(a * tots.tb + b * tots.ta AS DOUBLE))
+                         * 1000000000, 0) AS BIGINT)
+                     ELSE 0 END AS pb
+            FROM u CROSS JOIN tots)
+        SELECT (SELECT MIN(source) FROM two) AS source_a,
+               (SELECT MAX(source) FROM two) AS source_b,
+               tots.ta AS n_tokens_a, tots.tb AS n_tokens_b,
+               (SELECT COUNT(*) FROM u) AS vocab_union,
+               CAST((CAST(SUM(pa) AS BIGINT) // tots.ta
+                     + CAST(SUM(pb) AS BIGINT) // tots.tb) // 2
+                    AS BIGINT) AS jsd_nano
+        FROM terms CROSS JOIN tots
+        GROUP BY tots.ta, tots.tb
+    """,
+)
+def text_source_divergence_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE between two corpus sources' unigram
+    distributions — the distribution-shift metric that decides whether
+    an eval set still matches its training mixture (0 = identical,
+    ln 2 ≈ 0.693e9 nano = disjoint vocabularies). Each KL term's
+    log-ratio ``ln(2·a·B / (a·B + b·A))`` is computed on an identical
+    int64-product double and nano-quantized BEFORE the weighted sum
+    (the `text_char_entropy` / perplexity convention), so the whole
+    estimator is order-independent integer math with three floor
+    divisions at the end — hash-exact across engines with no float
+    accumulation.
+
+    Plan: one token explode + two (token) hash aggs, a full outer join
+    of the two vocabularies, 1-row totals broadcast, one final
+    reduce. All shuffles are vocabulary-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    two = docs.select("source").distinct().orderBy("source").limit(2)
+    # 1-row; materialized once — it feeds both the token filter and the
+    # output row, and a broadcast re-executes its lineage per use.
+    pair = two.agg(
+        F.min("source").alias("sa"), F.max("source").alias("sb")
+    ).localCheckpoint()
+    tok = docs.join(F.broadcast(two), "source").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    tokp = tok.join(F.broadcast(pair))
+    ca = (
+        tokp.filter(F.col("source") == F.col("sa"))
+        .groupBy("t")
+        .agg(F.count("*").alias("a"))
+    )
+    cb = (
+        tokp.filter(F.col("source") == F.col("sb"))
+        .groupBy("t")
+        .agg(F.count("*").alias("b"))
+    )
+    # The vocabulary-union table forks into the totals aggregate AND the
+    # per-term projection; localCheckpoint (vocab-sized, small) keeps the
+    # explode+aggs from executing twice — the HITS lineage-fork rule.
+    u = (
+        ca.join(cb, "t", "full_outer")
+        .select(
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    tots = u.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+        F.count("*").alias("vocab_union"),
+    )
+    terms = u.join(F.broadcast(tots)).selectExpr(
+        "ta",
+        "tb",
+        "vocab_union",
+        "CASE WHEN a > 0 THEN a * CAST(round("
+        " ln(CAST(2 * a * tb AS DOUBLE)"
+        " / CAST(a * tb + b * ta AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+        " ELSE 0 END AS pa",
+        "CASE WHEN b > 0 THEN b * CAST(round("
+        " ln(CAST(2 * b * ta AS DOUBLE)"
+        " / CAST(a * tb + b * ta AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+        " ELSE 0 END AS pb",
+    )
+    agg = terms.groupBy("ta", "tb", "vocab_union").agg(
+        F.sum("pa").alias("spa"), F.sum("pb").alias("spb")
+    )
+    return agg.join(F.broadcast(pair)).selectExpr(
+        "sa AS source_a",
+        "sb AS source_b",
+        "ta AS n_tokens_a",
+        "tb AS n_tokens_b",
+        "vocab_union",
+        "CAST((spa div ta + spb div tb) div 2 AS BIGINT) AS jsd_nano",
+    )

@@ -76,6 +76,7 @@ ALLOWED = {
     "agg_price_volume_mix": "1-row order-date-bounds aggregate broadcast onto the fact scan",
     "sim_dim_truncation_eval": "1-row probe embedding broadcast onto the corpus scan; 10-row top-k membership broadcast",
     "agg_diff_in_diff": "1-row time-midpoint aggregate broadcast onto the scan; 4-cell pivot",
+    "text_source_divergence_jsd": "1-row source-pair and vocabulary-totals aggregates broadcast onto the vocab table",
     "agg_pareto_share": "1-row activity-totals aggregate broadcast onto the user table",
 }
 
@@ -310,6 +311,7 @@ MAX_SHUFFLES = {
     "agg_attribution_first_touch": 1,
     "dedup_cross_source": 2,
     "agg_activity_heatmap": 1,
+    "text_source_divergence_jsd": 2,  # final plan over the checkpointed vocab table
     # sql_select_star_except: pure projection, zero shuffles
     # text_nonascii_ratio: pure projection, zero shuffles
     "agg_repeat_purchase": 1,
