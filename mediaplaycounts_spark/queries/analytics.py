@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.queries._helpers import cents
 from mediaplaycounts_spark.registry import register
-from mediaplaycounts_spark.tables import load_table
+from mediaplaycounts_spark.tables import load_table, maybe_broadcast
 
 # ------------------------------------------------------ cohort retention
 
@@ -1011,7 +1011,7 @@ def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
     )
     fact = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(maybe_broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(b))
         .select(
@@ -1219,7 +1219,7 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
     )
     fact = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(maybe_broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(b))
         .select(
@@ -1678,7 +1678,7 @@ def agg_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
     )
-    lag = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+    lag = li.join(maybe_broadcast(o), li.l_orderkey == o.o_orderkey).select(
         F.col("o_orderpriority").alias("priority"),
         F.datediff("l_shipdate", "o_orderdate").cast("long").alias(
             "lag_days"

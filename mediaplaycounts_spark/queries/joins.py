@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from mediaplaycounts_spark.queries._helpers import REVENUE_E4_SQL, cents, revenue_e4
 from mediaplaycounts_spark.registry import register
-from mediaplaycounts_spark.tables import load_table
+from mediaplaycounts_spark.tables import load_table, maybe_broadcast
 
 
 @register(
@@ -47,7 +47,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("o_orderkey", "c_name", "n_name", "r_name")
@@ -877,13 +877,16 @@ def join_star_multi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a (region, segment, brand) revenue cube — the canonical BI plan
     every warehouse engine is judged on.
 
-    Plan discipline: every dimension side is explicitly broadcast, so
-    the fact table is scanned ONCE and never shuffled for any join —
-    the only exchange in the plan is the final (region, segment, brand)
-    hash agg, which partial-aggregates map-side first. orders/customer
-    outgrow broadcast at true 100 TB scale; there the orders join flips
-    to a bucketed SMJ while nation/region/part stay broadcast — the
-    plan shape degrades one join at a time, never all at once. Revenue
+    Plan discipline: nation/region/part are unconditionally broadcast
+    (broadcast-sized at ANY scale factor); orders/customer go through
+    the SIZE-GATED :func:`maybe_broadcast` — at bench scale Catalyst's
+    optimized-plan stats fit the gate, the hint fires, the fact table
+    is scanned ONCE and never shuffled, and the only exchange is the
+    final (region, segment, brand) hash agg (map-side partials first).
+    At true 100 TB orders/customer exceed the gate, the hint is
+    withheld, and planning degrades to a shuffle join one dimension at
+    a time instead of OOMing the driver on a forced multi-TB broadcast
+    (tests/test_broadcast_gate.py exercises both branches). Revenue
     is the exact e4-integer ladder (price cents x (100 - pct)).
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -896,8 +899,8 @@ def join_star_multi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rev = revenue_e4("l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(maybe_broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)

@@ -101,3 +101,83 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register temp views so operators can also be phrased in Spark SQL."""
     for n, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(n)
+
+
+#: Conf key for the size gate used by :func:`maybe_broadcast`. When unset,
+#: the gate falls back to ``spark.sql.autoBroadcastJoinThreshold``.
+MAYBE_BROADCAST_CONF = "spark.mediaplaycounts.maybeBroadcastThreshold"
+
+
+def _parse_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ("10MB", "10485760b", "-1")."""
+    s = str(value).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("t", 1 << 40),
+        ("gb", 1 << 30), ("g", 1 << 30),
+        ("mb", 1 << 20), ("m", 1 << 20),
+        ("kb", 1 << 10), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 10 * (1 << 20)
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own sizeInBytes estimate for the OPTIMIZED plan of ``df``
+    (post column-pruning / filter-pushdown) — the same statistic the
+    auto-broadcast and AQE planners consult. Returns None when the
+    estimate is unavailable (then callers must not force a broadcast).
+    """
+    try:
+        jstats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(jstats.sizeInBytes()))
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Size-gated broadcast hint for FACT-ADJACENT dimensions
+    (orders/customer-class tables that fit an executor at bench scale but
+    NOT at 100 TB).
+
+    An unconditional ``F.broadcast`` hint overrides
+    ``autoBroadcastJoinThreshold`` — at 100 TB the driver tries to
+    materialize a multi-TB orders table and OOMs instead of degrading.
+    This helper applies the hint only when Catalyst's optimized-plan
+    sizeInBytes (post-pruning, the same statistic the auto-broadcast
+    planner uses) fits under the gate; otherwise it returns ``df``
+    unhinted so planning degrades to a shuffle join (SMJ/SHJ, with AQE
+    free to re-promote at runtime if actual stats allow).
+
+    Gate: ``spark.mediaplaycounts.maybeBroadcastThreshold`` when set,
+    else ``spark.sql.autoBroadcastJoinThreshold``. A value <= 0 means
+    "never force" (Catalyst/AQE decide alone). Truly tiny dims
+    (nation/region/part, 1-row aggregates, date spines) should keep the
+    unconditional ``F.broadcast`` — they are broadcast-sized at ANY
+    scale factor and the gate would only add planning overhead.
+    """
+    spark = df.sparkSession
+    raw = None
+    try:
+        raw = spark.conf.get(MAYBE_BROADCAST_CONF, None)
+    except Exception:
+        pass
+    if raw is None:
+        try:
+            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        except Exception:
+            raw = "10MB"
+    threshold = _parse_bytes(raw)
+    if threshold <= 0:
+        return df
+    size = plan_size_bytes(df)
+    if size is None or size > threshold:
+        return df
+    return F.broadcast(df)
