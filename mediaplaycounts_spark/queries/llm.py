@@ -755,29 +755,54 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     oracle="""
-        WITH RECURSIVE sh AS (
+        WITH RECURSIVE sh AS MATERIALIZED (
             SELECT doc_id, lang,
                    list_distinct(list_transform(
                        generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
                        i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS s
             FROM documents
         ),
-        p AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+        ex AS MATERIALIZED (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        inter AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         ),
-        e AS (
-            SELECT id_a AS src, id_b AS dst FROM p
-            UNION ALL SELECT id_b, id_a FROM p
+        p AS MATERIALIZED (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) na ON na.doc_id = inter.id_a
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) nb ON nb.doc_id = inter.id_b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.05
         ),
+        e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+                            UNION ALL SELECT id_b, id_a FROM p),
+        h1 AS MATERIALIZED (SELECT src AS node, LEAST(src, MIN(dst)) AS h
+                            FROM e0 GROUP BY src),
+        e1 AS MATERIALIZED (SELECT DISTINCT ha.h AS src, hb.h AS dst
+               FROM e0 JOIN h1 ha ON ha.node = e0.src
+                       JOIN h1 hb ON hb.node = e0.dst
+               WHERE ha.h <> hb.h),
+        h2 AS MATERIALIZED (SELECT src AS node, LEAST(src, MIN(dst)) AS h
+                            FROM e1 GROUP BY src),
+        e2 AS MATERIALIZED (SELECT DISTINCT ha.h AS src, hb.h AS dst
+               FROM e1 JOIN h2 ha ON ha.node = e1.src
+                       JOIN h2 hb ON hb.node = e1.dst
+               WHERE ha.h <> hb.h),
         reach(node, r) AS (
-            SELECT doc_id, doc_id FROM documents
+            SELECT src, src FROM e2
             UNION
-            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+            SELECT e2.dst, reach.r FROM reach JOIN e2 ON e2.src = reach.node
+        ),
+        comp2 AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node),
+        lift AS MATERIALIZED (
+            SELECT h1.node, COALESCE(comp2.rep, h2.h, h1.h) AS cluster_rep
+            FROM h1 LEFT JOIN h2 ON h2.node = h1.h
+                    LEFT JOIN comp2 ON comp2.node = COALESCE(h2.h, h1.h)
         )
-        SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+        SELECT d.doc_id, COALESCE(lift.cluster_rep, d.doc_id) AS cluster_rep
+        FROM documents d LEFT JOIN lift ON lift.node = d.doc_id
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,8 +812,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The iterative half of dedup: pair detection says who matches;
     clustering decides who survives. Min-label propagation over
     DataFrames (O(diameter) joined rounds, scalar-only driver control
-    flow); the DuckDB twin is a recursive-CTE transitive closure —
-    an iterative distributed algorithm with a full value oracle.
+    flow). The DuckDB twin (VERDICT r3 #2 — the old all-pairs
+    list_intersect + full transitive closure went quadratic, ~730 s at
+    sf0.1 while the Spark side took 30 s) now (a) generates candidate
+    pairs through an inverted shingle index (join on shared 2-gram,
+    COUNT(*) = intersection size — work is sum of squared posting-list
+    lengths, never docs^2), and (b) runs TWO exact star-contraction
+    rounds (hook each node to min(self, neighbors), contract edges)
+    before the recursive closure, so the closure only ever sees the
+    contracted component skeleton. Contraction preserves components AND
+    the component minimum (the min node is a local minimum, so it is
+    always its own hook target), making the rewrite value-identical —
+    verified row-for-row against the old oracle at sf0.01. 120x faster
+    at sf0.1 (6 s), which is what makes the full 303-key sf0.1 sweep
+    practical.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=2, threshold=0.05)
