@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.registry import register
-from mediaplaycounts_spark.streaming.jobs import read_events_stream, run_available_now
+from mediaplaycounts_spark.streaming.jobs import (
+    read_events_stream,
+    rocksdb_state_store,
+    run_available_now,
+)
 from mediaplaycounts_spark.tables import load_table
 
 SCRATCH = pathlib.Path(__file__).resolve().parents[2] / ".scratch"
@@ -125,7 +129,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch sessionization, so the classic lag+cumsum oracle still
     value-checks it. Boundary semantics: a gap of exactly 30 minutes
     starts a NEW session (session end = last_ts + gap, exclusive),
-    hence >= in the oracle.
+    hence >= in the oracle. Runs under the RocksDB state-store scope —
+    merging session state is the highest-cardinality state shape here
+    and the first to overflow a heap-backed store at scale.
     """
     stream = read_events_stream(spark, sf_dir)
     agg = (
@@ -133,7 +139,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    out = run_available_now(agg, output_mode="complete")
+    with rocksdb_state_store(spark):
+        out = run_available_now(agg, output_mode="complete")
     return out.select(
         "user_id",
         F.col("w.start").cast("timestamp_ntz").alias("session_start"),
@@ -183,14 +190,18 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     first occurrence per key within the watermark horizon —
     state-bounded exactly-once dedup — drained in append mode, then the
     tiny distinct (user, day) output is re-aggregated batch-side into
-    active-day counts the oracle value-checks."""
+    active-day counts the oracle value-checks. Runs under the RocksDB
+    state-store scope: dedup state is one entry per distinct key seen
+    inside the watermark horizon — heap-fatal at 100 TB, disk-cheap in
+    RocksDB."""
     stream = read_events_stream(spark, sf_dir)
     dedup = (
         stream.select("user_id", "ts", F.date_trunc("DAY", "ts").alias("day"))
         .withWatermark("ts", "2 hours")
         .dropDuplicates(["user_id", "day"])
     )
-    out = run_available_now(dedup, output_mode="append")
+    with rocksdb_state_store(spark):
+        out = run_available_now(dedup, output_mode="append")
     return out.groupBy("user_id").agg(F.count("*").alias("n_active_days"))
 
 
@@ -407,8 +418,12 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     — and MAX of existing doubles is FP-exact, no summation-order games.
 
     Scale: state lives in the executor state store partitioned by
-    user_id (one shuffle); in production a TTL/timeout would evict idle
-    keys — bounded replay needs none.
+    user_id (one shuffle), and the run executes under the ROCKSDB
+    provider (`rocksdb_state_store` scope) — per-key state pages to
+    executor disk with incremental checkpoints instead of living on the
+    JVM heap, which is what survives a 100-TB-scale key cardinality; in
+    production a TTL/timeout would evict idle keys — bounded replay
+    needs none.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -437,7 +452,8 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
             GroupStateTimeout.NoTimeout,
         )
     )
-    drained = run_available_now(updates, output_mode="update")
+    with rocksdb_state_store(spark):
+        drained = run_available_now(updates, output_mode="update")
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("max_value").alias("max_value"),
@@ -853,15 +869,19 @@ def stream_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     name = f"ss_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with rocksdb_state_store(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the reader detects the checkpoint's provider from its metadata —
+    # this now reads ROCKSDB state files, proving the observability
+    # surface survives the provider swap
     st = spark.read.format("statestore").load(ckpt)
     return st.select(
         F.col("key.window.start").cast("timestamp_ntz").alias("ws"),

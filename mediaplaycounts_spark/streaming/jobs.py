@@ -13,6 +13,7 @@ streaming keys can still be SQL-oracled.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mediaplaycounts_spark.session import configure
+
+#: Spark's embedded RocksDB state-store provider (rocksdbjni ships in the
+#: Spark distribution — no extra dependency).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider over a streaming run
+    (VERDICT r3 #4).
+
+    The default HDFSBackedStateStoreProvider keeps EVERY key's state as
+    JVM heap objects — the 100-TB streaming killer: a high-cardinality
+    key space (per-user state, dedup horizons) OOMs executors long
+    before CPU saturates. RocksDB holds state off-heap/on-disk with
+    incremental checkpointing, bounding heap by the block cache, so
+    state capacity scales with executor DISK instead of heap.
+
+    The provider is latched per-query at stream START, so scoping the
+    session conf around ``.start()`` pins it for that query's whole
+    lifetime; the conf is restored afterwards (same pattern and the
+    same single-threaded-driver assumption as
+    `scan_agg_pushdown_footer`'s V1-source flip — a concurrent driver
+    thread starting a stream inside this window would also get
+    RocksDB, which is safe, merely unannounced).
+    """
+    try:
+        old = spark.conf.get(_PROVIDER_CONF, None)
+    except Exception:
+        old = None
+    spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset(_PROVIDER_CONF)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(_PROVIDER_CONF, old)
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events parquet (bounded replay source).
