@@ -19,6 +19,8 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from mediaplaycounts_spark.session import checkpoint_df
 from pyspark.sql import functions as F
 
 P_MOD = 1_000_000_007
@@ -338,9 +340,11 @@ def connected_components(
     decrease), converging in O(graph diameter) rounds. The driver sees a
     single scalar per round (sum of labels — strictly decreasing until
     fixpoint), never row data; lineage is truncated each round with
-    localCheckpoint so plans stay O(1) deep (on a cluster, set a
-    checkpoint dir and use checkpoint()). Deterministic: the component
-    representative is the minimum node id.
+    checkpoint_df — localCheckpoint by default, a RELIABLE checkpoint
+    to the fault-tolerant dir when spark.mediaplaycounts.checkpointDir
+    is set (the preemptible-cluster mode: executor loss mid-iteration
+    must not discard irrecoverable truncated lineage). Deterministic:
+    the component representative is the minimum node id.
 
     Returns (node, label) with label = min id in the component.
     """
@@ -349,7 +353,7 @@ def connected_components(
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     prev_sum = None
@@ -371,7 +375,7 @@ def connected_components(
         labels = (
             hop.join(ptr, hop.label == ptr.pnode)
             .select("node", F.col("plabel").alias("label"))
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
         s = labels.agg(F.sum("label")).head()[0]
         if s == prev_sum:

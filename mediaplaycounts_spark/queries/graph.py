@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mediaplaycounts_spark.session import checkpoint_df
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -91,8 +92,8 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each iteration touches the (large) edge list exactly once —
     # contribution c = r div deg is per-node, cheaper to compute on the
     # node table than after fanning out to edges.
-    e = e.repartition("src").localCheckpoint()
-    deg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    e = e.repartition("src").transform(checkpoint_df)
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).transform(checkpoint_df)
     # Deliberately NOT broadcasting ranks/deg: a broadcast exchange
     # re-executes rank lineage per join (measured 3.3x slower at sf0.1);
     # shuffle joins reuse the src-keyed exchange of `e` across rounds.
@@ -149,7 +150,7 @@ def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("dst"),
         )
     )
-    return e.repartition("src").localCheckpoint()
+    return e.repartition("src").transform(checkpoint_df)
 
 
 @register(
@@ -185,7 +186,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = c.filter(F.col("c_custkey") <= 10).select(
         (F.col("c_custkey") * 2).alias("node"), F.lit(0).cast("long").alias("hops")
     )
-    settled = seeds.localCheckpoint()
+    settled = seeds.transform(checkpoint_df)
     frontier = settled
     for h in range(1, 4):
         nxt = (
@@ -194,9 +195,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(settled, "node", "left_anti")
             .select("node", F.lit(h).cast("long").alias("hops"))
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
-        settled = settled.unionAll(nxt).localCheckpoint()
+        settled = settled.unionAll(nxt).transform(checkpoint_df)
         frontier = nxt
     return settled.select(F.col("node").alias("node_id"), "hops")
 
@@ -284,9 +285,9 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .repartition("src")
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
-    dist = spark.createDataFrame([(2, 0)], "node long, dist long").localCheckpoint()
+    dist = spark.createDataFrame([(2, 0)], "node long, dist long").transform(checkpoint_df)
     for _ in range(3):
         relaxed = (
             dist.join(e, dist.node == e.src)
@@ -296,7 +297,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
     return dist.select(F.col("node").alias("node_id"), "dist")
 
@@ -436,7 +437,7 @@ def graph_hits_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     from pyspark.sql import Window
 
@@ -457,7 +458,7 @@ def graph_hits_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             # executes twice — same localCheckpoint rationale as
             # pagerank above, applied at the lineage fork instead of
             # per round (one eager job, not four).
-            auth = auth.localCheckpoint()
+            auth = auth.transform(checkpoint_df)
         hr = pairs.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
         hubs = hr.withColumn("m", F.max("h").over(wall)).select(
             "c", F.expr("cast(h * 1000000 div m as bigint)").alias("h")
@@ -535,7 +536,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_custkey") * 2).alias("dst"),
             )
         )
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     for _ in range(3):
         deg = e.groupBy("src").agg(F.count("*").alias("c"))
@@ -547,7 +548,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst") == F.col("dnode"),
                 "left_semi",
             )
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
     return e.groupBy("src").agg(F.count("*").alias("degree")).select(
         F.col("src").alias("node_id"),

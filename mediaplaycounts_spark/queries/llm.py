@@ -20,6 +20,7 @@ from mediaplaycounts_spark.operators import dedup as D
 from mediaplaycounts_spark.operators import multimodal as M
 from mediaplaycounts_spark.operators import similarity as S
 from mediaplaycounts_spark.operators import textstats as T
+from mediaplaycounts_spark.session import checkpoint_df
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -2585,7 +2586,7 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = []
     cur = toks
     for rnd in (1, 2):
-        win = winner(pair_counts(cur)).localCheckpoint()
+        win = winner(pair_counts(cur)).transform(checkpoint_df)
         cur = apply_merge(cur, win)
         total = cur.agg(F.sum(F.size("toks")).alias("tokens_after"))
         out_rows.append(
@@ -3373,7 +3374,7 @@ def text_source_divergence_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output row, and a broadcast re-executes its lineage per use.
     pair = two.agg(
         F.min("source").alias("sa"), F.max("source").alias("sb")
-    ).localCheckpoint()
+    ).transform(checkpoint_df)
     tok = docs.join(F.broadcast(two), "source").select(
         "source", F.explode(F.split("text", " ")).alias("t")
     )
@@ -3397,7 +3398,7 @@ def text_source_divergence_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("a", F.lit(0)).alias("a"),
             F.coalesce("b", F.lit(0)).alias("b"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     tots = u.agg(
         F.sum("a").cast("long").alias("ta"),

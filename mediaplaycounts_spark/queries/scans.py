@@ -27,6 +27,7 @@ from mediaplaycounts_spark.ingest.mediacounts import (
     write_daily,
 )
 from mediaplaycounts_spark.queries.expressions import CLEAN_GLOB, DUCK_RAW, FIXTURE_DIR
+from mediaplaycounts_spark.session import checkpoint_df
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -961,7 +962,7 @@ def scan_agg_pushdown_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize under the V2 confs (1 row) so the values really
         # come from the footer path even though confs are restored
         # before the driver executes the returned frame.
-        return agg.localCheckpoint()
+        return agg.transform(checkpoint_df)
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_pd)

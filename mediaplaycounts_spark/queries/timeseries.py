@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.queries._helpers import cents
+from mediaplaycounts_spark.session import checkpoint_df
 from mediaplaycounts_spark.registry import register
 from mediaplaycounts_spark.tables import load_table
 
@@ -423,7 +424,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MAD median, final join) — without materialization each broadcast
     # branch re-runs the fact-volume rollup (7 scans observed). One
     # localCheckpoint of the tiny grid collapses that to a single pass.
-    d = d.localCheckpoint()
+    d = d.transform(checkpoint_df)
     m = d.groupBy("event_type").agg(
         (F.lit(2) * F.median("tot_cents")).cast("long").alias("med2")
     )

@@ -114,3 +114,50 @@ def get_spark(
     # getOrCreate may have returned a pre-existing session: re-assert the
     # runtime subset so behavior does not depend on creation order.
     return configure(spark)
+
+
+#: Conf key: when set to a path, iterative operators truncate lineage
+#: with RELIABLE checkpoints into this directory instead of
+#: localCheckpoint. See :func:`checkpoint_df`.
+CHECKPOINT_DIR_CONF = "spark.mediaplaycounts.checkpointDir"
+
+
+def checkpoint_df(df, eager: bool = True):
+    """Conf-switched lineage truncation for iterative operators
+    (VERDICT r3 #5).
+
+    Iterative ops (pagerank, connected components, BFS/SSSP, k-core,
+    BPE rounds) must cut lineage every round or plans grow without
+    bound. ``localCheckpoint`` does that with zero I/O — but the blocks
+    are EXECUTOR-PINNED: on a preemptible 100-TB cluster, losing one
+    executor mid-iteration discards blocks that are no longer
+    recomputable (the lineage was truncated) and fails the job. The
+    production-safe alternative is a reliable ``checkpoint()`` to a
+    fault-tolerant filesystem (HDFS/S3), which survives executor loss
+    at the cost of a write per round.
+
+    This helper picks per the ``spark.mediaplaycounts.checkpointDir``
+    conf: unset → ``localCheckpoint(eager)`` (single-node/bench mode,
+    the right default on local[*] where there is no executor to lose);
+    set to a path → ensures the SparkContext checkpoint dir points
+    there once, then ``checkpoint(eager)``. Both paths return a
+    DataFrame with identical data and truncated lineage — SCALE.md
+    ("Iterative lineage") documents the trade.
+    """
+    spark = df.sparkSession
+    ckdir = None
+    try:
+        ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    except Exception:
+        pass
+    if not ckdir:
+        return df.localCheckpoint(eager)
+    sc = spark.sparkContext
+    try:
+        current = sc._jsc.sc().getCheckpointDir()
+        has_dir = current.isDefined() and ckdir in str(current.get())
+    except Exception:
+        has_dir = False
+    if not has_dir:
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint(eager)

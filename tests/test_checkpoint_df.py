@@ -1,0 +1,71 @@
+"""Conf-switched reliable checkpoints for iterative ops (VERDICT r3 #5).
+
+All iterative operators (pagerank, connected components, BFS, SSSP,
+k-core, BPE rounds) truncate per-round lineage through
+`session.checkpoint_df`. Default = localCheckpoint (zero I/O, right for
+local[*]); with `spark.mediaplaycounts.checkpointDir` set it becomes a
+RELIABLE `checkpoint()` into that directory — the mode a preemptible
+cluster needs, because localCheckpoint blocks are executor-pinned and
+unrecoverable once lineage is truncated. These tests prove the reliable
+branch really writes RDD checkpoint files and that a registered
+iterative key is value-identical under both branches.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import uuid
+
+import pytest
+
+import __spark_entry__ as entrymod
+from mediaplaycounts_spark.session import CHECKPOINT_DIR_CONF, checkpoint_df
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ckdir(spark):
+    d = pathlib.Path(".scratch") / f"ckpt_{uuid.uuid4().hex[:12]}"
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(d))
+    yield d
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_default_branch_is_local_checkpoint(spark):
+    # no conf set -> localCheckpoint: data intact, lineage truncated to
+    # a scan-of-existing-RDD plan
+    df = checkpoint_df(spark.range(100))
+    assert df.count() == 100
+    assert "LogicalRDD" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_reliable_branch_writes_checkpoint_files(spark, ckdir):
+    df = checkpoint_df(spark.range(1000))
+    assert df.count() == 1000
+    files = [p for p in ckdir.rglob("*") if p.is_file()]
+    assert files, "reliable branch must write RDD checkpoint part files"
+
+
+def test_iterative_key_identical_both_branches(spark, ckdir):
+    """connected-components clustering (dedup_clusters) — the flagship
+    iterative op — must produce identical labels under reliable
+    checkpoints. The fixture sets the conf before the run, so every
+    per-round truncation inside the loop goes through checkpoint()."""
+    q = entrymod.queries()["dedup_clusters"]
+    reliable = {tuple(r) for r in q(spark, SF).collect()}
+    files = [p for p in ckdir.rglob("*") if p.is_file()]
+    assert files, "iterative rounds did not hit the reliable dir"
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
+    local = {tuple(r) for r in q(spark, SF).collect()}
+    assert reliable == local and len(local) > 0
+
+
+def test_pagerank_identical_both_branches(spark, ckdir):
+    q = entrymod.queries()["graph_pagerank_int"]
+    reliable = {tuple(r) for r in q(spark, SF).collect()}
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
+    local = {tuple(r) for r in q(spark, SF).collect()}
+    assert reliable == local and len(local) > 0
