@@ -183,3 +183,67 @@ def test_salt_fanout_engages_on_skewed_blocks(spark, skew_dir):
     plan = _plan(df)
     m = re.search(r"hashpartitioning\(blk[^)]*salt", plan)
     assert m, "expected (blk, salt) hashpartitioning in the pair-join plan"
+
+
+def test_block_ceiling_routes_giant_block_through_lsh(spark, skew_dir):
+    """VERDICT r3 #6: a block over the pairBlockCeiling must switch to
+    MinHash-LSH candidate generation + exact verify, and — on a corpus
+    whose matching pairs are well above the banding S-curve knee —
+    agree with the direct exact path pair-for-pair.
+
+    The skew fixture's 'en' block holds 1,600 docs (hot paragraph
+    x1000 + 25 near-dup families at J≈0.95). At threshold 0.5 the LSH
+    path (32 hashes, 16 bands of 2) has miss probability ~(1-j^2)^16 <
+    1e-4 per pair at j=0.95 — and the hashes are fixed seeds over fixed
+    fixture text, so the comparison is deterministic."""
+    from mediaplaycounts_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    direct = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", n=2, threshold=0.5,
+        block_ceiling=10**9,
+    )
+    routed = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", n=2, threshold=0.5,
+        block_ceiling=500,
+    )
+    # the LSH branch must actually be IN the routed plan: band explode
+    # (posexplode -> band_idx/band_hash join) only exists on that path
+    plan = _plan(routed)
+    assert "band_hash" in plan, "LSH candidate path did not engage"
+    assert "band_hash" not in _plan(direct)
+    d = {(r.id_a, r.id_b): r.jaccard for r in direct.collect()}
+    r = {(r.id_a, r.id_b): r.jaccard for r in routed.collect()}
+    assert len(d) >= 25  # the planted families all match at 0.5
+    assert d == r
+
+
+def test_block_ceiling_cosine_pairs_lsh_agrees(spark, skew_dir):
+    """Same routing proof for the embedding-pair operator: a giant
+    label block goes through hyperplane-LSH tables + exact-cosine
+    verify. Fixture: 600 vectors in one label, 30 planted duplicate
+    pairs (identical vectors -> identical buckets in EVERY table, so
+    recall for them is exactly 1, deterministically)."""
+    import math
+
+    from mediaplaycounts_spark.operators.similarity import cosine_pairs_blocked
+
+    rows = []
+    for i in range(600):
+        base = [math.sin(1 + i * 7 + k) for k in range(8)]
+        rows.append((i, "hot", base))
+    for i in range(30):  # exact duplicate of vector i, new id
+        rows.append((600 + i, "hot", [math.sin(1 + i * 7 + k) for k in range(8)]))
+    em = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    direct = cosine_pairs_blocked(
+        em, "vec_id", "embedding", "label", 0.99999, block_ceiling=10**9
+    )
+    routed = cosine_pairs_blocked(
+        em, "vec_id", "embedding", "label", 0.99999, block_ceiling=100
+    )
+    d = {(r.id_a, r.id_b) for r in direct.collect()}
+    r = {(r.id_a, r.id_b) for r in routed.collect()}
+    assert {(i, 600 + i) for i in range(30)} <= d
+    assert d == r
