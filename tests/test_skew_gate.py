@@ -1,0 +1,39 @@
+"""Per-round skew-defense GATE (VERDICT r3 #7).
+
+tools/bench_skew.py measures the three join strategies on the 6 M-row
+Zipfian fixture (80% hot key, broadcast disabled); BASELINE.md's alert
+rule says the defenses must hold salted/naive >= 1.3x and
+AQE-split/naive >= 1.5x. Until now that was measured but never
+ASSERTED — a Spark upgrade or conf change could silently lose the skew
+defense while staying inside bench noise. This test runs the bench in
+gate mode (own subprocess = fresh local[32] JVM, warm best-of-3, so the
+pytest session's tiny local[4] fixture doesn't distort the timing) and
+fails the round if either ratio collapses.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_skew_defenses_hold_gate():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_skew.py"), "--gate"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, (
+        f"skew gate failed:\nstdout={proc.stdout[-2000:]}\n"
+        f"stderr={proc.stderr[-2000:]}"
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["speedup_salted_vs_plain"] >= 1.3
+    assert res["speedup_aqe_vs_plain"] >= 1.5

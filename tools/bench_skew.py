@@ -23,6 +23,14 @@ All three produce identical results (asserted). Prints ONE JSON line;
 numbers are recorded per-round in BASELINE.md.
 
 Run: python tools/bench_skew.py  [--rows 6000000 --dim 200000]
+
+GATE MODE (VERDICT r3 #7): ``--gate`` additionally asserts the skew
+defenses actually defend — salted/naive >= 1.3x and AQE-split/naive >=
+1.5x (BASELINE.md's alert rule; measured 1.81x / 2.62x with ~40%
+headroom) — and exits non-zero otherwise, so a Spark upgrade or conf
+change that silently loses the defense fails the round instead of
+hiding inside bench noise. tests/test_skew_gate.py runs this mode
+per-round.
 """
 
 from __future__ import annotations
@@ -88,6 +96,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=6_000_000)
     ap.add_argument("--dim", type=int, default=200_000)
+    ap.add_argument(
+        "--gate",
+        action="store_true",
+        help="exit non-zero unless salted>=1.3x and AQE-split>=1.5x vs naive",
+    )
     args = ap.parse_args()
 
     from mediaplaycounts_spark.session import get_spark
@@ -133,9 +146,23 @@ def main() -> None:
                 "plain_aqe_skew": t_aqe,
                 "salted": t_salted,
                 "speedup_salted_vs_plain": round(t_plain / t_salted, 2),
+                "speedup_aqe_vs_plain": round(t_plain / t_aqe, 2),
             }
         )
     )
+    if args.gate:
+        problems = []
+        if t_plain / t_salted < 1.3:
+            problems.append(
+                f"salted speedup {t_plain / t_salted:.2f}x < 1.3x gate"
+            )
+        if t_plain / t_aqe < 1.5:
+            problems.append(
+                f"AQE skew-split speedup {t_plain / t_aqe:.2f}x < 1.5x gate"
+            )
+        if problems:
+            print("SKEW GATE FAILED: " + "; ".join(problems), file=sys.stderr)
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":
