@@ -237,23 +237,37 @@ def _bound_minhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
 def _corpus_pairs_sql(threshold: float, select: str) -> str:
     """DuckDB corpus-wide exact 2-gram-Jaccard pair CTE (the SQL twin of
     :func:`_exact_allpairs_jaccard`), with a caller-supplied SELECT over
-    the pair table ``p(id_a, id_b)``."""
-    jac = (
-        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
-        " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
-    )
+    the pair table ``p(id_a, id_b)``.
+
+    Same inverted-shingle-index bounding as the `dedup_clusters` oracle
+    (VERDICT r3 #2): candidates come from a self-join on shared 2-grams
+    with COUNT(*) = |A∩B| — work is the sum of squared posting-list
+    lengths, never docs² list_intersect calls (the old all-pairs form
+    made every `_corpus_pairs_sql` oracle minutes-slow at sf0.1).
+    Value-identical: any pair with Jaccard ≥ threshold > 0 shares at
+    least one shingle, so the candidate set is a superset of the
+    answer. CTEs are MATERIALIZED — DuckDB 1.0 re-inlines
+    multi-referenced CTEs otherwise."""
     return f"""
-        WITH RECURSIVE sh AS (
+        WITH RECURSIVE sh AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(list_transform(
                        generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
                        i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS s
             FROM documents
         ),
-        p AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE {jac} >= {threshold}
+        ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        p AS MATERIALIZED (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) na ON na.doc_id = inter.id_a
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) nb ON nb.doc_id = inter.id_b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
         )
         {select}
     """
@@ -307,19 +321,26 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle="""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id, lang,
                    list_distinct(list_transform(
                        generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
                        i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS s
             FROM documents
+        ),
+        ex AS MATERIALIZED (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        inter AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+        FROM inter
+        JOIN (SELECT doc_id, len(s) AS n FROM sh) na ON na.doc_id = inter.id_a
+        JOIN (SELECT doc_id, len(s) AS n FROM sh) nb ON nb.doc_id = inter.id_b
+        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.05
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,7 +1428,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_containment_pairs",
     oracle="""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id, lang,
                    list_distinct(list_transform(
                        generate_series(1,
@@ -1415,15 +1436,22 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                        i -> array_to_string(
                            string_split(text, ' ')[i:i+1], ' '))) AS s
             FROM documents
+        ),
+        ex AS MATERIALIZED (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        inter AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
-                 AS containment_ab,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
-                 AS containment_ba
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.3
-           OR CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / na.n AS containment_ab,
+               CAST(i AS DOUBLE) / nb.n AS containment_ba
+        FROM inter
+        JOIN (SELECT doc_id, len(s) AS n FROM sh) na ON na.doc_id = inter.id_a
+        JOIN (SELECT doc_id, len(s) AS n FROM sh) nb ON nb.doc_id = inter.id_b
+        WHERE CAST(i AS DOUBLE) / na.n >= 0.3
+           OR CAST(i AS DOUBLE) / nb.n >= 0.3
     """,
 )
 def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
