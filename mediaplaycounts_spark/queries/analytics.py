@@ -778,7 +778,8 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             HAVING COUNT(*) >= 2)
         SELECT p.part_a, p.part_b, p.n_ab,
                CAST(p.n_ab * 1000000 // ca.np AS BIGINT) AS confidence_ppm,
-               CAST(p.n_ab * nn.n * 1000000 // (ca.np * cb.np) AS BIGINT)
+               CAST(CAST(p.n_ab AS HUGEINT) * nn.n * 1000000
+                    // (CAST(ca.np AS HUGEINT) * cb.np) AS BIGINT)
                  AS lift_ppm
         FROM pairs p
         JOIN pc ca ON p.part_a = ca.pk
@@ -828,8 +829,13 @@ def agg_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_ab * 1000000 div na AS BIGINT)").alias(
                 "confidence_ppm"
             ),
+            # lift's cross-moment product exceeds int64 on large
+            # corpora with hot parts (ADVICE r3): clear the fraction in
+            # DECIMAL(38,0)/HUGEINT like agg_target_encoding, one
+            # floored division at the end
             F.expr(
-                "CAST(n_ab * n * 1000000 div (na * nb) AS BIGINT)"
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )
@@ -1358,8 +1364,12 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(decile AS BIGINT) AS decile",
             "n_users",
             "CAST(n_events AS BIGINT) AS n_events",
-            "CAST(n_events * 1000000 div te AS BIGINT) AS event_share_ppm",
-            "CAST(sc * 1000000 div tc AS BIGINT) AS value_share_ppm",
+            # mirror the oracle's HUGEINT widening (ADVICE r3): the
+            # numerators pass int64 around 9e12 total events / cents
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 div te"
+            " AS BIGINT) AS event_share_ppm",
+            "CAST(CAST(sc AS DECIMAL(38,0)) * 1000000 div tc"
+            " AS BIGINT) AS value_share_ppm",
         )
     )
 

@@ -2696,7 +2696,8 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY a.t, b.t
             HAVING COUNT(*) >= 2)
         SELECT p.tok_a, p.tok_b, p.n_ab,
-               CAST(p.n_ab * nn.n * 1000000 // (ca.nt * cb.nt) AS BIGINT)
+               CAST(CAST(p.n_ab AS HUGEINT) * nn.n * 1000000
+                    // (CAST(ca.nt AS HUGEINT) * cb.nt) AS BIGINT)
                  AS pmi_ratio_ppm
         FROM pairs p
         JOIN tc ca ON p.tok_a = ca.t
@@ -2747,7 +2748,10 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_b",
             "n_ab",
             F.expr(
-                "CAST(n_ab * n * 1000000 div (na * nb) AS BIGINT)"
+                # fraction-free convention (SCALE.md / ADVICE r3):
+                # na*nb and the numerator overflow int64 on hot tokens
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
             ).alias("pmi_ratio_ppm"),
         )
     )
