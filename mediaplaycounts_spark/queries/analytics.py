@@ -1928,3 +1928,58 @@ def agg_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents"
         ),
     )
+
+
+# ------------------------------------ log2-binned histogram (round 4)
+
+
+@register(
+    "agg_log2_histogram",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        b AS (
+            SELECT cents,
+                   CAST(length(printf('%b', cents)) - 1 AS BIGINT)
+                     AS bucket
+            FROM c WHERE cents > 0)
+        SELECT bucket,
+               CAST(CAST(1 AS BIGINT) << bucket AS BIGINT)
+                 AS bucket_lo_cents,
+               COUNT(*) AS n,
+               MIN(cents) AS min_cents,
+               MAX(cents) AS max_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM b GROUP BY bucket
+    """,
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG2-BINNED VALUE HISTOGRAM: event values bucketed by
+    floor(log2(cents)) — the exponential-bucket histogram every
+    latency/size/value observability pipeline exports (hdr-histogram /
+    Prometheus-bucket shape), covering 9 orders of magnitude in ~30
+    rows where a linear histogram needs millions.
+
+    The bucket is INTEGER-exact: floor(log2(n)) = number of binary
+    digits minus one (`length(bin(n)) - 1` / `printf('%%b')`) — no
+    float log2 whose rounding could misplace values sitting exactly on
+    a power of two. One map-side-combine hash agg over a codegen
+    projection; output is |distinct buckets| rows at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(cents("value").alias("cents")).filter(
+        F.col("cents") > 0
+    ).withColumn(
+        "bucket", (F.length(F.expr("bin(cents)")) - 1).cast("long")
+    )
+    return b.groupBy("bucket").agg(
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+            " AS BIGINT)"
+        ).alias("bucket_lo_cents"),
+        F.count("*").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

@@ -3461,3 +3461,280 @@ def text_source_divergence_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_union",
         "CAST((spa div ta + spb div tb) div 2 AS BIGINT) AS jsd_nano",
     )
+
+
+# --------------------------------------------- hapax legomena (round 4)
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        t AS (SELECT lang, w FROM tok WHERE w <> ''),
+        c AS (SELECT lang, w, COUNT(*) AS n FROM t GROUP BY lang, w)
+        SELECT lang,
+               COUNT(*) AS vocab_size,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS hapax_ppm
+        FROM c GROUP BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA ratio per language: the fraction of the vocabulary
+    that occurs exactly once — the classic corpus-maturity signal (a
+    crawl still discovering new material has a high hapax share; a
+    saturated or boilerplate-heavy one collapses toward zero) and the
+    denominator sanity-check for Zipf/Heaps fits (`text_zipf_exponent`).
+
+    Two hash aggs (token counts, then per-lang rollup), both map-side
+    partial; the vocabulary table is the only shuffle and is bounded by
+    distinct-token count, not corpus size. Integer-exact ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    c = t.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    return c.groupBy("lang").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
+
+
+# ------------------------------------------- RAKE keywords (round 4)
+
+#: Tiny function-word list for RAKE phrase breaking — exact-token
+#: matched (no regex: Java vs RE2 divergence risk is zero this way).
+_RAKE_STOPWORDS = (
+    "the of and a to in is it for on with as at by an be this that from or are".split()
+)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, i,
+                   string_split(text, ' ')[i] AS w
+            FROM documents,
+                 LATERAL unnest(generate_series(1,
+                     len(string_split(text, ' ')))) AS u(i)),
+        t AS (SELECT doc_id, lang, i, w,
+                     CASE WHEN w = '' OR w IN
+                          ({", ".join("'" + w + "'" for w in _RAKE_STOPWORDS)})
+                          THEN 1 ELSE 0 END AS brk
+              FROM tok),
+        isl AS (
+            SELECT doc_id, lang, i, w,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id, brk
+                                          ORDER BY i) AS grp
+            FROM t WHERE brk = 0),
+        ph AS (
+            SELECT doc_id, lang, grp,
+                   COUNT(*) AS phrase_len
+            FROM isl GROUP BY doc_id, lang, grp),
+        occ AS (
+            SELECT isl.lang, isl.w,
+                   ph.phrase_len
+            FROM isl JOIN ph ON isl.doc_id = ph.doc_id
+                            AND isl.grp = ph.grp),
+        sc AS (
+            SELECT lang, w,
+                   COUNT(*) AS freq,
+                   CAST(SUM(phrase_len) AS BIGINT) AS degree,
+                   CAST(SUM(phrase_len) * 1000000 // COUNT(*) AS BIGINT)
+                     AS rake_ppm
+            FROM occ GROUP BY lang, w),
+        rk AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY rake_ppm DESC, freq DESC, w) AS rn
+            FROM sc WHERE freq >= 3)
+        SELECT lang, w AS word, freq, degree, rake_ppm
+        FROM rk WHERE rn <= 10
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction),
+    per language: break each doc into candidate PHRASES at stopwords /
+    empty tokens, score every word by degree/frequency — degree = sum
+    of host-phrase lengths over its occurrences (words living in long
+    content phrases score high), cleared to an integer ppm ratio — and
+    keep the top-10 words per lang (freq ≥ 3, deterministic
+    tie-break).
+
+    Phrase extraction is the GAPS-AND-ISLANDS pattern, not regex: the
+    token stream is position-indexed (posexplode), stopwords mark
+    breaks, and i - row_number() over the non-break tokens groups each
+    maximal run into one phrase id — byte-identical semantics in both
+    engines (a regex split would gamble on Java-vs-RE2 edge cases).
+    One window + three hash aggs, all keyed by (doc, grp) or (lang,
+    word); at 100 TB everything partial-aggregates map-side and the
+    final per-lang top-10 is a tiny windowed table.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("i0", "w"),
+    ).select("doc_id", "lang", (F.col("i0") + 1).alias("i"), "w")
+    t = tok.withColumn(
+        "brk",
+        (
+            (F.col("w") == "") | F.col("w").isin(list(_RAKE_STOPWORDS))
+        ).cast("int"),
+    )
+    isl = t.filter(F.col("brk") == 0).withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(
+            W.partitionBy("doc_id", "brk").orderBy("i")
+        ),
+    )
+    ph = isl.groupBy("doc_id", "lang", "grp").agg(
+        F.count("*").alias("phrase_len")
+    )
+    occ = isl.select("doc_id", "lang", "grp", "w").join(
+        ph.select("doc_id", "grp", "phrase_len"), ["doc_id", "grp"]
+    )
+    sc = occ.groupBy("lang", "w").agg(
+        F.count("*").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+        F.expr(
+            "CAST(SUM(phrase_len) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("rake_ppm"),
+    )
+    rk = sc.filter(F.col("freq") >= 3).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                F.desc("rake_ppm"), F.desc("freq"), "w"
+            )
+        ),
+    )
+    return rk.filter(F.col("rn") <= 10).select(
+        "lang", F.col("w").alias("word"), "freq", "degree", "rake_ppm"
+    )
+
+
+# -------------------------------- TLV metadata sidecar parse (round 4)
+
+
+def _tlv_parse_sql_duck() -> str:
+    """DuckDB-side generic 3-record TLV walk (hex-string cursor)."""
+    steps = []
+    cur = "1"
+    for k in range(3):
+        steps.append(
+            f"t{k} AS (SELECT *, substr(blob, {cur}, 2) AS tag{k},"
+            f" TRY_CAST('0x' || substr(blob, CAST({cur} AS INT) + 2, 2)"
+            f"          AS BIGINT) AS len{k},"
+            f" TRY_CAST('0x' || substr(blob, CAST({cur} AS INT) + 4,"
+            f"          CAST(TRY_CAST('0x' || substr(blob,"
+            f"          CAST({cur} AS INT) + 2, 2) AS BIGINT) * 2 AS INT))"
+            f"          AS BIGINT) AS val{k}"
+            f" FROM t{k - 1 if k else ''})"
+        )
+        cur = f"({cur} + 4 + len{k} * 2)"
+    return ", ".join(steps)
+
+
+@register(
+    "multimodal_tlv_metadata",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '01' || '02' || lpad(hex(16 + doc_id % 240), 4, '0')
+                          || '02' || '02' || lpad(hex(16 + (doc_id // 7) % 240), 4, '0')
+                          || '03' || '01' || lpad(hex(doc_id % 5), 2, '0')
+                        ELSE '03' || '01' || lpad(hex(doc_id % 5), 2, '0')
+                          || '01' || '02' || lpad(hex(16 + doc_id % 240), 4, '0')
+                          || '02' || '02' || lpad(hex(16 + (doc_id // 7) % 240), 4, '0')
+                   END AS blob
+            FROM documents),
+        {_tlv_parse_sql_duck()},
+        p AS (
+            SELECT doc_id, length(blob) // 2 AS blob_bytes,
+                   MAX(CASE WHEN tag = '01' THEN val END) AS width,
+                   MAX(CASE WHEN tag = '02' THEN val END) AS height,
+                   MAX(CASE WHEN tag = '03' THEN val END) AS codec_id
+            FROM (
+                SELECT doc_id, blob, tag0 AS tag, val0 AS val FROM t2
+                UNION ALL SELECT doc_id, blob, tag1, val1 FROM t2
+                UNION ALL SELECT doc_id, blob, tag2, val2 FROM t2)
+            GROUP BY doc_id, blob)
+        SELECT doc_id, CAST(blob_bytes AS BIGINT) AS blob_bytes,
+               width, height, codec_id,
+               CAST(width * height AS BIGINT) AS n_pixels
+        FROM p
+    """,
+)
+def multimodal_tlv_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TLV METADATA SIDECAR PARSE — typed metadata out of an opaque
+    binary blob with NO Python: each doc carries a tag-length-value
+    sidecar (the EXIF/MP4-box shape: [tag 1B][len 1B][value len B]...)
+    whose FIELD ORDER VARIES per record (even docs: width,height,codec;
+    odd docs: codec first), so the reader must genuinely walk the
+    cursor and dispatch on tags — fixed-offset slicing would mis-parse
+    half the corpus. The walk is three unrolled cursor steps of pure
+    codegen string/arithmetic expressions (substr + hex→int), then a
+    tag-dispatch pivot to typed columns; DuckDB replays the identical
+    walk, so every parsed field is value-oracled.
+
+    This is the multimodal-ingest pattern for real container formats:
+    the blob stays opaque bytes end to end, the parse is JVM-side
+    expression codegen (zero row-at-a-time Python), and at 100 TB it
+    runs inside the scan projection with nothing shuffled but the
+    typed columns.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = "lpad(hex(16 + doc_id % 240), 4, '0')"
+    h = "lpad(hex(16 + (doc_id div 7) % 240), 4, '0')"
+    c = "lpad(hex(doc_id % 5), 2, '0')"
+    t = docs.selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % 2 = 0"
+        f" THEN concat('01', '02', {w}, '02', '02', {h}, '03', '01', {c})"
+        f" ELSE concat('03', '01', {c}, '01', '02', {w}, '02', '02', {h})"
+        f" END AS blob",
+    )
+    cur = "1"
+    for k in range(3):
+        t = t.selectExpr(
+            "*",
+            f"substr(blob, {cur}, 2) AS tag{k}",
+            f"CAST(conv(substr(blob, CAST({cur} AS INT) + 2, 2), 16, 10)"
+            f" AS BIGINT) AS len{k}",
+            f"CAST(conv(substr(blob, CAST({cur} AS INT) + 4,"
+            f" CAST(CAST(conv(substr(blob, CAST({cur} AS INT) + 2, 2),"
+            f" 16, 10) AS BIGINT) * 2 AS INT)), 16, 10) AS BIGINT)"
+            f" AS val{k}",
+        )
+        cur = f"({cur} + 4 + len{k} * 2)"
+    recs = t.selectExpr(
+        "doc_id", "blob", "tag0 AS tag", "val0 AS val"
+    ).unionAll(
+        t.selectExpr("doc_id", "blob", "tag1", "val1")
+    ).unionAll(t.selectExpr("doc_id", "blob", "tag2", "val2"))
+    p = recs.groupBy("doc_id", "blob").agg(
+        F.expr("MAX(CASE WHEN tag = '01' THEN val END)").alias("width"),
+        F.expr("MAX(CASE WHEN tag = '02' THEN val END)").alias("height"),
+        F.expr("MAX(CASE WHEN tag = '03' THEN val END)").alias("codec_id"),
+    )
+    return p.selectExpr(
+        "doc_id",
+        "CAST(length(blob) div 2 AS BIGINT) AS blob_bytes",
+        "width",
+        "height",
+        "codec_id",
+        "CAST(width * height AS BIGINT) AS n_pixels",
+    )

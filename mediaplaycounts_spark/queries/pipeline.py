@@ -1332,3 +1332,212 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("interleave_pos"),
     )
+
+
+# ---------------------------------------- dataset version diff (round 4)
+
+
+@register(
+    "pipeline_dataset_diff",
+    oracle="""
+        WITH v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 != 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text
+            FROM documents WHERE doc_id % 17 = 0
+        ),
+        j AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   COALESCE(length(b.text), 0)
+                     - COALESCE(length(a.text), 0) AS char_delta
+            FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        )
+        SELECT status, COUNT(*) AS n_docs,
+               CAST(SUM(char_delta) AS BIGINT) AS char_delta,
+               MIN(doc_id) AS first_doc_id
+        FROM j GROUP BY status
+    """,
+)
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET VERSION DIFF — the data-version-control audit every
+    corpus release runs: compare v1 and v2 of the corpus by stable key
+    and content hash and classify every doc added / removed / changed /
+    unchanged, with the aggregate character drift. v2 is derived
+    deterministically in-plan (every 13th doc dropped, every 11th
+    revised, every 17th re-added under a new id) so both engines diff
+    identical inputs.
+
+    Plan: one full outer join on the id (both sides id-partitioned —
+    the exchange is reused), content equality via md5 so the compare
+    shuffles 32-byte digests, never the text; one 4-row status rollup.
+    At 100 TB this runs as the release gate between dataset snapshots
+    — the full outer join is the only exchange, and on
+    id-bucketed/Iceberg tables it degrades to a zipper merge with no
+    shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.md5("text").alias("h_a"),
+        F.length("text").alias("len_a"),
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id_b"), F.md5("text").alias("h_b"),
+        F.length("text").alias("len_b"),
+    )
+    j = a.join(b, a.id_a == b.id_b, "full_outer").select(
+        F.coalesce("id_a", "id_b").alias("doc_id"),
+        F.when(F.col("id_b").isNull(), F.lit("removed"))
+        .when(F.col("id_a").isNull(), F.lit("added"))
+        .when(F.col("h_a") == F.col("h_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        (
+            F.coalesce("len_b", F.lit(0)) - F.coalesce("len_a", F.lit(0))
+        ).alias("char_delta"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("char_delta").cast("long").alias("char_delta"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+# -------------------------------------------- curriculum phases (round 4)
+
+
+@register(
+    "pipeline_curriculum_phases",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS n_words,
+                   length(replace(text, ' ', '')) AS n_letters
+            FROM documents),
+        s AS (SELECT *,
+                     CAST(n_letters * 1000000 // n_words AS BIGINT)
+                       AS difficulty_ppm
+              FROM d WHERE n_words > 0),
+        p AS (SELECT *,
+                     ntile(3) OVER (ORDER BY difficulty_ppm, doc_id)
+                       AS phase
+              FROM s)
+        SELECT CAST(phase AS BIGINT) AS phase,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               MIN(difficulty_ppm) AS min_difficulty_ppm,
+               MAX(difficulty_ppm) AS max_difficulty_ppm
+        FROM p GROUP BY phase
+    """,
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM-LEARNING PHASES: order the corpus by an integer
+    difficulty proxy (mean word length in letters-per-word ppm — short
+    words first) and cut it into 3 equal-count training phases with
+    per-phase token budgets — the easy→hard schedule curriculum
+    training feeds its dataloader.
+
+    The difficulty score is exact integer arithmetic (letters*1e6 div
+    words); the phase cut is a deterministic ntile over (score, doc_id)
+    — at 100 TB the global ntile becomes a 2-pass quantile cut (sample
+    the score distribution, broadcast the 2 cut points, one map-side
+    phase label), same output contract. One window + one hash agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_letters"),
+    ).filter(F.col("n_words") > 0)
+    s = d.withColumn(
+        "difficulty_ppm",
+        F.expr("CAST(n_letters * 1000000 div n_words AS BIGINT)"),
+    )
+    p = s.withColumn(
+        "phase",
+        F.ntile(3).over(Window.orderBy("difficulty_ppm", "doc_id")),
+    )
+    return p.groupBy(F.col("phase").cast("long").alias("phase")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.min("difficulty_ppm").alias("min_difficulty_ppm"),
+        F.max("difficulty_ppm").alias("max_difficulty_ppm"),
+    )
+
+
+# ------------------------------------- T5 span-corruption plan (round 4)
+
+
+@register(
+    "pipeline_span_corruption",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS n_tokens
+            FROM documents),
+        m AS (
+            SELECT doc_id, n_tokens,
+                   n_tokens // 10 AS q, n_tokens % 10 AS r
+            FROM d WHERE n_tokens > 0)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(q + CASE WHEN r > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_spans,
+               CAST(q * 3 + CASE WHEN r > 0 THEN least(r, 3) ELSE 0 END
+                    AS BIGINT) AS n_masked,
+               CAST((q * 3 + CASE WHEN r > 0 THEN least(r, 3) ELSE 0 END)
+                    * 1000000 // n_tokens AS BIGINT) AS mask_ppm
+        FROM m
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION masking plan (the T5/UL2 denoising objective):
+    every 10-token block masks its first 3 tokens (span length 3,
+    ~30% corruption), computed CLOSED-FORM per doc — n_spans, masked
+    token count, and the exact realized mask rate in ppm. The
+    dataloader contract a span-corruption trainer consumes; emitting
+    the plan (not the masked text) keeps the row narrow and the
+    numbers integer-exact.
+
+    Pure codegen projection — token count once per doc, then integer
+    div/mod arithmetic; zero shuffle, trivially linear at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    ).filter(F.col("n_tokens") > 0)
+    return d.selectExpr(
+        "doc_id",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_tokens div 10 + CASE WHEN n_tokens % 10 > 0 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS n_spans",
+        "CAST((n_tokens div 10) * 3 + CASE WHEN n_tokens % 10 > 0"
+        " THEN least(n_tokens % 10, 3) ELSE 0 END AS BIGINT) AS n_masked",
+        "CAST(((n_tokens div 10) * 3 + CASE WHEN n_tokens % 10 > 0"
+        " THEN least(n_tokens % 10, 3) ELSE 0 END) * 1000000 div n_tokens"
+        " AS BIGINT) AS mask_ppm",
+    )
