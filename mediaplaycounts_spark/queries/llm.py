@@ -3738,3 +3738,228 @@ def multimodal_tlv_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codec_id",
         "CAST(width * height AS BIGINT) AS n_pixels",
     )
+
+
+# ------------------------------- bigram conditional entropy (round 4)
+
+
+@register(
+    "text_bigram_cond_entropy",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents),
+        bg AS (
+            SELECT lang, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+                         AS u(i)
+            WHERE len(t) >= 2),
+        c12 AS (SELECT lang, w1, w2, COUNT(*) AS c
+                FROM bg GROUP BY lang, w1, w2),
+        c1 AS (SELECT lang, w1, CAST(SUM(c) AS BIGINT) AS c1
+               FROM c12 GROUP BY lang, w1),
+        n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+              FROM c12 GROUP BY lang),
+        terms AS (
+            SELECT c12.lang,
+                   CAST(round((CAST(c12.c AS DOUBLE) / n.n)
+                        * ln(CAST(c1.c1 AS DOUBLE) / c12.c) * 1e9, 0)
+                        AS BIGINT) AS t_nano
+            FROM c12
+            JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1
+            JOIN n ON c12.lang = n.lang)
+        SELECT terms.lang,
+               MIN(n.n) AS n_bigrams,
+               COUNT(*) AS vocab_bigrams,
+               round(CAST(CAST(SUM(t_nano) AS BIGINT) AS DOUBLE) / 1e9, 6)
+                 AS cond_entropy_nats
+        FROM terms JOIN n ON terms.lang = n.lang
+        GROUP BY terms.lang
+    """,
+)
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM CONDITIONAL ENTROPY H(next|current) per language — the
+    predictability of the token stream (low = repetitive/boilerplate,
+    high = diverse prose), the information-theoretic cousin of
+    `text_perplexity_unigram` and the signal that separates templated
+    spam from natural text at equal unigram stats.
+
+    Each bigram's term p(w1,w2)·ln(c(w1)/c(w1,w2)) is computed from
+    EXACT integer counts, quantized to int64 nano-nats, then summed as
+    integers — order-independent across engines (the
+    `agg_entropy_shannon` discipline). Three hash aggs (bigram counts →
+    first-token marginals → per-lang rollup), all map-side partial;
+    cost bounded by distinct-bigram count, not corpus size.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("lang", "p.w1", "p.w2")
+    c12 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c"))
+    c1 = F.sum("c").over(W.partitionBy("lang", "w1"))
+    n = F.sum("c").over(W.partitionBy("lang"))
+    t = c12.select(
+        "lang", "c", c1.alias("c1"), n.alias("n")
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("c1").cast("double") / F.col("c"))
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    return (
+        t.select("lang", "n", term.alias("t_nano"))
+        .groupBy("lang")
+        .agg(
+            F.min("n").alias("n_bigrams"),
+            F.count("*").alias("vocab_bigrams"),
+            F.round(
+                F.sum("t_nano").cast("double") / F.lit(1e9), 6
+            ).alias("cond_entropy_nats"),
+        )
+    )
+
+
+# ----------------------------------- tokenizer fertility (round 4)
+
+#: BPE-ish pretokenizer: letter runs, digit runs, single other glyphs.
+#: Simple character classes only — identical semantics in Java regex
+#: (Spark) and DuckDB's RE2.
+_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_token_fertility",
+    oracle=f"""
+        WITH d AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS n_words,
+                   len(regexp_extract_all(text, '{_PRETOKEN_RE}'))
+                     AS n_tokens,
+                   length(text) AS n_bytes
+            FROM documents)
+        SELECT lang,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+               CAST(SUM(n_tokens) * 1000000 // SUM(n_words) AS BIGINT)
+                 AS fertility_ppm,
+               CAST(SUM(n_bytes) * 1000000 // SUM(n_tokens) AS BIGINT)
+                 AS bytes_per_token_ppm
+        FROM d GROUP BY lang
+    """,
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: subword tokens per whitespace
+    word and bytes per token (exact ppm) under a BPE-style pretokenizer
+    (letter runs / digit runs / single punctuation glyphs) — the
+    numbers that decide token budgets, per-language sampling
+    temperatures, and whether a language is being over-fragmented by
+    the tokenizer (fertility ≥ 2 = expensive to train on).
+
+    The pretokenizer is a character-class-only regex (identical
+    semantics in Java regex and RE2 — no lookarounds, no Unicode
+    property gambles); counting is one codegen projection + one hash
+    agg. ASCII corpus ⇒ length() = bytes on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_words"
+        ),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{_PRETOKEN_RE}', 0)")
+        ).alias("n_tokens"),
+        F.length("text").alias("n_bytes"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.expr(
+            "CAST(SUM(n_tokens) * 1000000 div SUM(n_words) AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(SUM(n_bytes) * 1000000 div SUM(n_tokens) AS BIGINT)"
+        ).alias("bytes_per_token_ppm"),
+    )
+
+
+# ---------------------------- shingle posting-list stats (round 4)
+
+
+@register(
+    "dedup_shingle_df_stats",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS s
+            FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        df AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+        b AS (SELECT df,
+                     CAST(length(printf('%b', df)) - 1 AS BIGINT)
+                       AS df_bucket
+              FROM df)
+        SELECT df_bucket,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(df) AS BIGINT) AS n_postings,
+               CAST(SUM(df * df) AS BIGINT) AS join_work
+        FROM b GROUP BY df_bucket
+    """,
+)
+def dedup_shingle_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE POSTING-LIST DISTRIBUTION — the capacity-planning stat
+    for every inverted-index dedup stage: per log2 document-frequency
+    bucket, how many distinct 2-gram shingles, how many postings, and
+    the candidate-join work Σ df² those postings would generate. This
+    is the number that says IN ADVANCE whether an exact
+    shared-shingle candidate join is payable or the corpus needs
+    MinHash banding / stop-shingle dropping first (the hot bucket's
+    join_work IS the shuffle cardinality the candidate stage would
+    pay).
+
+    One explode + two hash aggs, integer log2 bucket via
+    length(bin(df))-1; output is ≤64 rows at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # staged tokenization: split() once per row, never per gram position
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    ex = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> array_join(slice(t, i, 2), ' '))"
+                )
+            )
+        ).alias("g"),
+    )
+    df = ex.groupBy("g").agg(F.count("*").alias("df"))
+    b = df.withColumn(
+        "df_bucket", (F.length(F.expr("bin(df)")) - 1).cast("long")
+    )
+    return b.groupBy("df_bucket").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum(F.col("df") * F.col("df")).cast("long").alias("join_work"),
+    )

@@ -996,3 +996,68 @@ def agg_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((a11 * b2 - a12 * b1) * 1000"
         " div (a11 * a22 - a12 * a12) AS BIGINT) AS slope_disc_e3",
     )
+
+
+# ------------------------------------- exact weighted median (round 4)
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH w AS (
+            SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   user_id
+            FROM events WHERE value > 0),
+        o AS (
+            SELECT event_type, cents, user_id,
+                   SUM(cents) OVER (PARTITION BY event_type
+                                    ORDER BY cents, user_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_w,
+                   SUM(cents) OVER (PARTITION BY event_type) AS tot_w
+            FROM w)
+        SELECT event_type,
+               MIN(cents) AS weighted_median_cents,
+               CAST(MIN(tot_w) AS BIGINT) AS total_weight_cents
+        FROM o WHERE cum_w * 2 >= tot_w
+        GROUP BY event_type
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN per event type: the smallest value v such
+    that the cumulative weight of rows ≤ v reaches half the total
+    weight, with each row self-weighted by its cents value — the
+    revenue-weighted "typical transaction" that the unweighted median
+    (`agg_percentile`) misrepresents whenever a few large values carry
+    most of the mass.
+
+    One ordered cumulative-sum window per type + one min-filter — all
+    integer cents arithmetic (cum*2 >= total avoids any halving
+    division), deterministic tie-break via (cents, user_id) ordering.
+    At 100 TB the per-type sort becomes the same range-partitioned sort
+    every exact-percentile op pays; the KLL sketch keys are the
+    documented approximation path when exactness isn't required.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.filter(F.col("value") > 0).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "user_id",
+    )
+    cum = F.sum("cents").over(
+        Window.partitionBy("event_type")
+        .orderBy("cents", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("cents").over(Window.partitionBy("event_type"))
+    o = w.select(
+        "event_type", "cents", cum.alias("cum_w"), tot.alias("tot_w")
+    )
+    return (
+        o.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.min("tot_w").alias("total_weight_cents"),
+        )
+    )

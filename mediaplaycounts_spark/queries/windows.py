@@ -337,3 +337,64 @@ def win_rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "rate_limited", (F.col("n_10m") > 3).cast("bigint")
     )
+
+
+# ----------------------------------- week-over-week change (round 4)
+
+
+@register(
+    "win_percent_change_wow",
+    oracle="""
+        WITH w AS (
+            SELECT event_type, date_trunc('week', ts) AS week,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, week),
+        l AS (
+            SELECT *, LAG(n) OVER (PARTITION BY event_type
+                                   ORDER BY week) AS prev_n
+            FROM w)
+        SELECT event_type, week, n, prev_n,
+               CASE WHEN prev_n IS NULL THEN NULL
+                    ELSE CAST(floor((n - prev_n) * 1000000.0 / prev_n)
+                              AS BIGINT)
+               END AS wow_change_ppm
+        FROM l
+    """,
+)
+def win_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEK-OVER-WEEK change per event type (exact ppm, floored toward
+    -inf on both engines) — the growth-rate column every weekly
+    business review leads with. NULL for each series' first week (no
+    prior), never a fake 0%.
+
+    One hash agg to weekly grain (map-side partial over the fact), one
+    lag window over the tiny (type, week) table. Change can be
+    NEGATIVE, and integer-division conventions differ on negatives
+    (DuckDB's // truncates toward zero, floor() rounds toward -inf),
+    so BOTH engines floor explicitly — one deterministic convention,
+    exact at the ppm grain (counts x 1e6 sit far inside float64's 2^53
+    integer range).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").alias("week"),
+    ).agg(F.count("*").alias("n"))
+    l = w.withColumn(
+        "prev_n",
+        F.lag("n").over(Window.partitionBy("event_type").orderBy("week")),
+    )
+    return l.select(
+        "event_type",
+        "week",
+        "n",
+        "prev_n",
+        F.when(
+            F.col("prev_n").isNotNull(),
+            F.floor(
+                (F.col("n") - F.col("prev_n"))
+                * F.lit(1000000).cast("long")
+                / F.col("prev_n")
+            ).cast("long"),
+        ).alias("wow_change_ppm"),
+    )
