@@ -1079,3 +1079,4 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+

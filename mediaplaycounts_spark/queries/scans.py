@@ -977,3 +977,56 @@ def scan_agg_pushdown_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_pd)
+
+
+# --------------------------------- hidden file-metadata cols (round 4)
+
+
+@register(
+    "scan_file_metadata_cols",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                 AS n_days
+        FROM events GROUP BY event_type
+    """,
+)
+def scan_file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN FILE-METADATA COLUMNS (`_metadata.file_path` /
+    `file_name` / `file_size`): write the events to a
+    partitioned layout, then answer a per-partition audit purely from
+    the files' OWN metadata column — the lineage/debugging surface
+    ('which file did this row come from, and is any file
+    short-changed?') that every ingest incident investigation starts
+    with.
+
+    The partition value is recovered by parsing `_metadata.file_path`
+    (NOT by reading the event_type data column — the test of this key
+    is that file-derived values agree with data-derived values), and
+    the per-type row counts from that parse must equal the original
+    table's group counts, which is exactly what the oracle states.
+    `_metadata` is populated by the scan itself with zero extra I/O; at
+    100 TB this audit touches footers + row counts only.
+    """
+    import uuid as _uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    run_dir = SCRATCH / f"metacols_{_uuid.uuid4().hex[:12]}"
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(str(run_dir))
+    )
+    back = spark.read.parquet(str(run_dir)).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+        ).alias("event_type"),
+        F.col("_metadata.file_size").alias("fsize"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("day").cast("long").alias("n_days"),
+    )

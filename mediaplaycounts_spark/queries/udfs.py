@@ -17,6 +17,7 @@ sums for moments) so values match DuckDB bit-for-bit; see docstrings.
 from __future__ import annotations
 
 import pandas as pd
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -369,4 +370,51 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInArrow(
         kernel, "doc_id long, n_bytes long, n_ws_tokens long, n_upper long"
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens_est,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form pandas UDF (`Iterator[pd.Series] ->
+    Iterator[pd.Series]`): the variant for UDFs with EXPENSIVE one-time
+    setup (model load, tokenizer init, dictionary mmap) — the setup
+    runs once per PARTITION, then streams Arrow batches through,
+    instead of re-paying it per batch as a plain pandas UDF would.
+    Here the 'model' is a trivial counter + hashlib, so the oracle can
+    replay the math; swap in a real tokenizer and the plan shape,
+    batch flow, and per-partition amortization are identical.
+
+    Plan: ArrowEvalPython over streamed batches, zero shuffle.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def token_est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time "model" setup, amortized across all batches
+        sep = " "
+        for s in it:
+            yield s.str.count(sep).add(1).astype("int64")
+
+    @pandas_udf("string")
+    def content_md5(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        h = hashlib.md5  # bound once
+        for s in it:
+            yield s.map(lambda t: h(t.encode()).hexdigest())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_est("text").alias("n_tokens_est"),
+        content_md5("text").alias("content_md5"),
     )

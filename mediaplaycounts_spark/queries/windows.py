@@ -398,3 +398,61 @@ def win_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("wow_change_ppm"),
     )
+
+
+# --------------------------------- activity gaps-and-islands (round 4)
+
+
+@register(
+    "win_active_day_islands",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+                     AS day
+            FROM events),
+        g AS (
+            SELECT user_id, day,
+                   day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY day) AS INT)
+                     AS grp
+            FROM d),
+        isl AS (
+            SELECT user_id, grp, COUNT(*) AS streak_days
+            FROM g GROUP BY user_id, grp)
+        SELECT user_id,
+               CAST(SUM(streak_days) AS BIGINT) AS n_active_days,
+               COUNT(*) AS n_islands,
+               CAST(MAX(streak_days) AS BIGINT) AS longest_streak_days
+        FROM isl GROUP BY user_id
+    """,
+)
+def win_active_day_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS over user activity days: maximal runs of
+    consecutive active days per user — active-day totals, island count,
+    and the longest streak (the engagement-streak metric product
+    dashboards ship, and the canonical interview-classic SQL pattern
+    done at engine scale).
+
+    day − row_number() is constant within a consecutive run, so one
+    ranking window + two hash aggs solve it — no self-join, no
+    recursion. One user_id shuffle shared by the window and both aggs;
+    distinct-day dedup happens map-side first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    g = d.withColumn(
+        "grp",
+        F.date_sub(
+            "day",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("day"))
+        ),
+    )
+    isl = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak_days"))
+    return isl.groupBy("user_id").agg(
+        F.sum("streak_days").cast("long").alias("n_active_days"),
+        F.count("*").alias("n_islands"),
+        F.max("streak_days").cast("long").alias("longest_streak_days"),
+    )
