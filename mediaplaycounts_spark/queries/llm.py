@@ -3720,23 +3720,23 @@ def multimodal_tlv_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS val{k}",
         )
         cur = f"({cur} + 4 + len{k} * 2)"
-    recs = t.selectExpr(
-        "doc_id", "blob", "tag0 AS tag", "val0 AS val"
-    ).unionAll(
-        t.selectExpr("doc_id", "blob", "tag1", "val1")
-    ).unionAll(t.selectExpr("doc_id", "blob", "tag2", "val2"))
-    p = recs.groupBy("doc_id", "blob").agg(
-        F.expr("MAX(CASE WHEN tag = '01' THEN val END)").alias("width"),
-        F.expr("MAX(CASE WHEN tag = '02' THEN val END)").alias("height"),
-        F.expr("MAX(CASE WHEN tag = '03' THEN val END)").alias("codec_id"),
-    )
-    return p.selectExpr(
+    # tag-dispatch as a column-wise CASE pivot over the three parsed
+    # records — zero shuffle (a union + groupBy formulation would
+    # shuffle fact rows x3 for nothing; the records are already columns)
+    def pick(tag: str) -> str:
+        return (
+            f"CASE WHEN tag0 = '{tag}' THEN val0"
+            f" WHEN tag1 = '{tag}' THEN val1"
+            f" WHEN tag2 = '{tag}' THEN val2 END"
+        )
+
+    return t.selectExpr(
         "doc_id",
         "CAST(length(blob) div 2 AS BIGINT) AS blob_bytes",
-        "width",
-        "height",
-        "codec_id",
-        "CAST(width * height AS BIGINT) AS n_pixels",
+        f"{pick('01')} AS width",
+        f"{pick('02')} AS height",
+        f"{pick('03')} AS codec_id",
+        f"CAST(({pick('01')}) * ({pick('02')}) AS BIGINT) AS n_pixels",
     )
 
 

@@ -85,6 +85,19 @@ ALLOWED = {
 #: here must produce ZERO shuffles. Raising a ceiling is a reviewed
 #: act: justify the extra Exchange in the commit that does it.
 MAX_SHUFFLES = {
+    # round-4 keys (declared budgets; see each docstring's scale note)
+    "agg_log2_histogram": 1,
+    "agg_weighted_median": 1,
+    "dedup_shingle_df_stats": 2,
+    "join_bloom_pruned": 1,
+    "pipeline_dataset_diff": 3,
+    "scan_file_metadata_cols": 2,
+    "text_bigram_cond_entropy": 2,
+    "text_hapax_ratio": 2,
+    "text_rake_keywords": 5,
+    "text_token_fertility": 1,
+    "win_active_day_islands": 2,
+    "win_percent_change_wow": 2,
     "agg_anomaly_flag": 3,
     "agg_argmax_daily": 2,
     "agg_attribution_last_touch": 1,
