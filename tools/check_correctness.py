@@ -136,6 +136,7 @@ def main() -> int:
         # Bounds run regardless of oracle presence: within_bound-style
         # keys carry BOTH an oracle (driver-visible) and a stronger
         # quantitative bound (asserted here).
+        t_spark = time.time() - t0
         bound = registry.get(k).bound
         bound_msg = None
         if bound is not None:
@@ -149,24 +150,31 @@ def main() -> int:
             if bound_msg is not None:
                 print(
                     f"✓ {k}: bound-pass — {bound_msg} "
-                    f"({len(sdf)} rows, {time.time()-t0:.1f}s)"
+                    f"({len(sdf)} rows, spark={t_spark:.1f}s)"
                 )
                 n_bound += 1
                 continue
-            print(f"~ {k}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"~ {k}: rows-only ({len(sdf)} rows, spark={t_spark:.1f}s)"
+            )
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             ddf = con.execute(oracles[k]).fetchdf()
         except Exception as ex:
             print(f"✗ {k}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
             continue
+        t_oracle = time.time() - t1
         ok, msg = compare(sdf, ddf)
         if ok and bound_msg is not None:
             msg = f"{msg} + bound — {bound_msg}"
         mark = "✓" if ok else "✗"
-        print(f"{mark} {k}: {msg} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+        print(
+            f"{mark} {k}: {msg} ({len(sdf)} rows, "
+            f"spark={t_spark:.1f}s oracle={t_oracle:.1f}s)"
+        )
         n_pass += ok
         n_fail += not ok
     print(
