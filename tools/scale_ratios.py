@@ -1,0 +1,77 @@
+"""Per-key scale ratios from two correctness-sweep logs (VERDICT r3 #2).
+
+Parses the `spark=<t>s` timings that tools/check_correctness.py writes
+per key at two scale factors and emits a markdown table of sf-to-sf
+time ratios, flagging keys whose engine time grew super-linearly in the
+data (ratio > the SF ratio, e.g. >10x for sf0.01->sf0.1).
+
+Timings at sub-second scale are dominated by fixed task-scheduling
+overhead, so tiny keys are EXCLUDED from the flag (a 0.2s->0.5s move is
+noise, not a scaling law); the flag threshold applies to keys whose
+larger-SF time exceeds --min-sec.
+
+Usage:
+    python tools/scale_ratios.py CORRECTNESS_full_r04.txt \
+        CORRECTNESS_sf01_r4.txt --factor 10 --min-sec 2 [--top 25]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+LINE = re.compile(r"^[✓✗~] (\w+):.*spark=([0-9.]+)s")
+
+
+def parse(path: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            m = LINE.match(line.strip())
+            if m:
+                out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("small_log")
+    ap.add_argument("big_log")
+    ap.add_argument("--factor", type=float, default=10.0,
+                    help="data-size ratio between the two logs")
+    ap.add_argument("--min-sec", type=float, default=2.0,
+                    help="flag only keys at least this slow at the big SF")
+    ap.add_argument("--top", type=int, default=25,
+                    help="rows to print (slowest at big SF first)")
+    args = ap.parse_args()
+
+    small, big = parse(args.small_log), parse(args.big_log)
+    keys = sorted(set(small) & set(big), key=lambda k: -big[k])
+    flagged = []
+    print("| key | spark@small | spark@big | ratio | note |")
+    print("| --- | --- | --- | --- | --- |")
+    for k in keys[: args.top]:
+        s, b = small[k], big[k]
+        ratio = b / s if s > 0 else float("inf")
+        note = ""
+        if b >= args.min_sec and ratio > args.factor:
+            note = f"**super-linear** (> {args.factor:.0f}x)"
+            flagged.append(k)
+        elif b >= args.min_sec and ratio <= 1.5:
+            note = "overhead-bound (flat)"
+        print(f"| `{k}` | {s:.1f}s | {b:.1f}s | {ratio:.1f}x | {note} |")
+    n_sub = sum(
+        1 for k in set(small) & set(big)
+        if big[k] < args.min_sec
+    )
+    print(
+        f"\n{len(set(small) & set(big))} keys compared; {n_sub} finish "
+        f"under {args.min_sec:.0f}s at the big SF (overhead-dominated, "
+        f"not flaggable); super-linear flags: {flagged or 'none'}"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
