@@ -284,21 +284,34 @@ def topk_lsh_multiprobe(
 
 
 def _assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid cell id by squared L2, ties to the lower id."""
-    dists = []
-    for c in centroids:
-        cc = F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-        d = F.aggregate(
-            F.zip_with(vec, cc, lambda x, y: (x - y) * (x - y)),
+    """Nearest-centroid cell id by squared L2, ties to the lower id.
+
+    Built as ONE array expression — distances via a single
+    ``transform`` over the centroid array literal, argmin via
+    ``array_position(dists, array_min(dists))`` (first match = lowest
+    id, and array_min returns an element so the equality is bitwise).
+    The previous formulation (K named fold expressions + least() + a
+    K-way WHEN chain re-embedding every fold) duplicated each distance
+    fold ~K times in the expression tree: Catalyst analysis/codegen
+    time grew O(K² · fold) and dominated the PQ keys (measured 42.7 s
+    flat at sf0.01, ~8× the actual scan cost). Same arithmetic, same
+    fold order, same tie-break — bit-identical results.
+    """
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        dists.append(d)
-    best = F.least(*dists)
-    cell = F.lit(len(centroids) - 1)
-    for j in range(len(centroids) - 2, -1, -1):
-        cell = F.when(dists[j] == best, F.lit(j)).otherwise(cell)
-    return cell.cast("int")
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def train_ivf_centroids(
