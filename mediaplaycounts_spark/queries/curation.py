@@ -797,3 +797,68 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_shared") >= _CONTAM_FLOOR).cast("long").alias("contaminated"),
         "within_bound",
     )
+
+
+# ----------------------------------- code-vs-prose detection (round 4)
+
+
+@register(
+    "text_code_detection",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text,
+                       '[{}()\\[\\];=<>|&]', '', 'g')) AS n_code_chars,
+                   length(text) - length(replace(text, '_', ''))
+                     AS n_underscore,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS n_words
+            FROM documents),
+        s AS (
+            SELECT *,
+                   CAST(n_code_chars * 1000000 // n_chars AS BIGINT)
+                     AS code_char_ppm,
+                   CAST(n_underscore * 1000000 // n_chars AS BIGINT)
+                     AS underscore_ppm
+            FROM m WHERE n_chars > 0)
+        SELECT doc_id, lang, code_char_ppm, underscore_ppm,
+               CAST(code_char_ppm >= 20000
+                    OR underscore_ppm >= 10000 AS BIGINT) AS is_code_like
+        FROM s
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection: the symbol-density heuristic every LLM
+    corpus pipeline runs to route documents to the code pipeline or the
+    prose pipeline (separate dedup thresholds, separate quality gates,
+    separate sampling temperatures). Signals: density of code glyphs
+    ({}()[];=<>|&) and of snake_case underscores, both exact integer
+    ppm; the flag is the standard 2%-symbol / 1%-underscore cut.
+
+    Pure codegen projection (two regexp delete-and-diff lengths + one
+    split), zero shuffle, trivially linear — the cheapest router in
+    the curation stack, which is exactly why it runs FIRST at 100 TB.
+    The character classes avoid regex-engine divergence (no shorthand
+    classes, no lookaround — Java and RE2 agree on explicit classes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "length(text) AS n_chars",
+        "length(text) - length(regexp_replace(text,"
+        " '[{}()\\\\[\\\\];=<>|&]', '')) AS n_code_chars",
+        "length(text) - length(replace(text, '_', '')) AS n_underscore",
+    ).filter(F.col("n_chars") > 0)
+    return m.selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(n_code_chars * 1000000 div n_chars AS BIGINT)"
+        " AS code_char_ppm",
+        "CAST(n_underscore * 1000000 div n_chars AS BIGINT)"
+        " AS underscore_ppm",
+        "CAST(CAST(n_code_chars * 1000000 div n_chars >= 20000"
+        " OR n_underscore * 1000000 div n_chars >= 10000 AS BOOLEAN)"
+        " AS BIGINT) AS is_code_like",
+    )

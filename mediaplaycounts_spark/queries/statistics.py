@@ -1061,3 +1061,105 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot_w").alias("total_weight_cents"),
         )
     )
+
+
+# ---------------------------- Poisson-bootstrap CI (round 4)
+
+#: Inverse-CDF integer thresholds for Poisson(1) on a 32-bit uniform
+#: (round(cum_prob * 2^32); tail mass collapses into weight 5).
+_POIS_THRESH = (1580030169, 3160060338, 3950075422, 4213413784, 4279248374)
+_N_BOOT = 16
+
+
+def _boot_weight_sql(b: int, id_expr: str, hex_fn) -> str:
+    """Poisson(1) weight for resample ``b`` from a 32-bit md5 slice —
+    identical text in both engines except the hex→int idiom."""
+    u = hex_fn(f"md5(concat(cast({id_expr} as varchar), ':', '{b}'))")
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_THRESH)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def _boot_weight_spark(b: int, id_expr: str) -> str:
+    return _boot_weight_sql(
+        b, id_expr, lambda m: f"conv(substring({m}, 1, 8), 16, 10)"
+    ).replace("as varchar", "as string")
+
+
+def _boot_weight_duck(b: int, id_expr: str) -> str:
+    return _boot_weight_sql(
+        b, id_expr, lambda m: f"TRY_CAST('0x' || substr({m}, 1, 8) AS BIGINT)"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    sums = ",\n               ".join(
+        f"CAST(SUM({_boot_weight_duck(b, 'event_id')} * cents) AS BIGINT)"
+        f" AS sx{b},\n               "
+        f"CAST(SUM({_boot_weight_duck(b, 'event_id')}) AS BIGINT) AS sw{b}"
+        for b in range(_N_BOOT)
+    )
+    means = ", ".join(
+        f"sx{b} * 1000000 // sw{b}" for b in range(_N_BOOT)
+    )
+    return f"""
+        WITH w AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        s AS (
+            SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               {sums}
+            FROM w GROUP BY event_type)
+        SELECT event_type, n,
+               CAST(sum_cents * 1000000 // n AS BIGINT) AS mean_cents_ppm,
+               CAST(list_min([{means}]) AS BIGINT) AS boot_lo_ppm,
+               CAST(list_max([{means}]) AS BIGINT) AS boot_hi_ppm
+        FROM s
+    """
+
+
+@register("agg_bootstrap_ci_poisson", oracle=_bootstrap_oracle())
+def agg_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence band for the per-type mean — the
+    distributed bootstrap (the classic resample-with-replacement is
+    impossible on a distributed corpus; Poisson(1) weights per row per
+    resample are free, embarrassingly parallel, and statistically
+    equivalent at scale). 16 resamples run as 32 CONDITIONAL SUMS in
+    ONE hash aggregate (the simhash trick — no row replication, no
+    extra pass): weight_b(row) comes from an md5 inverse-CDF lookup,
+    deterministic and engine-identical, so even the resampling is
+    value-oracled. Band = min/max of the 16 resample means (exact
+    integer ppm; a production run uses B=200 and p2.5/p97.5 — same
+    plan shape, wider CASE).
+
+    Scale: one map-side-combinable aggregate over the fact, output one
+    row per type. Nothing about B touches shuffle volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.selectExpr(
+        "event_type",
+        "event_id",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    )
+    aggs = []
+    for b in range(_N_BOOT):
+        wexp = _boot_weight_spark(b, "event_id")
+        aggs.append(f"CAST(SUM({wexp} * cents) AS BIGINT) AS sx{b}")
+        aggs.append(f"CAST(SUM({wexp}) AS BIGINT) AS sw{b}")
+    s = w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        *[F.expr(a.rsplit(" AS ", 1)[0]).alias(a.rsplit(" AS ", 1)[1]) for a in aggs],
+    )
+    means = ", ".join(f"sx{b} * 1000000 div sw{b}" for b in range(_N_BOOT))
+    return s.selectExpr(
+        "event_type",
+        "n",
+        "CAST(sum_cents * 1000000 div n AS BIGINT) AS mean_cents_ppm",
+        f"CAST(array_min(array({means})) AS BIGINT) AS boot_lo_ppm",
+        f"CAST(array_max(array({means})) AS BIGINT) AS boot_hi_ppm",
+    )

@@ -456,3 +456,55 @@ def win_active_day_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_islands"),
         F.max("streak_days").cast("long").alias("longest_streak_days"),
     )
+
+
+# ----------------------------------- recency-decay score (round 4)
+
+
+@register(
+    "win_time_decay_score",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS now FROM events),
+        d AS (
+            SELECT e.user_id,
+                   CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+                   date_diff('day', CAST(e.ts AS DATE),
+                             CAST(mx.now AS DATE)) // 7 AS half_lives
+            FROM events e CROSS JOIN mx)
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents * (1000000 >> CAST(least(half_lives, 20)
+                                               AS INT))) AS BIGINT)
+                 AS decayed_value_e6,
+               CAST(SUM(cents) AS BIGINT) AS raw_value_cents
+        FROM d GROUP BY user_id
+    """,
+)
+def win_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-DECAYED engagement score per user: each event's value is
+    halved for every 7 days of age relative to the corpus's newest
+    event — the recommender/churn feature that makes last week matter
+    twice as much as the week before. The decay is an INTEGER shift
+    (weight = 1e6 >> half_lives, capped at 20 halvings ≈ zero): a
+    step-wise exponential that is bit-exact across engines, where a
+    float pow(0.5, age/7.0) would be a rounding lottery.
+
+    One 1-row max-ts broadcast onto the fact scan, one user agg —
+    map-side combinable, one shuffle, linear at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    d = ev.crossJoin(F.broadcast(mx)).selectExpr(
+        "user_id",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+        "datediff(CAST(now AS DATE), CAST(ts AS DATE)) div 7"
+        " AS half_lives",
+    )
+    return d.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(SUM(cents * shiftright(1000000,"
+            " CAST(least(half_lives, 20) AS INT))) AS BIGINT)"
+        ).alias("decayed_value_e6"),
+        F.sum("cents").cast("long").alias("raw_value_cents"),
+    )

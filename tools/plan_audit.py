@@ -86,6 +86,8 @@ ALLOWED = {
 #: act: justify the extra Exchange in the commit that does it.
 MAX_SHUFFLES = {
     # round-4 keys (declared budgets; see each docstring's scale note)
+    "agg_bootstrap_ci_poisson": 1,
+    "win_time_decay_score": 1,
     "agg_log2_histogram": 1,
     "agg_weighted_median": 1,
     "dedup_shingle_df_stats": 2,
