@@ -65,6 +65,7 @@ ALLOWED = {
     "agg_theta_set_ops": "1-row sketch + exact-twin aggregates crossed together",
     "ts_changepoint_cusum": "1-row total and 1-row peak-max broadcast onto the daily series",
     "ts_autocorr_int": "1-row total aggregate broadcast onto the daily series",
+    "win_time_decay_score": "1-row max-ts aggregate broadcast onto the fact scan",
     "agg_benford_digit_test": "1-row total broadcast onto the 9-row digit spine",
     "text_bpe_merge_rounds": "1-row winning-pair broadcast into the rewrite projection; 1-row totals crossed onto 1-row winner rows",
     "sim_threshold_sweep": "4-row threshold spine broadcast-theta-joined onto the blocked pair table",
