@@ -164,3 +164,58 @@ def test_fertility_identity(spark):
         assert r.fertility_ppm == r.n_tokens * 1_000_000 // r.n_words
         assert r.bytes_per_token_ppm == r.n_bytes * 1_000_000 // r.n_tokens
         assert r.n_tokens >= r.n_words  # pretokenizer only splits finer
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    df = entrymod.queries()["agg_bootstrap_ci_poisson"](spark, SF)
+    rows1 = {tuple(r) for r in df.collect()}
+    rows2 = {
+        tuple(r)
+        for r in entrymod.queries()["agg_bootstrap_ci_poisson"](
+            spark, SF
+        ).collect()
+    }
+    assert rows1 == rows2, "resampling must be deterministic"
+    for r in rows1:
+        _, n, mean_ppm, lo, hi = r
+        assert lo <= hi
+        # the band must bracket a neighborhood of the exact mean
+        assert lo <= mean_ppm * 1.2 and hi >= mean_ppm * 0.8
+
+
+def test_code_detection_flags_synthetic_code(spark, tmp_path):
+    rows = [
+        (1, "def foo(x): return {x: [1, 2]}; y = x != z", "en", "s", 40),
+        (2, "plain prose with ordinary words and no symbols at all",
+         "en", "s", 52),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.is_code_like
+        for r in entrymod.queries()["text_code_detection"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0}
+
+
+def test_time_decay_halves_by_week(spark, tmp_path):
+    rows = [
+        (1, "2024-01-15 00:00:00", 1, "view", 1.00, "{}"),  # newest: w=1e6
+        (2, "2024-01-08 00:00:00", 1, "view", 1.00, "{}"),  # 7d: w=5e5
+        (3, "2024-01-01 00:00:00", 1, "view", 1.00, "{}"),  # 14d: w=2.5e5
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = entrymod.queries()["win_time_decay_score"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r.raw_value_cents == 300
+    assert r.decayed_value_e6 == 100 * (1000000 + 500000 + 250000)
