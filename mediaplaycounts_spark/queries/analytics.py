@@ -1983,3 +1983,86 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("max_cents"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# ------------------------------------- cohort LTV curve (round 4)
+
+
+@register(
+    "agg_cohort_ltv_curve",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, date_trunc('day', ts) AS d,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        coh AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id),
+        j AS (
+            SELECT coh.cohort,
+                   CAST(date_diff('day', coh.cohort, e.d) AS BIGINT)
+                     AS day_offset,
+                   e.cents
+            FROM e JOIN coh ON e.user_id = coh.user_id),
+        per AS (
+            SELECT cohort, day_offset,
+                   CAST(SUM(cents) AS BIGINT) AS day_cents
+            FROM j GROUP BY cohort, day_offset),
+        sz AS (SELECT cohort, COUNT(*) AS cohort_size
+               FROM coh GROUP BY cohort)
+        SELECT per.cohort, per.day_offset, per.day_cents,
+               CAST(SUM(per.day_cents) OVER (PARTITION BY per.cohort
+                        ORDER BY per.day_offset
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_cents,
+               CAST(CAST(SUM(per.day_cents) OVER (PARTITION BY per.cohort
+                        ORDER BY per.day_offset
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    * 1000000 // sz.cohort_size AS BIGINT)
+                 AS ltv_per_user_ppm
+        FROM per JOIN sz ON per.cohort = sz.cohort
+    """,
+)
+def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVE: cumulative value per signup cohort by
+    days-since-first-seen, normalized per cohort member (exact
+    cents·ppm) — the lifetime-value ramp every growth model fits, and
+    the money twin of `agg_retention_cohorts`' user counts (same
+    cohort grain, so the two reports join 1:1).
+
+    Two user_id-keyed shuffles (cohort assign reuses the join
+    exchange), one tiny (cohort, offset) grid with a cumulative window
+    and a broadcast cohort-size join. All integer: the per-user
+    normalization is one floored ppm division; the cumulative sum is
+    int64 cents.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("d"),
+        cents("value").alias("cents"),
+    )
+    coh = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    j = ev.join(coh, "user_id").select(
+        "cohort",
+        F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        "cents",
+    )
+    per = j.groupBy("cohort", "day_offset").agg(
+        F.sum("cents").cast("long").alias("day_cents")
+    )
+    sz = coh.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    cum = F.sum("day_cents").over(
+        Window.partitionBy("cohort")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "day_offset",
+        "day_cents",
+        cum.cast("long").alias("cum_cents"),
+        F.expr(
+            "CAST(CAST(SUM(day_cents) OVER (PARTITION BY cohort"
+            " ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS BIGINT) * 1000000"
+            " div cohort_size AS BIGINT)"
+        ).alias("ltv_per_user_ppm"),
+    )

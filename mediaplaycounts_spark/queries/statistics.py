@@ -1163,3 +1163,101 @@ def agg_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(array_min(array({means})) AS BIGINT) AS boot_lo_ppm",
         f"CAST(array_max(array({means})) AS BIGINT) AS boot_hi_ppm",
     )
+
+
+# ------------------------------------- one-way ANOVA (round 4)
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   COUNT(*) AS n_g,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS s_g,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+                            * CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS q_g
+            FROM events GROUP BY event_type),
+        t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                     CAST(SUM(s_g) AS BIGINT) AS s,
+                     COUNT(*) AS k
+              FROM g),
+        terms AS (
+            SELECT CAST(round(CAST(q_g AS DOUBLE)
+                        - CAST(s_g AS DOUBLE) * s_g / n_g, 0) AS BIGINT)
+                     AS ssw_g,
+                   CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g, 0)
+                        AS BIGINT) AS sb_g
+            FROM g)
+        SELECT t.k, t.n,
+               CAST(SUM(terms.ssw_g) AS BIGINT) AS ssw_cents2,
+               CAST(SUM(terms.sb_g)
+                    - CAST(round(CAST(t.s AS DOUBLE) * t.s / t.n, 0)
+                           AS BIGINT) AS BIGINT) AS ssb_cents2,
+               CAST(CAST(SUM(terms.sb_g)
+                         - CAST(round(CAST(t.s AS DOUBLE) * t.s / t.n, 0)
+                                AS BIGINT) AS HUGEINT)
+                    * (t.n - t.k) * 1000000
+                    // (CAST(SUM(terms.ssw_g) AS HUGEINT)
+                        * (t.k - 1)) AS BIGINT) AS f_stat_ppm
+        FROM terms CROSS JOIN t
+        GROUP BY t.k, t.n, t.s
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA across event types: between-group vs within-group
+    variance of the value column, F = (SSB/(k−1)) / (SSW/(n−k)) — the
+    'does the group label matter at all' omnibus test that precedes
+    any pairwise A/B comparison (`agg_ab_test_proportions` tests two
+    proportions; this tests k means at once).
+
+    Determinism discipline: per-group moments (n, Σcents, Σcents²) are
+    exact int64; each group's quadratic term S²/n is ONE double op on
+    exact integers (≤2^53, exact), ROUNDED TO INTEGER cents² before
+    the cross-group sums — so the only floats are per-group scalars
+    with identical operand order in both engines, and the sums and
+    final F ratio are integer/DECIMAL(38,0) arithmetic (ppm floor).
+
+    Scale: one map-side-combinable moments agg (k rows out), then
+    driver-free scalar algebra on the k-row table. Linear, one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.selectExpr(
+        "event_type", "CAST(round(value * 100, 0) AS BIGINT) AS cents"
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum("cents").cast("long").alias("s_g"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.count("*").alias("k"),
+    )
+    terms = g.selectExpr(
+        "CAST(round(CAST(q_g AS DOUBLE)"
+        " - CAST(s_g AS DOUBLE) * s_g / n_g, 0) AS BIGINT) AS ssw_g",
+        "CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g, 0) AS BIGINT)"
+        " AS sb_g",
+    )
+    return (
+        terms.crossJoin(F.broadcast(t))
+        .groupBy("k", "n", "s")
+        .agg(
+            F.sum("ssw_g").cast("long").alias("ssw_cents2"),
+            F.expr(
+                "CAST(SUM(sb_g) - CAST(round(CAST(MIN(s) AS DOUBLE)"
+                " * MIN(s) / MIN(n), 0) AS BIGINT) AS BIGINT)"
+            ).alias("ssb_cents2"),
+            F.expr(
+                "CAST(CAST(SUM(sb_g) - CAST(round(CAST(MIN(s) AS DOUBLE)"
+                " * MIN(s) / MIN(n), 0) AS BIGINT) AS DECIMAL(38,0))"
+                " * (MIN(n) - MIN(k)) * 1000000"
+                " div (CAST(SUM(ssw_g) AS DECIMAL(38,0)) * (MIN(k) - 1))"
+                " AS BIGINT)"
+            ).alias("f_stat_ppm"),
+        )
+        .select("k", "n", "ssw_cents2", "ssb_cents2", "f_stat_ppm")
+    )
