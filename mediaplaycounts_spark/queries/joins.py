@@ -1080,3 +1080,94 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register(
+    "join_geo_nearest",
+    oracle="""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   (c_custkey * 48271) % 180000000 - 90000000 AS lat_u,
+                   (c_custkey * 69621) % 360000000 - 180000000 AS lon_u
+            FROM customer),
+        cand AS (
+            SELECT a.id AS id, b.id AS nn_id,
+                   (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                   + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2
+            FROM pts a JOIN pts b
+              ON a.id != b.id
+             AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                 + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+                 <= 250000000000),
+        best AS (
+            SELECT id, nn_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY d2, nn_id) AS rn
+            FROM cand)
+        SELECT p.id, best.nn_id, best.d2 AS nn_dist2_u
+        FROM pts p LEFT JOIN best ON p.id = best.id AND best.rn = 1
+    """,
+)
+def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-NEIGHBOR-WITHIN-RADIUS spatial join: for every point,
+    its closest other point within 0.5 degrees (NULL when isolated) —
+    the store-to-nearest-depot / user-to-nearest-POI assignment. The
+    radius bound is what makes the grid path EXACT: the true nearest
+    neighbor within r is always inside the 3x3 neighborhood of
+    1-degree cells, so blocking loses nothing (an unbounded NN would
+    need ring-expansion search — documented, different operator).
+
+    Same deterministic integer micro-degree points and cell layout as
+    `join_geo_grid`; candidates from the 9-cell equi-join, winner by
+    one (id)-partitioned min window with a deterministic (d2, id)
+    tie-break, left-joined back so isolated points keep a row. Shuffle
+    is 9|A|+|B| candidate build + one id-keyed window — linear,
+    skew-split by AQE like any hash join.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 180000000 - 90000000).alias("lat_u"),
+        ((F.col("c_custkey") * 69621) % 360000000 - 180000000).alias("lon_u"),
+    )
+    cell = 1000000  # 1-degree grid in micro-degrees
+    a = pts.select(
+        F.col("id").alias("ida"), F.col("lat_u").alias("la"),
+        F.col("lon_u").alias("lo"),
+    ).select(
+        "ida", "la", "lo",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx"),
+    ).select(
+        "ida", "la", "lo", "dx",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy"),
+    ).select(
+        "ida", "la", "lo",
+        (F.floor(F.col("la") / cell) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("lo") / cell) + F.col("dy")).alias("cy"),
+    )
+    b = pts.select(
+        F.col("id").alias("idb"), F.col("lat_u").alias("lb"),
+        F.col("lon_u").alias("lob"),
+        F.floor(F.col("lat_u") / cell).alias("cx"),
+        F.floor(F.col("lon_u") / cell).alias("cy"),
+    )
+    d2 = (F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb")) + (
+        F.col("lo") - F.col("lob")
+    ) * (F.col("lo") - F.col("lob"))
+    cand = (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("ida") != F.col("idb")) & (d2 <= F.lit(250000000000)))
+        .select(F.col("ida").alias("id"), F.col("idb").alias("nn_id"),
+                d2.alias("d2"))
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("d2", "nn_id")
+        ),
+    ).filter(F.col("rn") == 1)
+    return pts.select("id").join(
+        best.select("id", "nn_id", F.col("d2").alias("nn_dist2_u")),
+        "id",
+        "left",
+    )

@@ -1261,3 +1261,127 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "n", "ssw_cents2", "ssb_cents2", "f_stat_ppm")
     )
+
+
+# ------------------------------- Kaplan-Meier survival (round 4)
+
+
+@register(
+    "agg_survival_km",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+                     AS d
+            FROM events),
+        mx AS (SELECT MAX(d) AS last_day FROM daily),
+        u AS (
+            SELECT user_id,
+                   date_diff('day', MIN(d), MAX(d)) AS lifetime,
+                   CAST(MAX(d) = mx.last_day AS INT) AS censored
+            FROM daily CROSS JOIN mx
+            GROUP BY user_id, mx.last_day),
+        lt AS (
+            SELECT lifetime,
+                   COUNT(*) AS n_at,
+                   CAST(SUM(1 - censored) AS BIGINT) AS n_deaths,
+                   CAST(SUM(censored) AS BIGINT) AS n_censored
+            FROM u GROUP BY lifetime),
+        r AS (
+            SELECT *,
+                   CAST(SUM(n_at) OVER (ORDER BY lifetime DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS n_risk
+            FROM lt),
+        steps AS (
+            SELECT lifetime, n_risk, n_deaths, n_censored,
+                   CASE WHEN n_deaths > 0
+                        THEN CAST(round(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                                           / n_risk) * 1e9, 0) AS BIGINT)
+                        ELSE 0 END AS step_nano
+            FROM r)
+        SELECT CAST(lifetime AS BIGINT) AS t_days, n_risk, n_deaths,
+               n_censored,
+               CAST(SUM(step_nano) OVER (ORDER BY lifetime
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_log_surv_nano
+        FROM steps
+    """,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve of user lifetimes (days between
+    first and last activity), with RIGHT-CENSORING: users still active
+    on the corpus's final day have not 'died', so they contribute to
+    the at-risk denominator at every step but never to the deaths —
+    dropping them (or counting them as churned) is the classic
+    retention-analysis bias this estimator exists to fix.
+
+    Per step: S(t) = Π (1 − d_i/n_i). Each factor's log is ONE double
+    op on exact integer counts, quantized to int64 nano-nats before
+    the cumulative window (the entropy-family discipline) — the curve
+    ships as cumulative LOG-survival, integer-exact and
+    order-independent; exp() never runs in either engine, so no
+    cross-libm rounding can leak in. At-risk counts come from one
+    descending cumulative window over the tiny lifetime histogram.
+
+    Scale: one distinct (user, day) shuffle + one user agg; everything
+    after operates on the ≤|days| histogram.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    mx = daily.agg(F.max("d").alias("last_day"))
+    u = (
+        daily.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "last_day")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+        .select(
+            F.datediff("last_d", "first_d").alias("lifetime"),
+            (F.col("last_d") == F.col("last_day")).cast("int").alias(
+                "censored"
+            ),
+        )
+    )
+    lt = u.groupBy("lifetime").agg(
+        F.count("*").alias("n_at"),
+        F.sum(1 - F.col("censored")).cast("long").alias("n_deaths"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    r = lt.withColumn(
+        "n_risk",
+        F.sum("n_at")
+        .over(
+            Window.orderBy(F.desc("lifetime")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    )
+    steps = r.withColumn(
+        "step_nano",
+        F.when(
+            F.col("n_deaths") > 0,
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_deaths")).cast("double")
+                    / F.col("n_risk")
+                )
+                * F.lit(1e9),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return steps.select(
+        F.col("lifetime").cast("long").alias("t_days"),
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        F.sum("step_nano")
+        .over(
+            Window.orderBy("lifetime").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("cum_log_surv_nano"),
+    )
