@@ -2066,3 +2066,98 @@ def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div cohort_size AS BIGINT)"
         ).alias("ltv_per_user_ppm"),
     )
+
+
+# ---------------------------- funnel time-to-convert (round 4)
+
+
+@register(
+    "agg_funnel_time_to_convert",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+            GROUP BY e.user_id),
+        d AS (
+            SELECT v.user_id,
+                   date_diff('second', v.first_view, p.first_purchase)
+                     AS delay_s
+            FROM v JOIN p ON v.user_id = p.user_id)
+        SELECT COUNT(*) AS n_converted,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_entered,
+               CAST(COUNT(*) * 1000000
+                    // (SELECT COUNT(*) FROM v) AS BIGINT)
+                 AS conversion_ppm,
+               CAST(MIN(delay_s) AS BIGINT) AS min_delay_s,
+               CAST(round(quantile_cont(delay_s, 0.5) * 100, 0) AS BIGINT)
+                 AS median_delay_cs,
+               CAST(round(quantile_cont(delay_s, 0.9) * 100, 0) AS BIGINT)
+                 AS p90_delay_cs,
+               CAST(MAX(delay_s) AS BIGINT) AS max_delay_s
+        FROM d
+    """,
+)
+def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNNEL LATENCY: how long users take from first 'view' to first
+    subsequent 'purchase' — the time-to-convert distribution that turns
+    `agg_funnel_steps`' static counts into an SLA ('half convert within
+    X, the p90 tail waits Y'). Conversion requires the purchase AT or
+    AFTER the first view (ordering matters — a purchase-then-view user
+    is not a funnel conversion).
+
+    Two user-keyed min-aggs + one join (all same key — AQE reuses the
+    exchange), delays as whole seconds; percentiles are the
+    INTERPOLATED kind on both engines (Spark `percentile` ==
+    DuckDB `quantile_cont`) with the fractional result cleared to
+    exact centiseconds (interpolants of integers have denominator
+    ≤ 10, so ×100 is integer-exact in float64). One summary row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = v.join(p, "user_id").select(
+        F.expr(
+            "CAST(unix_timestamp(first_purchase)"
+            " - unix_timestamp(first_view) AS BIGINT)"
+        ).alias("delay_s")
+    )
+    n_entered = v.agg(F.count("*").alias("n_entered"))
+    return (
+        d.agg(
+            F.count("*").alias("n_converted"),
+            F.min("delay_s").alias("min_delay_s"),
+            F.expr(
+                "CAST(round(percentile(delay_s, 0.5) * 100, 0) AS BIGINT)"
+            ).alias("median_delay_cs"),
+            F.expr(
+                "CAST(round(percentile(delay_s, 0.9) * 100, 0) AS BIGINT)"
+            ).alias("p90_delay_cs"),
+            F.max("delay_s").alias("max_delay_s"),
+        )
+        .crossJoin(F.broadcast(n_entered))
+        .select(
+            "n_converted",
+            F.col("n_entered").cast("long").alias("n_entered"),
+            F.expr(
+                "CAST(n_converted * 1000000 div n_entered AS BIGINT)"
+            ).alias("conversion_ppm"),
+            "min_delay_s",
+            "median_delay_cs",
+            "p90_delay_cs",
+            "max_delay_s",
+        )
+    )

@@ -68,6 +68,7 @@ ALLOWED = {
     "win_time_decay_score": "1-row max-ts aggregate broadcast onto the fact scan",
     "agg_anova_oneway": "1-row grand-total aggregate crossed into the k-row moment table",
     "agg_survival_km": "1-row corpus-max-day aggregate broadcast onto the user-day table",
+    "agg_funnel_time_to_convert": "1-row entered-count aggregate crossed into the summary row",
     "agg_benford_digit_test": "1-row total broadcast onto the 9-row digit spine",
     "text_bpe_merge_rounds": "1-row winning-pair broadcast into the rewrite projection; 1-row totals crossed onto 1-row winner rows",
     "sim_threshold_sweep": "4-row threshold spine broadcast-theta-joined onto the blocked pair table",
@@ -92,6 +93,8 @@ MAX_SHUFFLES = {
     "agg_bootstrap_ci_poisson": 1,
     "agg_anova_oneway": 3,
     "agg_survival_km": 3,
+    "agg_funnel_time_to_convert": 4,
+    "sink_parquet_zstd": 1,
     "join_geo_nearest": 1,
     "agg_cohort_ltv_curve": 5,
     "win_time_decay_score": 1,
