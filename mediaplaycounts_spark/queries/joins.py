@@ -1171,3 +1171,72 @@ def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "left",
     )
+
+
+@register(
+    "join_range_overlap_duration",
+    oracle="""
+        WITH w(label, s, e) AS (VALUES
+            ('wk1', TIMESTAMP '2024-01-03 00:00:00',
+                    TIMESTAMP '2024-01-10 00:00:00'),
+            ('wk2', TIMESTAMP '2024-01-12 12:00:00',
+                    TIMESTAMP '2024-01-20 06:00:00')),
+        sess AS (
+            SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM events GROUP BY user_id),
+        ov AS (
+            SELECT w.label, sess.user_id,
+                   date_diff('second',
+                             greatest(sess.s_start, w.s),
+                             least(sess.s_end, w.e)) AS secs
+            FROM sess JOIN w
+              ON sess.s_start < w.e AND sess.s_end > w.s)
+        SELECT label,
+               COUNT(*) AS n_users,
+               CAST(SUM(secs) AS BIGINT) AS overlap_seconds
+        FROM ov GROUP BY label
+    """,
+)
+def join_range_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAP-DURATION join: per campaign window, how many user
+    activity spans intersect it and for how many TOTAL seconds — the
+    exposure-attribution primitive (ad flight × user session co-time)
+    that `join_interval_overlap` (pair detection) and
+    `agg_peak_concurrency` (count over time) bracket but don't answer.
+    Overlap length = least(ends) − greatest(starts), guarded by the
+    strict-intersection predicate so it is always positive.
+
+    One user agg builds the spans, then a broadcast theta join against
+    the 2-row window table (at many-windows scale: bucketize on window
+    granularity and equi-join like `join_range_bucketized`). Whole-
+    second integers end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    w = spark.createDataFrame(
+        [
+            ("wk1", "2024-01-03 00:00:00", "2024-01-10 00:00:00"),
+            ("wk2", "2024-01-12 12:00:00", "2024-01-20 06:00:00"),
+        ],
+        "label string, s string, e string",
+    ).select(
+        "label",
+        F.col("s").cast("timestamp_ntz").alias("s"),
+        F.col("e").cast("timestamp_ntz").alias("e"),
+    )
+    ov = sess.join(
+        F.broadcast(w),
+        (F.col("s_start") < F.col("e")) & (F.col("s_end") > F.col("s")),
+    ).select(
+        "label",
+        F.expr(
+            "CAST(unix_timestamp(least(s_end, e))"
+            " - unix_timestamp(greatest(s_start, s)) AS BIGINT)"
+        ).alias("secs"),
+    )
+    return ov.groupBy("label").agg(
+        F.count("*").alias("n_users"),
+        F.sum("secs").cast("long").alias("overlap_seconds"),
+    )

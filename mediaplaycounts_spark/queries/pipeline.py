@@ -1541,3 +1541,50 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN least(n_tokens % 10, 3) ELSE 0 END) * 1000000 div n_tokens"
         " AS BIGINT) AS mask_ppm",
     )
+
+
+# ----------------------------------- dedup rate report (round 4)
+
+
+@register(
+    "pipeline_dedup_rate_report",
+    oracle="""
+        WITH k AS (
+            SELECT source, md5(text) AS h, MIN(doc_id) AS keeper,
+                   COUNT(*) AS copies
+            FROM documents GROUP BY source, md5(text))
+        SELECT source,
+               CAST(SUM(copies) AS BIGINT) AS n_docs_in,
+               COUNT(*) AS n_docs_out,
+               CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_removed,
+               CAST((SUM(copies) - COUNT(*)) * 1000000 // SUM(copies)
+                    AS BIGINT) AS removal_ppm,
+               CAST(MAX(copies) AS BIGINT) AS worst_copy_count
+        FROM k GROUP BY source
+    """,
+)
+def pipeline_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP RATE REPORT per source: in/out doc counts, removal ppm,
+    and the worst single duplicate family — the one-page summary every
+    corpus release notes ship ('source X was 31% duplicates, dominated
+    by one boilerplate page'). Built ON the exact-hash keeper grain
+    (same semantics as `dedup_exact_hash`), rolled up per source, so
+    the report and the dedup pass can never disagree.
+
+    One (source, hash) hash agg + one per-source rollup, both map-side
+    partial; report size = |sources| rows at any corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").alias("copies")
+    )
+    return k.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs_in"),
+        F.count("*").alias("n_docs_out"),
+        (F.sum("copies") - F.count("*")).cast("long").alias("n_removed"),
+        F.expr(
+            "CAST((SUM(copies) - COUNT(*)) * 1000000 div SUM(copies)"
+            " AS BIGINT)"
+        ).alias("removal_ppm"),
+        F.max("copies").cast("long").alias("worst_copy_count"),
+    )

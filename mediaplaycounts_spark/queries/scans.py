@@ -1063,3 +1063,60 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_cents"),
     )
+
+
+@register(
+    "scan_cache_reuse",
+    oracle="""
+        WITH f AS (
+            SELECT l_orderkey,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+            FROM lineitem WHERE l_discount >= 0.05),
+        a AS (SELECT COUNT(*) AS n_rows,
+                     CAST(SUM(cents) AS BIGINT) AS total_cents
+              FROM f),
+        b AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM f)
+        SELECT a.n_rows, a.total_cents, CAST(b.n_orders AS BIGINT)
+                 AS n_orders
+        FROM a CROSS JOIN b
+    """,
+)
+def scan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHED-RELATION REUSE: one filtered projection of the fact is
+    `.cache()`d and two different aggregations read it — the second
+    consumer scans the in-memory columnar store
+    (InMemoryTableScan in both plans), not parquet, which is the
+    interactive-analytics pattern for a working set queried many
+    times. The cache is eagerly populated (count) and EXPLICITLY
+    unpersisted in `finally` — a leaked cache silently eats executor
+    storage memory for the rest of the session.
+
+    Scale note: caching pays off only when re-reads exceed the
+    materialization cost; at 100 TB the same intent is served by
+    writing the working set as a temp table / using storage-level
+    DISK_ONLY — the plan shape (shared InMemoryRelation) is identical.
+    """
+    from mediaplaycounts_spark.queries._helpers import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_discount") >= 0.05).select(
+        "l_orderkey", cents("l_extendedprice").alias("cents")
+    )
+    f = f.cache()
+    try:
+        f.count()  # eager population
+        a = f.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        b = f.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        out = a.crossJoin(F.broadcast(b)).select(
+            "n_rows", "total_cents", F.col("n_orders").cast("long")
+            .alias("n_orders")
+        )
+        rows = out.collect()
+    finally:
+        f.unpersist()
+    return spark.createDataFrame(
+        rows, "n_rows long, total_cents long, n_orders long"
+    )

@@ -69,6 +69,7 @@ ALLOWED = {
     "agg_anova_oneway": "1-row grand-total aggregate crossed into the k-row moment table",
     "agg_survival_km": "1-row corpus-max-day aggregate broadcast onto the user-day table",
     "agg_funnel_time_to_convert": "1-row entered-count aggregate crossed into the summary row",
+    "join_range_overlap_duration": "theta join against a 2-row broadcast window table (bucketize at many-windows scale)",
     "agg_benford_digit_test": "1-row total broadcast onto the 9-row digit spine",
     "text_bpe_merge_rounds": "1-row winning-pair broadcast into the rewrite projection; 1-row totals crossed onto 1-row winner rows",
     "sim_threshold_sweep": "4-row threshold spine broadcast-theta-joined onto the blocked pair table",
@@ -94,6 +95,8 @@ MAX_SHUFFLES = {
     "agg_anova_oneway": 3,
     "agg_survival_km": 3,
     "agg_funnel_time_to_convert": 4,
+    "join_range_overlap_duration": 2,
+    "pipeline_dedup_rate_report": 2,
     "sink_parquet_zstd": 1,
     "join_geo_nearest": 1,
     "agg_cohort_ltv_curve": 5,
