@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 
 from mediaplaycounts_spark.session import checkpoint_df
@@ -207,6 +209,43 @@ def _salted_pair_join(sh: DataFrame, n_salt: int):
     return a, b, cond
 
 
+def _banding_params(
+    threshold: float, target_recall: float = 0.95, max_hashes: int = 128
+) -> tuple[int, int]:
+    """(num_hashes, rows_per_band) for MinHash banding such that recall
+    at J = ``threshold`` is >= ``target_recall``.
+
+    Banding recall is 1-(1-J^r)^b. For a fixed J and recall target the
+    required band count is b = ceil(ln(1-target)/ln(1-J^r)) — it
+    explodes as r grows, so we pick the LARGEST r whose b*r still fits
+    the ``max_hashes`` signature budget: larger r suppresses
+    low-similarity false candidates (candidate probability ~ b*J^r),
+    while the b formula guarantees the recall floor at the threshold.
+    Low thresholds (e.g. the 0.05 default of ngram_jaccard_pairs)
+    resolve to r=1 with many short bands — the ADVICE r4 finding was
+    exactly that a hardcoded r=2/b=16 had ~4% recall at J=0.05.
+    r=1 always fits: b = ceil(ln(1-target)/ln(1-J)) <= max_hashes for
+    any J >= ~0.012 at the defaults; below that we cap b at max_hashes
+    and accept the (documented) reduced recall rather than an unbounded
+    signature.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    log_miss = math.log(1.0 - target_recall)
+    best = None
+    for r in range(8, 0, -1):
+        p = threshold**r
+        if p >= 1.0:
+            continue
+        b = max(1, math.ceil(log_miss / math.log(1.0 - p)))
+        if b * r <= max_hashes:
+            best = (b * r, r)
+            break
+    if best is None:  # threshold so low even r=1 blows the budget
+        best = (max_hashes, 1)
+    return best
+
+
 def _lsh_candidate_pairs(
     sh: DataFrame, num_hashes: int, rows_per_band: int
 ) -> DataFrame:
@@ -295,10 +334,11 @@ def ngram_jaccard_pairs(
     count-per-block agg decides the split; when no block exceeds the
     ceiling (every graded SF) the plan is EXACTLY the direct join of
     old. Precision on the LSH path stays 1.0 (every emitted pair is
-    exact-verified); recall follows the banding S-curve
-    1-(1-j^r)^b — effectively 1 for the J≥0.3 regimes production
-    thresholds use, and the trade is the same one already graded for
-    `dedup_near_minhash`.
+    exact-verified); recall follows the banding S-curve 1-(1-j^r)^b,
+    and the banding parameters are DERIVED FROM ``threshold`` by
+    :func:`_banding_params` so recall at J=threshold is >= 0.95 by
+    construction (ADVICE r4: a hardcoded r=2/b=16 had ~4% recall at
+    the 0.05 default — low thresholds need r=1 with many short bands).
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"), shingles(text_col, n).alias("s")
@@ -323,8 +363,11 @@ def ngram_jaccard_pairs(
     if not big:
         return _exact_pairs(sh)
     small_part = sh.filter(~F.col("blk").isin(big))
+    num_hashes, rows_per_band = _banding_params(threshold)
     cand = _lsh_candidate_pairs(
-        sh.filter(F.col("blk").isin(big)), num_hashes=32, rows_per_band=2
+        sh.filter(F.col("blk").isin(big)),
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter

@@ -156,7 +156,24 @@ def cosine_pairs_blocked(
         return _exact_pairs(base)
 
     big_side = base.filter(F.col("blk").isin(big))
-    dim = len(big_side.select("v").head()[0])
+    # Dim inference must skip NULL vectors (head() on a null row would
+    # TypeError — ADVICE r4); a 1-row aggregate also asserts the
+    # uniform-dimension assumption the hyperplane tables rely on, so a
+    # mixed-dim corpus fails loudly here instead of silently hashing
+    # truncated dot products.
+    dim_row = big_side.agg(
+        F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
+    ).head()
+    if dim_row is None or dim_row["lo"] is None:
+        return _exact_pairs(base.filter(~F.col("blk").isin(big)))
+    if dim_row["lo"] != dim_row["hi"]:
+        raise ValueError(
+            "cosine_pairs_blocked requires uniform embedding dimension; "
+            f"found sizes in [{dim_row['lo']}, {dim_row['hi']}] "
+            "(NULL vectors are skipped by this check but will not match "
+            "any bucket — drop or impute them first)"
+        )
+    dim = int(dim_row["lo"])
     n_tables, n_planes = 8, 8
     all_planes = lsh_planes(n_tables * n_planes, dim)
     tables = [

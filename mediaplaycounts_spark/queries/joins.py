@@ -1035,11 +1035,20 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = sup.filter(F.col("s_nationkey") == 7).select("s_suppkey")
     # distributed Bloom build: key -> k bit positions -> bit_or words
+    # Cast both build and probe keys to BIGINT before xxhash64: the hash
+    # is input-type-sensitive, so an int vs bigint width mismatch between
+    # the dim and fact key columns would otherwise make every probe miss
+    # and silently drop matching fact rows (ADVICE r4).
     pos = keys.select(
         F.explode(
             F.array(
                 *[
-                    F.pmod(F.xxhash64("s_suppkey", F.lit(i)), F.lit(_RF_BITS))
+                    F.pmod(
+                        F.xxhash64(
+                            F.col("s_suppkey").cast("long"), F.lit(i)
+                        ),
+                        F.lit(_RF_BITS),
+                    )
                     for i in range(_RF_K)
                 ]
             )
@@ -1061,7 +1070,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = F.lit(True)
     for i in range(_RF_K):
-        p = f"pmod(xxhash64(l_suppkey, {i}), {_RF_BITS})"
+        p = f"pmod(xxhash64(CAST(l_suppkey AS BIGINT), {i}), {_RF_BITS})"
         w = f"CAST({p} / 64 AS INT)"
         b = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
         probe = probe & (

@@ -154,8 +154,27 @@ def checkpoint_df(df, eager: bool = True):
         return df.localCheckpoint(eager)
     sc = spark.sparkContext
     try:
+        # Normalized-path EQUALITY, not substring containment: a
+        # previously-set different directory that merely contains the
+        # configured path as a substring must NOT skip setCheckpointDir
+        # (ADVICE r4). The JVM may have resolved the dir to a file: URI,
+        # so compare the path component after stripping the scheme.
         current = sc._jsc.sc().getCheckpointDir()
-        has_dir = current.isDefined() and ckdir in str(current.get())
+        has_dir = False
+        if current.isDefined():
+            cur = str(current.get())
+            if "://" in cur:
+                cur = cur.split("://", 1)[1]
+            elif cur.startswith("file:"):
+                cur = cur[len("file:"):]
+            want = ckdir
+            if "://" in want:
+                want = want.split("://", 1)[1]
+            # setCheckpointDir stores <dir>/<random-uuid>, so the
+            # configured dir is the PARENT of the stored value.
+            has_dir = os.path.normpath(os.path.dirname(cur)) == os.path.normpath(
+                os.path.abspath(want)
+            )
     except Exception:
         has_dir = False
     if not has_dir:

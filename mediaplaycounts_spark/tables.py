@@ -109,7 +109,13 @@ MAYBE_BROADCAST_CONF = "spark.mediaplaycounts.maybeBroadcastThreshold"
 
 
 def _parse_bytes(value: str) -> int:
-    """Parse a Spark byte-size conf string ("10MB", "10485760b", "-1")."""
+    """Parse a Spark byte-size conf string ("10MB", "10485760b", "-1").
+
+    An unparseable value raises ValueError rather than silently falling
+    back to a default (ADVICE r4): a typo in
+    ``spark.mediaplaycounts.maybeBroadcastThreshold`` must surface as a
+    misconfiguration, not quietly re-enable 10MB broadcasting.
+    """
     s = str(value).strip().lower()
     mult = 1
     for suffix, m in (
@@ -126,7 +132,10 @@ def _parse_bytes(value: str) -> int:
     try:
         return int(float(s) * mult)
     except ValueError:
-        return 10 * (1 << 20)
+        raise ValueError(
+            f"unparseable byte-size conf value {value!r} "
+            f"(expected forms like '10MB', '10485760b', '-1')"
+        ) from None
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:

@@ -82,6 +82,14 @@ def test_parse_bytes_spark_conventions():
     assert _parse_bytes("512k") == 512 * 1024
 
 
+def test_parse_bytes_rejects_garbage():
+    # ADVICE r4: a typo must surface, not silently re-enable 10MB.
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_bytes("10MBB")
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_bytes("lots")
+
+
 def test_maybe_broadcast_small_side_gets_hint(spark):
     df = spark.range(10)
     hinted = maybe_broadcast(df)

@@ -63,6 +63,29 @@ def test_iterative_key_identical_both_branches(spark, ckdir):
     assert reliable == local and len(local) > 0
 
 
+def test_checkpoint_dir_substring_is_not_equality(spark):
+    """ADVICE r4: the already-set check must compare normalized paths
+    for EQUALITY. Setting dir A then reconfiguring to a dir that is a
+    SUBSTRING of A previously skipped setCheckpointDir and checkpoints
+    landed in A; now the reconfigure must win."""
+    base = pathlib.Path(".scratch") / f"cksub_{uuid.uuid4().hex[:12]}"
+    outer = base / "nested" / "inner"  # contains str(inner_target) below
+    inner_target = base / "nested"
+    try:
+        spark.conf.set(CHECKPOINT_DIR_CONF, str(outer))
+        checkpoint_df(spark.range(10)).count()
+        # now point at the SHORTER path that is a substring of the set one
+        spark.conf.set(CHECKPOINT_DIR_CONF, str(inner_target))
+        checkpoint_df(spark.range(10)).count()
+        cur = str(spark.sparkContext._jsc.sc().getCheckpointDir().get())
+        assert str(inner_target) in cur and str(outer) not in cur, (
+            f"checkpoint dir not re-pointed: {cur}"
+        )
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_pagerank_identical_both_branches(spark, ckdir):
     q = entrymod.queries()["graph_pagerank_int"]
     reliable = {tuple(r) for r in q(spark, SF).collect()}

@@ -256,3 +256,47 @@ def test_ivf_deterministic_and_finds_probe_itself(spark):
     }
     for r in a:
         assert brute[r.vec_id] == r.cos_sim
+
+
+def test_banding_params_hit_recall_floor():
+    """ADVICE r4 (medium): banding must derive from the call threshold so
+    recall at J=threshold is >= 0.95 — the old hardcoded r=2/b=16 had
+    ~4% recall at the 0.05 default."""
+    for t in (0.05, 0.1, 0.3, 0.5, 0.8):
+        H, r = D._banding_params(t)
+        b = H // r
+        recall = 1.0 - (1.0 - t**r) ** b
+        assert recall >= 0.95, f"threshold={t}: recall {recall:.3f} (r={r}, b={b})"
+        assert H <= 128 and H == b * r
+    # below ~0.024 even r=1 blows the 128-hash budget: the documented
+    # cap engages (best-effort recall, still far above the old 4%)
+    H, r = D._banding_params(0.02)
+    assert (H, r) == (128, 1)
+    assert 1.0 - (1.0 - 0.02) ** 128 > 0.90
+    # low thresholds need r=1 (many short bands); high thresholds may
+    # afford r>1 to suppress low-similarity candidates
+    assert D._banding_params(0.05)[1] == 1
+    assert D._banding_params(0.5)[1] > 1
+    with pytest.raises(ValueError):
+        D._banding_params(0.0)
+
+
+def test_cosine_pairs_blocked_null_and_mixed_dim_vectors(spark):
+    """ADVICE r4: dim inference must not crash when the first row's
+    vector is NULL, and a mixed-dimension corpus must fail loudly."""
+    rows = [(i, "hot", None if i == 0 else [float(i), 1.0, 0.5]) for i in range(40)]
+    em = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = S.cosine_pairs_blocked(
+        em, "vec_id", "embedding", "label", 0.999999, block_ceiling=10
+    )
+    assert out.count() >= 0  # no TypeError despite the NULL head row
+    mixed = spark.createDataFrame(
+        [(i, "hot", [1.0] * (2 + i % 2)) for i in range(40)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="uniform embedding dimension"):
+        S.cosine_pairs_blocked(
+            mixed, "vec_id", "embedding", "label", 0.5, block_ceiling=10
+        ).count()

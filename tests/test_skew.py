@@ -192,10 +192,11 @@ def test_block_ceiling_routes_giant_block_through_lsh(spark, skew_dir):
     agree with the direct exact path pair-for-pair.
 
     The skew fixture's 'en' block holds 1,600 docs (hot paragraph
-    x1000 + 25 near-dup families at J≈0.95). At threshold 0.5 the LSH
-    path (32 hashes, 16 bands of 2) has miss probability ~(1-j^2)^16 <
-    1e-4 per pair at j=0.95 — and the hashes are fixed seeds over fixed
-    fixture text, so the comparison is deterministic."""
+    x1000 + 25 near-dup families at J≈0.95). At threshold 0.5 the
+    banding parameters derive from the threshold (_banding_params:
+    r=3, b=23), giving per-pair miss probability (1-j^3)^23 ≈ 1e-19
+    at j=0.95 — and the hashes are fixed seeds over fixed fixture
+    text, so the comparison is deterministic."""
     from mediaplaycounts_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
