@@ -103,6 +103,13 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> tuple[bool, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--runtime-only",
+        action="store_true",
+        help="skip DuckDB oracles and bounds; record spark runtime + row "
+        "count only (for scale-ratio sweeps where the oracle twin "
+        "exceeds a sane budget at the big SF)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -137,6 +144,10 @@ def main() -> int:
         # keys carry BOTH an oracle (driver-visible) and a stronger
         # quantitative bound (asserted here).
         t_spark = time.time() - t0
+        if args.runtime_only:
+            print(f"~ {k}: rows-only ({len(sdf)} rows, spark={t_spark:.1f}s)")
+            n_rows_only += 1
+            continue
         bound = registry.get(k).bound
         bound_msg = None
         if bound is not None:

@@ -1,0 +1,151 @@
+"""Deterministic sf1 fixtures: a 10x upsample of /root/testdata/sf0.1.
+
+VERDICT r4 next-round item #1: the 100 TB scaling claims rested on the
+sf0.01->sf0.1 decade; this adds the sf0.1->sf1 decade for the
+superlinear-risk families (pair-join dedup, ANN, iterative graph).
+The driver does not ship sf1 parquet, so we synthesize it — WITHOUT
+inventing a new generator whose distributions could accidentally make
+the scaling test easier or harder than the driver's own data. Each sf1
+table is exactly ten shifted replicas of the driver's sf0.1 table:
+
+- Every key column is shifted by ``replica * OFFSET`` (OFFSET = next
+  power of 10 above the max key, computed per key family so foreign
+  keys stay consistent: o_custkey shifts by the CUSTOMER offset, etc.).
+  Joins therefore scale like real growth — 10x rows on both sides, the
+  same per-key fan-out, 10x distinct join keys.
+- ``documents.text`` gets a per-replica prefix token ("r3 ") for
+  replicas > 0, so exact/near-dup families stay INTRA-replica: the
+  qualifying pair count scales ~10x (like a corpus that grew 10x), not
+  ~100x (which a blind copy would produce via cross-replica dup
+  clusters — that would measure output blowup, not engine scaling).
+  n_chars is recomputed to keep the length invariant.
+- ``embeddings.embedding`` is rotated by ``replica`` positions
+  (norm-preserving; rotated high-dim vectors are ~orthogonal to their
+  originals), so ANN neighbor structure also stays intra-replica.
+  Labels are kept: label-block sizes grow 10x, which is precisely the
+  stress the blocked pair ops must absorb.
+- Dimension tables (region, nation) are copied as-is, mirroring TPC-H
+  where fixed dims do not scale with SF.
+
+Deterministic end to end (no RNG), so ratio tables are reproducible.
+
+Run:  python tools/gen_sf1.py [--out .scratch/sf1]   (~seconds, DuckDB)
+Then: python tools/check_correctness.py --sf /root/repo/.scratch/sf1 <keys>
+      python tools/scale_ratios.py <sf0.1 log> <sf1 log> --factor 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+def _offset(con: duckdb.DuckDBPyConnection, table: str, key: str) -> int:
+    mx = con.execute(f"SELECT max({key}) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+    off = 10
+    while off <= mx:
+        off *= 10
+    return off
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/.scratch/sf1")
+    args = ap.parse_args()
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 16")
+
+    off = {
+        "cust": _offset(con, "customer", "c_custkey"),
+        "supp": _offset(con, "supplier", "s_suppkey"),
+        "part": _offset(con, "part", "p_partkey"),
+        "order": _offset(con, "orders", "o_orderkey"),
+        "event": _offset(con, "events", "event_id"),
+        "user": _offset(con, "events", "user_id"),
+        "doc": _offset(con, "documents", "doc_id"),
+        "vec": _offset(con, "embeddings", "vec_id"),
+    }
+
+    def emit(table: str, select: str) -> None:
+        con.execute(
+            f"""
+            COPY (
+              SELECT {select}
+              FROM '{SRC}/{table}.parquet', range({REPLICAS}) r(k)
+              ORDER BY k
+            ) TO '{out}/{table}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)
+            """
+        )
+        n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"  {table}: {n} rows")
+
+    # fixed dims: single copy
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET)"
+        )
+        print(f"  {t}: copied as-is")
+
+    emit(
+        "customer",
+        f"c_custkey + k * {off['cust']} AS c_custkey, "
+        "c_name, c_nationkey, c_acctbal, c_mktsegment",
+    )
+    emit(
+        "supplier",
+        f"s_suppkey + k * {off['supp']} AS s_suppkey, "
+        "s_name, s_nationkey, s_acctbal",
+    )
+    emit(
+        "part",
+        f"p_partkey + k * {off['part']} AS p_partkey, "
+        "p_name, p_brand, p_type, p_size, p_retailprice",
+    )
+    emit(
+        "orders",
+        f"o_orderkey + k * {off['order']} AS o_orderkey, "
+        f"o_custkey + k * {off['cust']} AS o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+    )
+    emit(
+        "lineitem",
+        f"l_orderkey + k * {off['order']} AS l_orderkey, "
+        f"l_partkey + k * {off['part']} AS l_partkey, "
+        f"l_suppkey + k * {off['supp']} AS l_suppkey, "
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        "l_returnflag, l_linestatus, l_shipdate",
+    )
+    emit(
+        "events",
+        f"event_id + k * {off['event']} AS event_id, ts, "
+        f"user_id + k * {off['user']} AS user_id, "
+        "event_type, value, props",
+    )
+    emit(
+        "documents",
+        f"doc_id + k * {off['doc']} AS doc_id, "
+        "CASE WHEN k = 0 THEN text ELSE 'r' || k || ' ' || text END AS text, "
+        "lang, source, "
+        "CASE WHEN k = 0 THEN n_chars ELSE n_chars + len('r' || k || ' ') END "
+        "AS n_chars",
+    )
+    emit(
+        "embeddings",
+        f"vec_id + k * {off['vec']} AS vec_id, "
+        "CAST(list_concat(embedding[k+1:], embedding[1:k]) AS FLOAT[]) "
+        "AS embedding, label",
+    )
+    print(f"wrote sf1 fixtures to {out}")
+
+
+if __name__ == "__main__":
+    main()

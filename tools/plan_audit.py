@@ -18,8 +18,20 @@ the patterns that do not survive a 100x scale-up:
   declared ceiling is also flagged — adding an operator means declaring
   its expected shuffle budget.
 
+Round-5 addition (VERDICT r4 next #2): ``--bytes`` EXECUTES every key
+and records its total shuffle WRITE bytes from the Spark monitoring
+REST API (stage metrics diffed around each key). The exchange-count
+gate cannot see a payload-width regression — e.g. a string key
+sneaking back into an exchange, the exact bug class r4 fixed in
+dedup_substring_spans — but the bytes gate can: each key is checked
+against the committed ``SHUFFLE_BYTES.json`` baseline and flagged when
+it exceeds ``max(1.5 x baseline, baseline + 64 KiB)`` (the additive
+slack absorbs partition-count jitter on tiny keys).
+
 Usage:
     python tools/plan_audit.py [--sf /root/testdata/sf0.001] > PLAN_AUDIT.md
+    python tools/plan_audit.py --bytes --sf /root/testdata/sf0.1 \
+        [--update-baseline] [keys...] > SHUFFLE_BYTES.md
 """
 
 from __future__ import annotations
@@ -27,8 +39,11 @@ from __future__ import annotations
 import argparse
 import contextlib
 import io
+import json
+import pathlib
 import re
 import sys
+import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
@@ -352,10 +367,117 @@ MAX_SHUFFLES = {
 }
 
 
+BASELINE_PATH = pathlib.Path(__file__).resolve().parent.parent / "SHUFFLE_BYTES.json"
+
+#: Gate: measured > max(RATIO x baseline, baseline + SLACK) flags.
+BYTES_RATIO = 1.5
+BYTES_SLACK = 64 * 1024
+
+
+def _rest_stages(sc) -> dict[int, int]:
+    """stageId -> shuffle write bytes for all COMPLETE stages retained
+    by the app status store (Spark monitoring REST API — stable public
+    surface, same numbers as the UI's Stages tab)."""
+    base = sc.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    return {s["stageId"]: s["shuffleWriteBytes"] for s in stages}
+
+
+def bytes_audit(args) -> None:
+    from mediaplaycounts_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "shuffle-bytes-audit",
+        extra_conf={
+            # The REST metrics need the UI's status store; raise stage
+            # retention so a long sweep never evicts a key's own stages
+            # mid-diff (diffing uses only NEW ids, so old evictions are
+            # harmless, but a single key must not outrun the window).
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
+    if spark.sparkContext.uiWebUrl is None:
+        print(
+            "ERROR: Spark UI disabled (existing session without UI?) — "
+            "run in a fresh process",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    qs = entrymod.queries()
+    keys = args.keys or sorted(qs)
+    baseline: dict[str, int] = {}
+    if BASELINE_PATH.exists():
+        baseline = json.loads(BASELINE_PATH.read_text())
+    measured: dict[str, int] = {}
+    flagged: list[str] = []
+    print("# SHUFFLE BYTES — per-key shuffle write volume (exchange payload gate)")
+    print()
+    print(
+        f"Executed at `{args.sf}`; gate = max({BYTES_RATIO}x baseline, "
+        f"baseline + {BYTES_SLACK // 1024} KiB) against `SHUFFLE_BYTES.json`. "
+        "Regenerate: `python tools/plan_audit.py --bytes "
+        "--sf /root/testdata/sf0.1`."
+    )
+    print()
+    print("| key | shuffle write | baseline | verdict |")
+    print("| --- | --- | --- | --- |")
+    for key in keys:
+        before = _rest_stages(spark.sparkContext)
+        try:
+            df = qs[key](spark, args.sf)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"| `{key}` | - | - | not executable: {type(exc).__name__} |")
+            continue
+        after = _rest_stages(spark.sparkContext)
+        wrote = sum(v for sid, v in after.items() if sid not in before)
+        measured[key] = wrote
+        base = baseline.get(key)
+        if base is None:
+            verdict = "new (no baseline)"
+        elif wrote > max(BYTES_RATIO * base, base + BYTES_SLACK):
+            verdict = f"**FLAG** — exceeds gate ({BYTES_RATIO}x / +64KiB)"
+            flagged.append(key)
+        else:
+            verdict = "ok"
+        print(
+            f"| `{key}` | {wrote:,} | "
+            f"{'-' if base is None else format(base, ',')} | {verdict} |"
+        )
+    print()
+    print(f"Flagged: {len(flagged)}" + (f" — {flagged}" if flagged else ""))
+    if args.update_baseline:
+        merged = dict(baseline)
+        merged.update(measured)
+        BASELINE_PATH.write_text(
+            json.dumps(dict(sorted(merged.items())), indent=1) + "\n"
+        )
+        print(f"\nBaseline updated: {BASELINE_PATH.name} ({len(merged)} keys)")
+    if flagged:
+        sys.exit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--bytes", action="store_true", dest="bytes_mode",
+                    help="execute keys and gate shuffle WRITE bytes")
+    ap.add_argument("--update-baseline", action="store_true",
+                    help="with --bytes: write measurements to SHUFFLE_BYTES.json")
+    ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
+
+    if args.bytes_mode:
+        bytes_audit(args)
+        return
 
     from mediaplaycounts_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -373,7 +495,7 @@ def main() -> None:
     )
     print("| --- | --- | --- | --- | --- | --- |")
     flagged = 0
-    for key in sorted(qs):
+    for key in args.keys or sorted(qs):
         try:
             df = qs[key](spark, args.sf)
             buf = io.StringIO()
