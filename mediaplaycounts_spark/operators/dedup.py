@@ -379,6 +379,78 @@ def ngram_jaccard_pairs(
     return _exact_pairs(small_part).unionByName(big_pairs)
 
 
+def _prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """EXACT candidate pairs for containment >= threshold within blocks,
+    via the prefix-filter principle (AllPairs/PPJoin family).
+
+    If C(A→B) = |A∩B|/|A| >= t, then A shares at least one shingle
+    with B among A's first ``|A| - ceil(t*|A|) + 1`` shingles in ANY
+    fixed global ordering (pigeonhole: fewer than that many misses are
+    allowed). Ordering by ascending per-block document frequency makes
+    those prefix shingles the RAREST ones, so the candidate join's
+    posting lists are short where it matters. Candidates = A's prefix
+    tokens equi-joined against B's FULL token list (asymmetric, because
+    only A's size appears in the bound); both orientations are covered
+    because each doc plays the prefix side once. Recall is exactly 1.0
+    — unlike MinHash banding this fallback loses nothing, so the same
+    value oracle holds under any ceiling configuration.
+
+    Shuffle cost: one explode (rows x shingles, linear), one per-block
+    df aggregate, one inverted-index join whose volume is
+    sum over prefix tokens of df(token) — worst case still df-skew
+    sensitive (a stopword shingle inside someone's prefix joins its
+    whole posting list) but never the block-quadratic of the direct
+    path.
+
+    Returns distinct (id_a < id_b, sa, sb) ready for exact verify.
+    """
+    from pyspark.sql.window import Window as W
+
+    tok = sh.select("doc_id", "blk", F.explode("s").alias("w"))
+    dfreq = tok.groupBy("blk", "w").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(dfreq, ["blk", "w"])
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "w")
+            ),
+        )
+    )
+    sz = F.size("s")
+    prefix_len = sh.select(
+        "doc_id",
+        (sz - F.ceil(F.lit(threshold) * sz) + 1).alias("plen"),
+    )
+    pref = (
+        ranked.join(prefix_len, "doc_id")
+        .filter(F.col("rnk") <= F.col("plen"))
+        .select("doc_id", "blk", "w")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = sh.select("doc_id", "s")
+    return cand.join(
+        sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
+        "id_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
+        "id_b",
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -387,6 +459,7 @@ def containment_pairs(
     n: int = 2,
     threshold: float = 0.3,
     n_salt: int = 32,
+    block_ceiling: int | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs within blocks: C(A→B) = |A∩B|/|A|.
 
@@ -396,42 +469,62 @@ def containment_pairs(
     containment of the small side stays ~1. Emits both directions'
     scores per unordered pair; same salted-block join shape (and scale
     rationale) as :func:`ngram_jaccard_pairs`.
+
+    BLOCK-SIZE CEILING (r5 — the sf0.1→sf1 scale decade exposed this
+    as the one pair operator WITHOUT a quadratic escape): blocks over
+    ``block_ceiling`` (param, else the pairBlockCeiling conf, else 1M)
+    route through :func:`_prefix_filter_candidates` — an EXACT
+    (recall 1.0) inverted-index candidate join, not MinHash banding,
+    because containment's whole point is pairs whose Jaccard is LOW
+    (a tiny doc inside a huge one) and Jaccard-LSH would
+    systematically miss exactly those. Every candidate is then
+    exact-verified, so the routed result is IDENTICAL to the direct
+    path and the value oracle holds under any ceiling configuration.
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("blk"),
         shingles(text_col, n).alias("s"),
     )
-    n_parts = max(n_salt, df.sparkSession.sparkContext.defaultParallelism * 2)
-    a = (
-        sh.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
-        .repartition(n_parts, "blk", "salt")
-        .alias("a")
+    ceiling = _resolve_block_ceiling(df, block_ceiling)
+    big = _oversized_blocks(sh, ceiling)
+
+    inter_direct = F.size(F.array_intersect("a.s", "b.s"))
+    c_ab = inter_direct.cast("double") / F.size("a.s").cast("double")
+    c_ba = inter_direct.cast("double") / F.size("b.s").cast("double")
+
+    def _direct(part: DataFrame) -> DataFrame:
+        a, b, cond = _salted_pair_join(part, n_salt)
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                c_ab.alias("containment_ab"),
+                c_ba.alias("containment_ba"),
+            )
+            .filter(
+                (F.col("containment_ab") >= threshold)
+                | (F.col("containment_ba") >= threshold)
+            )
+        )
+
+    if not big:
+        return _direct(sh)
+    cand = _prefix_filter_candidates(sh.filter(F.col("blk").isin(big)), threshold)
+    inter = F.size(F.array_intersect("sa", "sb"))
+    cb_ab = inter.cast("double") / F.size("sa").cast("double")
+    cb_ba = inter.cast("double") / F.size("sb").cast("double")
+    big_pairs = cand.select(
+        "id_a",
+        "id_b",
+        cb_ab.alias("containment_ab"),
+        cb_ba.alias("containment_ba"),
+    ).filter(
+        (F.col("containment_ab") >= threshold)
+        | (F.col("containment_ba") >= threshold)
     )
-    b = sh.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    ).alias("b")
-    inter = F.size(F.array_intersect("a.s", "b.s"))
-    c_ab = inter.cast("double") / F.size("a.s").cast("double")
-    c_ba = inter.cast("double") / F.size("b.s").cast("double")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            c_ab.alias("containment_ab"),
-            c_ba.alias("containment_ba"),
-        )
-        .filter(
-            (F.col("containment_ab") >= threshold)
-            | (F.col("containment_ba") >= threshold)
-        )
-    )
+    return _direct(sh.filter(~F.col("blk").isin(big))).unionByName(big_pairs)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

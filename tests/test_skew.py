@@ -248,3 +248,27 @@ def test_block_ceiling_cosine_pairs_lsh_agrees(spark, skew_dir):
     r = {(r.id_a, r.id_b) for r in routed.collect()}
     assert {(i, 600 + i) for i in range(30)} <= d
     assert d == r
+
+
+def test_block_ceiling_containment_prefix_filter_exact(spark, skew_dir):
+    """r5: containment_pairs' oversized-block route is the PREFIX-FILTER
+    candidate join (recall exactly 1.0, unlike MinHash banding), so the
+    routed result must equal the direct exact path PAIR-FOR-PAIR,
+    including both containment scores."""
+    from mediaplaycounts_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    direct = containment_pairs(
+        docs, "doc_id", "text", "lang", n=2, threshold=0.4,
+        block_ceiling=10**9,
+    )
+    routed = containment_pairs(
+        docs, "doc_id", "text", "lang", n=2, threshold=0.4,
+        block_ceiling=500,
+    )
+    d = {(r.id_a, r.id_b): (r.containment_ab, r.containment_ba)
+         for r in direct.collect()}
+    r = {(r.id_a, r.id_b): (r.containment_ab, r.containment_ba)
+         for r in routed.collect()}
+    assert len(d) > 0
+    assert d == r

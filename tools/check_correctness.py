@@ -110,6 +110,15 @@ def main() -> int:
         "count only (for scale-ratio sweeps where the oracle twin "
         "exceeds a sane budget at the big SF)",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="session conf(s) to set before running keys (e.g. "
+        "spark.mediaplaycounts.pairBlockCeiling=2000 to exercise the "
+        "production LSH fallback in a scale sweep)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -119,6 +128,10 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     keys = args.keys or sorted(qs)
     spark = get_spark("check-correctness")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
+        print(f"conf: {k}={v}")
     con = duck_con(args.sf)
 
     from mediaplaycounts_spark import registry

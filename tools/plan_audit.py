@@ -364,6 +364,10 @@ MAX_SHUFFLES = {
     # sql_try_arithmetic: pure projection, zero shuffles
     # sim_rerank_rrf / pipeline_rag_chunking / pipeline_chat_format /
     # multimodal_tiled_patches: zero shuffles at sf0.001 (absent = 0)
+    # r5: category-snapshot BFS — edge-table distinct per collected
+    # branch + final distinct; frontier joins are broadcast semi-joins
+    # (no exchange). Depth-bounded, so the ceiling is static.
+    "scan_category_snapshot": 4,
 }
 
 

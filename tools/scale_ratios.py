@@ -23,6 +23,30 @@ import sys
 
 LINE = re.compile(r"^[✓✗~] (\w+):.*spark=([0-9.]+)s")
 
+#: Documented per-key complexity bounds for the sf0.1->sf1 decade
+#: (VERDICT r4 next #1): allowed time-growth factor per 10x data, as a
+#: multiple of the data factor. 1.0 = linear (the default for every
+#: key not listed). Keys listed here have a documented superlinear term
+#: and get slack = factor x bound; the bound is the CLAIM being gated,
+#: so raising one is a reviewed act — justify it in the commit.
+COMPLEXITY_BOUNDS = {
+    # O(n log n) component rounds: label propagation + pointer jumping
+    # adds ~log10 growth in rounds on top of linear per-round work.
+    "dedup_minhash_clusters": 1.4,
+    "dedup_clusters": 1.4,
+    # pair-join keys: candidate pairs grow ~linearly by construction
+    # (intra-replica dup families), but the exact-verify twin embedded
+    # for grading re-verifies every pair -> allow modest slack for the
+    # verify fan-in skew.
+    "dedup_ngram_jaccard": 1.3,
+    "text_containment_pairs": 1.3,
+    "dedup_near_minhash": 1.3,
+    # triangle counting: sum over nodes of deg^2 within replicas stays
+    # linear under replica-disjoint scaling, but the heaviest block's
+    # skew grows with block size.
+    "graph_triangle_count": 1.3,
+}
+
 
 def parse(path: str) -> dict[str, float]:
     out: dict[str, float] = {}
@@ -49,18 +73,22 @@ def main() -> int:
     small, big = parse(args.small_log), parse(args.big_log)
     keys = sorted(set(small) & set(big), key=lambda k: -big[k])
     flagged = []
-    print("| key | spark@small | spark@big | ratio | note |")
-    print("| --- | --- | --- | --- | --- |")
+    print("| key | spark@small | spark@big | ratio | allowed | note |")
+    print("| --- | --- | --- | --- | --- | --- |")
     for k in keys[: args.top]:
         s, b = small[k], big[k]
         ratio = b / s if s > 0 else float("inf")
+        allowed = args.factor * COMPLEXITY_BOUNDS.get(k, 1.0)
         note = ""
-        if b >= args.min_sec and ratio > args.factor:
-            note = f"**super-linear** (> {args.factor:.0f}x)"
+        if b >= args.min_sec and ratio > allowed:
+            note = f"**exceeds complexity bound** (> {allowed:.0f}x)"
             flagged.append(k)
         elif b >= args.min_sec and ratio <= 1.5:
             note = "overhead-bound (flat)"
-        print(f"| `{k}` | {s:.1f}s | {b:.1f}s | {ratio:.1f}x | {note} |")
+        print(
+            f"| `{k}` | {s:.1f}s | {b:.1f}s | {ratio:.1f}x | "
+            f"{allowed:.0f}x | {note} |"
+        )
     n_sub = sum(
         1 for k in set(small) & set(big)
         if big[k] < args.min_sec
@@ -68,7 +96,7 @@ def main() -> int:
     print(
         f"\n{len(set(small) & set(big))} keys compared; {n_sub} finish "
         f"under {args.min_sec:.0f}s at the big SF (overhead-dominated, "
-        f"not flaggable); super-linear flags: {flagged or 'none'}"
+        f"not flaggable); complexity-bound flags: {flagged or 'none'}"
     )
     return 1 if flagged else 0
 
