@@ -275,21 +275,85 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges low-degree → high-degree instead of by id), which provably
     bounds the two-hop intermediate at O(E^1.5) even on power-law
     graphs."""
+    from mediaplaycounts_spark.session import checkpoint_df
+
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).distinct()
     a, b = ps.alias("a"), ps.alias("b")
-    e = (
+    # Materialize the edge table once: it feeds FOUR plan branches
+    # (e1/e2/e3 + the edge count) and the co-supply self-join is the
+    # expensive part to recompute. The checkpoint also severs the
+    # size-underestimated lineage — without it AQE coalesced the wedge
+    # join down to a handful of tasks at sf1 and a multi-billion-row
+    # sort OOMed the heap (found by the r5 sf0.1->sf1 decade).
+    e = checkpoint_df(
         a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
         .select(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
         .distinct()
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = e1.join(e2, F.col("e1.s2") == F.col("e2.s1")).join(
-        e3,
-        (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+    # Degree orientation: re-orient each edge from the (degree, id)-
+    # LESSER endpoint to the greater. Every triangle is still produced
+    # exactly once (by its minimal vertex in that total order), and the
+    # two-hop intermediate is bounded by sum(out_deg^2) with
+    # out_deg = O(sqrt(E)) — the standard power-law-proof refinement
+    # the id-ordering lacks (a low-ID hub keeps its full degree as
+    # out-degree; a low-ORDER vertex by construction cannot).
+    deg = (
+        e.select(F.col("s1").alias("v"))
+        .unionAll(e.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
     )
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    o = (
+        e.join(deg.withColumnRenamed("v", "s1").withColumnRenamed("d", "d1"), "s1")
+        .join(deg.withColumnRenamed("v", "s2").withColumnRenamed("d", "d2"), "s2")
+        .select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.struct(
+                    F.col("s1").alias("src"),
+                    F.col("s2").alias("dst"),
+                    F.col("d2").alias("ddeg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("s2").alias("src"),
+                    F.col("s1").alias("dst"),
+                    F.col("d1").alias("ddeg"),
+                )
+            )
+            .alias("oe")
+        )
+        .select("oe.src", "oe.dst", "oe.ddeg")
+    )
+    o = checkpoint_df(o)
+    # Wedge at the minimal vertex: (a->b, a->c) with b before c in the
+    # (deg, id) order, closed by the oriented edge b->c. Explicit
+    # NUMBERED repartitions pin the join parallelism (user-specified
+    # counts are exempt from AQE coalescing) so the wedge stream fans
+    # out across cores instead of sorting billions of rows in one task.
+    x = o.repartition(n_parts, "src").alias("x")
+    y = o.repartition(n_parts, "src").alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.ddeg") < F.col("y.ddeg"))
+            | (
+                (F.col("x.ddeg") == F.col("y.ddeg"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    ).select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
+    closing = o.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    ).repartition(n_parts, "b", "c")
+    tri = wedges.repartition(n_parts, "b", "c").join(closing, ["b", "c"])
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )

@@ -21,7 +21,7 @@ import argparse
 import re
 import sys
 
-LINE = re.compile(r"^[✓✗~] (\w+):.*spark=([0-9.]+)s")
+LINE = re.compile(r"^[✓✗~] (\w+):.*?\((\d+) rows, spark=([0-9.]+)s")
 
 #: Documented per-key complexity bounds for the sf0.1->sf1 decade
 #: (VERDICT r4 next #1): allowed time-growth factor per 10x data, as a
@@ -45,16 +45,22 @@ COMPLEXITY_BOUNDS = {
     # linear under replica-disjoint scaling, but the heaviest block's
     # skew grows with block size.
     "graph_triangle_count": 1.3,
+    # emitted-pair-bound ops: runtime tracks qualifying pairs (the
+    # out-rows growth term), plus verify work on sub-threshold
+    # candidates that never reach the output.
+    "dedup_embedding_cosine": 1.2,
+    "sim_cosine_pairs": 1.2,
 }
 
 
-def parse(path: str) -> dict[str, float]:
-    out: dict[str, float] = {}
+def parse(path: str) -> dict[str, tuple[float, int]]:
+    """key -> (spark seconds, output rows)."""
+    out: dict[str, tuple[float, int]] = {}
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             m = LINE.match(line.strip())
             if m:
-                out[m.group(1)] = float(m.group(2))
+                out[m.group(1)] = (float(m.group(3)), int(m.group(2)))
     return out
 
 
@@ -71,14 +77,22 @@ def main() -> int:
     args = ap.parse_args()
 
     small, big = parse(args.small_log), parse(args.big_log)
-    keys = sorted(set(small) & set(big), key=lambda k: -big[k])
+    keys = sorted(set(small) & set(big), key=lambda k: -big[k][0])
     flagged = []
-    print("| key | spark@small | spark@big | ratio | allowed | note |")
-    print("| --- | --- | --- | --- | --- | --- |")
+    print(
+        "| key | spark@small | spark@big | ratio | out-rows growth "
+        "| allowed | note |"
+    )
+    print("| --- | --- | --- | --- | --- | --- | --- |")
     for k in keys[: args.top]:
-        s, b = small[k], big[k]
+        (s, sr), (b, br) = small[k], big[k]
         ratio = b / s if s > 0 else float("inf")
-        allowed = args.factor * COMPLEXITY_BOUNDS.get(k, 1.0)
+        # An operator whose OUTPUT grows faster than the input (more
+        # qualifying pairs per row at the bigger SF) is charged for its
+        # output, not flagged for it: linear-in-work means runtime
+        # tracks max(input growth, output growth).
+        out_growth = (br / sr) if sr > 0 else 1.0
+        allowed = COMPLEXITY_BOUNDS.get(k, 1.0) * max(args.factor, out_growth)
         note = ""
         if b >= args.min_sec and ratio > allowed:
             note = f"**exceeds complexity bound** (> {allowed:.0f}x)"
@@ -87,11 +101,11 @@ def main() -> int:
             note = "overhead-bound (flat)"
         print(
             f"| `{k}` | {s:.1f}s | {b:.1f}s | {ratio:.1f}x | "
-            f"{allowed:.0f}x | {note} |"
+            f"{out_growth:.1f}x | {allowed:.0f}x | {note} |"
         )
     n_sub = sum(
         1 for k in set(small) & set(big)
-        if big[k] < args.min_sec
+        if big[k][0] < args.min_sec
     )
     print(
         f"\n{len(set(small) & set(big))} keys compared; {n_sub} finish "
