@@ -23,6 +23,7 @@ import math
 from pyspark.sql import Column, DataFrame
 
 from mediaplaycounts_spark.session import checkpoint_df
+from mediaplaycounts_spark.tables import ensure_min_parallelism
 from pyspark.sql import functions as F
 
 P_MOD = 1_000_000_007
@@ -78,7 +79,13 @@ def minhash_signatures(
     h_s(x) = xxhash64(x, s) — independent hash families from literal
     seeds, computed columnar in one projection (no UDF, no explode: the
     min runs inside array_min over the shingle array).
+
+    The projection costs num_hashes x shingles hash evaluations PER ROW
+    — exactly the compute-bound shape that must not inherit a 1-split
+    scan, hence the parallelism guard (see
+    :func:`~mediaplaycounts_spark.tables.ensure_min_parallelism`).
     """
+    df = ensure_min_parallelism(df)
     sh = shingles(text_col, n)
     sig = F.array(
         *[
@@ -340,6 +347,7 @@ def ngram_jaccard_pairs(
     construction (ADVICE r4: a hardcoded r=2/b=16 had ~4% recall at
     the 0.05 default — low thresholds need r=1 with many short bands).
     """
+    df = ensure_min_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"), shingles(text_col, n).alias("s")
     )
@@ -481,6 +489,7 @@ def containment_pairs(
     exact-verified, so the routed result is IDENTICAL to the direct
     path and the value oracle holds under any ceiling configuration.
     """
+    df = ensure_min_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("blk"),
@@ -534,6 +543,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     conditional-sum aggregates (one per bit) in a single groupBy pass;
     the fingerprint reassembles JVM-side. All integer arithmetic.
     """
+    df = ensure_min_parallelism(df)
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
     ).withColumn("h", F.xxhash64("w"))

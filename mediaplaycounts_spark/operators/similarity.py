@@ -112,7 +112,9 @@ def cosine_pairs_blocked(
         _oversized_blocks,
         _resolve_block_ceiling,
     )
+    from mediaplaycounts_spark.tables import ensure_min_parallelism
 
+    df = ensure_min_parallelism(df)
     base = df.select(
         F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), as_double(vec_col).alias("v")
     )

@@ -103,6 +103,36 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         df.createOrReplaceTempView(n)
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Guard EXPENSIVE PER-ROW COMPUTE against input under-splitting.
+
+    A narrow pipeline inherits the scan's partitioning, and a scan's
+    split count is governed by file layout (``maxPartitionBytes``), not
+    by how much work downstream expressions do per row. A 60 MB
+    single-file corpus scans as ONE task, so shingle explosion / 128-way
+    MinHash projections / per-row vector math serialize onto one core —
+    measured at the r5 sf1 decade: the ngram-jaccard production path sat
+    >10 min in a single task while 31 cores idled. The same shape bites
+    a 1000-executor cluster handed a handful of huge row groups.
+
+    When the input has fewer partitions than ``defaultParallelism``,
+    round-robin repartition up to it: one narrow-payload shuffle (the
+    raw rows, BEFORE any explode multiplies them) buys full fan-out for
+    the heavy projection that follows. When the scan is already split
+    properly — every healthy large-scale layout — this is a no-op with
+    zero plan change, which is why the guard is conditional instead of
+    an unconditional repartition.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 #: Conf key for the size gate used by :func:`maybe_broadcast`. When unset,
 #: the gate falls back to ``spark.sql.autoBroadcastJoinThreshold``.
 MAYBE_BROADCAST_CONF = "spark.mediaplaycounts.maybeBroadcastThreshold"

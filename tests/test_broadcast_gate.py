@@ -155,3 +155,38 @@ def test_gated_keys_identical_results_both_branches(spark, key):
         big = {tuple(r) for r in q(spark, SF).collect()}
     assert small == big
     assert len(small) > 0
+
+
+class TestEnsureMinParallelism:
+    """Input under-splitting guard (r5 — found by the sf1 decade: a
+    single-file corpus scanned as ONE task and the MinHash/shingle
+    projections serialized onto one core)."""
+
+    def test_single_partition_input_fans_out(self, spark):
+        from mediaplaycounts_spark.tables import ensure_min_parallelism
+
+        df = spark.range(1000).coalesce(1)
+        out = ensure_min_parallelism(df)
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        assert out.count() == 1000
+
+    def test_well_split_input_untouched(self, spark):
+        from mediaplaycounts_spark.tables import ensure_min_parallelism
+
+        n = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(n + 4)
+        out = ensure_min_parallelism(df)
+        # No-op: same object, no extra exchange in the plan.
+        assert out is df
+
+    def test_minhash_results_unchanged_by_guard(self, spark):
+        """The guard must never change VALUES — pairs from a 1-partition
+        corpus equal pairs from a pre-split one."""
+        from mediaplaycounts_spark.operators import dedup as D
+
+        rows = [(i, f"tok{i} common text body shared words {i % 7}") for i in range(60)]
+        one = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        many = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        p1 = {tuple(r) for r in D.minhash_lsh_pairs(one, "doc_id", "text").collect()}
+        p2 = {tuple(r) for r in D.minhash_lsh_pairs(many, "doc_id", "text").collect()}
+        assert p1 == p2
