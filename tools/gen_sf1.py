@@ -13,15 +13,31 @@ table is exactly ten shifted replicas of the driver's sf0.1 table:
   keys stay consistent: o_custkey shifts by the CUSTOMER offset, etc.).
   Joins therefore scale like real growth — 10x rows on both sides, the
   same per-key fan-out, 10x distinct join keys.
-- ``documents.text`` gets a per-replica prefix token ("r3 ") for
-  replicas > 0, so exact/near-dup families stay INTRA-replica: the
-  qualifying pair count scales ~10x (like a corpus that grew 10x), not
-  ~100x (which a blind copy would produce via cross-replica dup
-  clusters — that would measure output blowup, not engine scaling).
-  n_chars is recomputed to keep the length invariant.
-- ``embeddings.embedding`` is rotated by ``replica`` positions
-  (norm-preserving; rotated high-dim vectors are ~orthogonal to their
-  originals), so ANN neighbor structure also stays intra-replica.
+- ``documents.text``: every token gets a per-replica tag (``r3x``)
+  for replicas > 0, making replica shingle spaces DISJOINT — so
+  exact/near-dup families stay strictly INTRA-replica and the
+  qualifying pair count scales ~10x (like a corpus that grew 10x with
+  new content), not ~100x (which copy-with-one-changed-token produced
+  via cross-replica dup clusters at J≈0.98 — that measured output
+  blowup, not engine scaling). Per-doc token counts and within-replica
+  df shapes are preserved; n_chars is recomputed.
+- ``embeddings.embedding`` is rotated by ``replica`` positions AND
+  sign-flipped by a deterministic per-(replica, position) hash mask —
+  norm-preserving and EXACTLY cosine-preserving within a replica (all
+  vectors of a replica share the mask, so the signs cancel in every
+  within-replica dot product). Cross-replica, same-vector twins are
+  decorrelated (max |cos| drops to ~0.5 from ~1), and intra-replica
+  qualifying pairs scale exactly 10x (measured: 1,449 -> 14,490 at
+  threshold 0.3). BUT at dim=64 no norm-preserving transform can push
+  generic cross-replica cosines reliably below 0.3 (the random
+  -direction tail is ~e^(-d t^2/2) ≈ 5% two-sided at t=0.3), so
+  ~0.8% of cross-replica in-block pairs still qualify — ~137k pairs,
+  dominating the output. This is SEMANTICALLY REAL (new corpus content
+  does land above a 0.3-cosine bar against old content by direction
+  chance alone at this dimensionality): threshold-pair operators over
+  low-dim embeddings are OUTPUT-BOUND under corpus growth, and
+  `scale_ratios.py` accordingly charges each operator for its output
+  growth rather than pretending pair counts scale linearly.
   Labels are kept: label-block sizes grow 10x, which is precisely the
   stress the blocked pair ops must absorb.
 - Dimension tables (region, nation) are copied as-is, mirroring TPC-H
@@ -130,19 +146,46 @@ def main() -> None:
         f"user_id + k * {off['user']} AS user_id, "
         "event_type, value, props",
     )
+    # EVERY token gets the replica tag (k>0), not just a prefix token: a
+    # single changed token out of ~100 leaves cross-replica copies of a
+    # doc at Jaccard ≈ 0.98 — near-dups of each other — so the pair
+    # count would grow ~100x (duplicate-cluster blowup) instead of the
+    # intended ~10x, and decade ratios would price output growth, not
+    # engine scaling (caught in r5 when dedup_simhash grew 41x: its
+    # near-pair verify harness was crawling a 100x near-pair set).
+    # Tagging every token makes replica shingle spaces DISJOINT, so
+    # exact/near-dup structure is strictly intra-replica by
+    # construction. Per-doc token counts, lengths (n_chars recomputed),
+    # and within-replica df distributions are preserved.
     emit(
         "documents",
         f"doc_id + k * {off['doc']} AS doc_id, "
-        "CASE WHEN k = 0 THEN text ELSE 'r' || k || ' ' || text END AS text, "
+        "CASE WHEN k = 0 THEN text "
+        "     ELSE regexp_replace(text, '(\\S+)', 'r' || k || 'x\\1', 'g') "
+        "END AS text, "
         "lang, source, "
-        "CASE WHEN k = 0 THEN n_chars ELSE n_chars + len('r' || k || ' ') END "
-        "AS n_chars",
+        "CASE WHEN k = 0 THEN n_chars "
+        "     ELSE len(regexp_replace(text, '(\\S+)', 'r' || k || 'x\\1', 'g')) "
+        "END AS n_chars",
     )
+    # Rotation alone left cross-replica cosines high (the vectors are
+    # cluster + noise, not i.i.d.): sim_cosine_pairs at sf1 emitted
+    # 104x the pairs, mostly cross-replica. A deterministic per-replica
+    # SIGN-FLIP mask (hash of (replica, position), norm-preserving) on
+    # top of the rotation drives cross-replica cosine to ~N(0, 1/d):
+    # neighbor structure becomes strictly intra-replica while
+    # within-replica geometry is untouched (every vector of a replica
+    # gets the SAME mask, and a shared sign flip cancels inside dot
+    # products between same-replica vectors... it does NOT — the mask
+    # is per-POSITION, shared by all vectors of the replica, so for two
+    # same-replica vectors u,v: sum_i (s_i u_i)(s_i v_i) = sum_i u_i
+    # v_i — cosines within a replica are EXACTLY preserved).
     emit(
         "embeddings",
         f"vec_id + k * {off['vec']} AS vec_id, "
-        "CAST(list_concat(embedding[k+1:], embedding[1:k]) AS FLOAT[]) "
-        "AS embedding, label",
+        "CAST(list_transform(list_concat(embedding[k+1:], embedding[1:k]), "
+        " (x, i) -> x * (1 - 2 * CAST(hash(k * 4099 + i) % 2 AS INT))) "
+        "AS FLOAT[]) AS embedding, label",
     )
     print(f"wrote sf1 fixtures to {out}")
 
