@@ -141,7 +141,14 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sets = sigs.select("doc_id", "shingle_set")
+    # The verify side carries shingle-set ARRAYS. Its Catalyst size
+    # estimate derives from the compressed parquet scan (a few MB), but
+    # the deserialized arrays are 100-1000x that — at sf1 Catalyst
+    # happily broadcast it and the 8 GB driver OOM'd building the
+    # relation. shuffle_hash: doc_id is high-cardinality, so the build
+    # side per partition is corpus/shuffle-partitions — bounded at any
+    # scale, no sort of the array payload.
+    sets = sigs.select("doc_id", "shingle_set").hint("shuffle_hash")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     return (
@@ -194,8 +201,8 @@ def _salted_pair_join(sh: DataFrame, n_salt: int):
     n_salt ways — every a<b pair meets exactly once, spread over
     blk x n_salt partitions instead of one task per block key."""
     # Explicit repartition of the probe side: pre-join inputs are tiny
-    # (a few k rows), so Catalyst broadcasts side B and AQE would
-    # coalesce everything onto the scan's 1-2 input splits — the
+    # (a few k rows) by Catalyst's compressed-scan estimate, and AQE
+    # would coalesce everything onto the scan's 1-2 input splits — the
     # quadratic compare work is invisible to size-based heuristics.
     # A user-specified partition count is exempt from AQE coalescing,
     # so the comparisons actually fan out.
@@ -205,9 +212,19 @@ def _salted_pair_join(sh: DataFrame, n_salt: int):
         .repartition(n_parts, "blk", "salt")
         .alias("a")
     )
-    b = sh.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    ).alias("b")
+    # merge hint on B: its shingle ARRAYS deserialize to 100-1000x the
+    # compressed-scan size estimate Catalyst would broadcast on (the
+    # sf1 decade OOM'd the 8 GB driver building that relation). SMJ
+    # buffers the matching key group spillably, so a block at the
+    # ceiling degrades to disk instead of OOM; AQE may still promote
+    # back to broadcast, but only off ACTUAL shuffle bytes.
+    b = (
+        sh.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        .hint("merge")
+        .alias("b")
+    )
     cond = (
         (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.salt") == F.col("b.salt"))
@@ -298,7 +315,9 @@ def _lsh_candidate_pairs(
         )
         .distinct()
     )
-    sets = sh.select("doc_id", "s")
+    # shuffle_hash: never broadcast the array-payload side off its
+    # compressed-scan size estimate (see minhash_lsh_pairs).
+    sets = sh.select("doc_id", "s").hint("shuffle_hash")
     return cand.join(
         sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
     ).join(
@@ -449,7 +468,9 @@ def _prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .distinct()
     )
-    sets = sh.select("doc_id", "s")
+    # shuffle_hash: never broadcast the array-payload side off its
+    # compressed-scan size estimate (see minhash_lsh_pairs).
+    sets = sh.select("doc_id", "s").hint("shuffle_hash")
     return cand.join(
         sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
         "id_a",

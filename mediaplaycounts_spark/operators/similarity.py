@@ -424,12 +424,23 @@ def train_pq_codebooks(
     id_col: str,
     vec_col: str,
     m_sub: int = 8,
-    k_codes: int = 16,
+    k_codes: int = 32,
     n_iters: int = 2,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: per subspace, a
-    k-means over the L2-normalized slice (fixed init = lowest-id
-    vectors, fixed iteration count — replayable, no RNG).
+    k-means over the L2-normalized slice (fixed hash-spread init, fixed
+    iteration count — replayable, no RNG).
+
+    Init vectors are the k LOWEST xxhash64(id) rows, not the k lowest
+    ids: under append-style corpus growth, id order correlates with
+    content age (r5 sf1 decade: every lowest-id init vector came from
+    the oldest tenth of the corpus, so the codebook never saw the newer
+    content's directions and PQ recall collapsed 10/20 -> 5/20). A hash
+    order is a deterministic uniform sample across the whole corpus.
+    k_codes=32 (up from 16) buys mixture capacity for the same reason —
+    codebook size must track corpus DIVERSITY, not stay a constant
+    picked at the smallest SF; 32 codes x 8 subspaces is still a ~8 KB
+    driver table and the per-row argmin stays a codegen'd array fold.
 
     ALL subspaces train in one plan per Lloyd round: assignment is M
     codegen'd argmin expressions over the same scan, the update stacks
@@ -452,7 +463,12 @@ def train_pq_codebooks(
             for m in range(m_sub)
         ],
     )
-    init = df.orderBy(id_col).limit(k_codes).select(v.alias("v")).collect()
+    init = (
+        df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k_codes)
+        .select(v.alias("v"))
+        .collect()
+    )
     books = [
         [[float(x) for x in r.v[m * d_sub : (m + 1) * d_sub]] for r in init]
         for m in range(m_sub)
@@ -500,7 +516,7 @@ def topk_pq(
     probe: list[float],
     k: int = 20,
     m_sub: int = 8,
-    k_codes: int = 16,
+    k_codes: int = 32,
     rerank_factor: int = 3,
 ) -> DataFrame:
     """PQ-ADC ANN top-k: encode each vector as M one-byte codes, score

@@ -167,8 +167,15 @@ MAX_SHUFFLES = {
     # r3: within_bound keys (VERDICT r2 #1) carry their exact grading
     # twin IN the plan — the extra shuffles below are the twin's
     # (grading-only; at scale only the approximate path runs).
-    "dedup_near_minhash": 7,
-    "dedup_ngram_jaccard": 1,
+    # r5 broadcast hardening: every join side that carries shingle-set
+    # ARRAYS is now hint-pinned to shuffle_hash/merge (Catalyst's size
+    # estimate for those sides derives from the compressed parquet scan
+    # and under-reads by 100-1000x — at sf1 it broadcast a multi-GB
+    # relation into the 8 GB driver and OOM'd). Each such join trades
+    # one broadcast for 1-2 LINEAR-volume exchanges; ceilings below
+    # reflect the reviewed post-hardening plans.
+    "dedup_near_minhash": 22,
+    "dedup_ngram_jaccard": 2,
     "dedup_paragraphs": 3,
     "dedup_minhash_clusters": 2,
     "text_contamination_bloom": 5,
@@ -206,7 +213,7 @@ MAX_SHUFFLES = {
     "pipeline_split_leakage_guard": 4,
     "agg_approx_distinct": 3,
     "agg_hll_sketch_merge": 4,
-    "dedup_simhash": 7,
+    "dedup_simhash": 9,  # +2: r5 broadcast hardening (see dedup_near_minhash)
     "dedup_url_canonical": 1,
     "filter_quality_rank": 1,
     "graph_pagerank_int": 9,
@@ -274,7 +281,7 @@ MAX_SHUFFLES = {
     "text_perplexity_unigram": 6,
     "pipeline_pack_sequences": 1,
     "stream_restart_idempotent": 1,
-    "text_containment_pairs": 1,
+    "text_containment_pairs": 2,  # +1: r5 broadcast hardening (see dedup_near_minhash)
     "win_percent_rank_ntile": 2,
     "ts_anomaly_mad": 3,
     "sink_json_lines": 1,
