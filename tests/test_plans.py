@@ -212,6 +212,108 @@ def test_bucketed_join_and_agg_zero_shuffles(spark, queries):
     assert shuffles(plan) == 0
 
 
+def test_shingle_array_join_sides_never_broadcast(spark, queries):
+    """r5 broadcast hardening: every join side that carries shingle-set
+    ARRAYS must be hint-pinned away from broadcast. Catalyst's size
+    estimate for those sides derives from the compressed parquet scan
+    and under-reads the deserialized arrays by 100-1000x — at sf1 it
+    broadcast a multi-GB relation into the 8 GB driver and OOM'd. The
+    pinned physical shapes: shuffle_hash for the id-keyed verify joins
+    (high-cardinality key -> bounded per-partition build), merge for
+    the salted within-block self-join (spillable at the block ceiling).
+    BroadcastExchange is still fine elsewhere in these plans (1-row
+    summary aggregates, dim tables) — the assertion is that NO
+    broadcast side carries a shingle-array column."""
+    from mediaplaycounts_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plans = {
+        "minhash_lsh_pairs": plan_of(
+            D.minhash_lsh_pairs(docs, "doc_id", "text")
+        ),
+        "ngram_jaccard_pairs": plan_of(
+            D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang")
+        ),
+        "containment_pairs": plan_of(
+            D.containment_pairs(docs, "doc_id", "text", "lang")
+        ),
+        "ngram_jaccard_lsh_routed": plan_of(
+            D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", "lang", block_ceiling=5
+            )
+        ),
+        "containment_prefix_routed": plan_of(
+            D.containment_pairs(
+                docs, "doc_id", "text", "lang", block_ceiling=5
+            )
+        ),
+    }
+    # A broadcast side shows up as a BroadcastExchange node whose Input
+    # schema includes the shingle-array column (s / sa / sb /
+    # shingle_set). Scan each BroadcastExchange's detail block.
+    array_col = re.compile(r"\b(?:s|sa|sb|shingle_set)#\d+\b")
+
+    def broadcast_array_sides(plan: str) -> list[str]:
+        out = []
+        for m in re.finditer(
+            r"\(\d+\) BroadcastExchange\n((?:.+\n)*?)\n", plan
+        ):
+            inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", m.group(1))
+            cols = inp.group(1) if inp else ""
+            if array_col.search(cols):
+                out.append(cols)
+        return out
+
+    # Self-validation control: the PRE-fix verify-join shape (sets side
+    # un-hinted) must trip the detector — otherwise the assertions
+    # below are vacuous regex-rot. Rebuilt inline from the same
+    # signature table minhash_lsh_pairs uses.
+    import pyspark.sql.functions as F
+
+    sigs = D.minhash_signatures(docs, "doc_id", "text", 16, 2)
+    bh = F.array(
+        *[
+            F.xxhash64(
+                F.element_at("sig", b * 2 + 1),
+                F.element_at("sig", b * 2 + 2),
+                F.lit(b),
+            )
+            for b in range(8)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(bh).alias("band_idx", "band_hash")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    unhinted = sigs.select("doc_id", "shingle_set")
+    prefix_shape = cand.join(
+        unhinted.select(
+            F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa")
+        ),
+        "id_a",
+    )
+    assert broadcast_array_sides(plan_of(prefix_shape)), (
+        "detector control failed: the un-hinted verify join no longer "
+        "broadcasts its array side — update this test's control"
+    )
+
+    for name, plan in plans.items():
+        bad = broadcast_array_sides(plan)
+        assert not bad, (name, "shingle-array column in BroadcastExchange:", bad)
+
+
 def test_pairwise_blocked_ops_fan_out(spark, queries):
     """Low-cardinality block keys (5 langs / 10 labels) must NOT pin the
     quadratic pairwise work to a handful of tasks: the probe side is
