@@ -131,9 +131,19 @@ def cosine_pairs_blocked(
             .repartition(n_parts, "blk", "salt")
             .alias("a")
         )
-        b = part.withColumn(
-            "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-        ).alias("b")
+        # merge hint: B carries the embedding ARRAYS and its Catalyst
+        # size estimate derives from the compressed scan — the same
+        # under-read that broadcast multi-GB shingle sets into the
+        # driver at sf1 (operators/dedup.py). SMJ spills at the block
+        # ceiling instead of OOMing; AQE may promote back to broadcast
+        # but only off actual shuffle bytes.
+        b = (
+            part.withColumn(
+                "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+            )
+            .hint("merge")
+            .alias("b")
+        )
         cos = cosine(F.col("a.v"), F.col("b.v"))
         return (
             a.join(
@@ -184,9 +194,12 @@ def cosine_pairs_blocked(
     bucket_arr = F.array(
         *[lsh_bucket(F.col("v"), tables[t]) for t in range(n_tables)]
     )
+    # shuffle_hash: the bucket self-join's sides carry the embedding
+    # arrays; never let a compressed-scan estimate broadcast them
+    # (see _exact_pairs above). (blk, tbl, bucket) spreads the build.
     bk = big_side.select(
         "vid", "blk", "v", F.posexplode(bucket_arr).alias("tbl", "bucket")
-    )
+    ).hint("shuffle_hash")
     cand = (
         bk.alias("x")
         .join(

@@ -223,10 +223,17 @@ def test_shingle_array_join_sides_never_broadcast(spark, queries):
     the salted within-block self-join (spillable at the block ceiling).
     BroadcastExchange is still fine elsewhere in these plans (1-row
     summary aggregates, dim tables) — the assertion is that NO
-    broadcast side carries a shingle-array column."""
+    broadcast side carries a shingle-array (or embedding-array)
+    column."""
+    import pyspark.sql.functions as F
+
     from mediaplaycounts_spark.operators import dedup as D
+    from mediaplaycounts_spark.operators import similarity as Sim
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").withColumn(
+        "blk", F.pmod("vec_id", F.lit(3))
+    )
     plans = {
         "minhash_lsh_pairs": plan_of(
             D.minhash_lsh_pairs(docs, "doc_id", "text")
@@ -247,11 +254,20 @@ def test_shingle_array_join_sides_never_broadcast(spark, queries):
                 docs, "doc_id", "text", "lang", block_ceiling=5
             )
         ),
+        "cosine_pairs_direct": plan_of(
+            Sim.cosine_pairs_blocked(em, "vec_id", "embedding", "blk", 0.8)
+        ),
+        "cosine_pairs_lsh_routed": plan_of(
+            Sim.cosine_pairs_blocked(
+                em, "vec_id", "embedding", "blk", 0.8, block_ceiling=5
+            )
+        ),
     }
     # A broadcast side shows up as a BroadcastExchange node whose Input
     # schema includes the shingle-array column (s / sa / sb /
-    # shingle_set). Scan each BroadcastExchange's detail block.
-    array_col = re.compile(r"\b(?:s|sa|sb|shingle_set)#\d+\b")
+    # shingle_set) or the embedding-array column (v / va / vb).
+    # Scan each BroadcastExchange's detail block.
+    array_col = re.compile(r"\b(?:s|sa|sb|shingle_set|v|va|vb)#\d+\b")
 
     def broadcast_array_sides(plan: str) -> list[str]:
         out = []
@@ -268,8 +284,6 @@ def test_shingle_array_join_sides_never_broadcast(spark, queries):
     # un-hinted) must trip the detector — otherwise the assertions
     # below are vacuous regex-rot. Rebuilt inline from the same
     # signature table minhash_lsh_pairs uses.
-    import pyspark.sql.functions as F
-
     sigs = D.minhash_signatures(docs, "doc_id", "text", 16, 2)
     bh = F.array(
         *[
