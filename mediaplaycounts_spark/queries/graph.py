@@ -339,12 +339,27 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor materialize, the same never-n² rule as the dedup family);
     degrees join back broadcast; Jaccard = one micro-quantized
     division. At 100 TB, salt the hot suppliers exactly as
-    `dedup_ngram_jaccard` salts hot blocks."""
+    `dedup_ngram_jaccard` salts hot blocks.
+
+    Scale posture (r5 decade fix — the sf1 run OOM'd the heap): the
+    customer→supplier edge list is CHECKPOINTED (it feeds the degree
+    table and both co-join sides, and checkpointing severs the
+    under-estimated lineage AQE used to coalesce the co-join), and
+    both co-join sides carry an explicit NUMBERED repartition on the
+    shared-supplier key (AQE-coalesce-exempt) so the Σdeg² co-pair
+    stream and its partial (c1,c2) aggregation maps stay spread over
+    4x defaultParallelism tasks instead of collapsing onto a few
+    heap-sized ones."""
+    from mediaplaycounts_spark.session import checkpoint_df
+
     e = _trading_edges(spark, sf_dir)
-    cs = e.filter(F.col("src") % 2 == 0).select("src", "dst").distinct()
+    cs = checkpoint_df(
+        e.filter(F.col("src") % 2 == 0).select("src", "dst").distinct()
+    )
     deg = cs.groupBy("src").agg(F.count("*").alias("d"))
-    a = cs.select(F.col("src").alias("c1"), "dst")
-    b = cs.select(F.col("src").alias("c2"), "dst")
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    a = cs.select(F.col("src").alias("c1"), "dst").repartition(n_parts, "dst")
+    b = cs.select(F.col("src").alias("c2"), "dst").repartition(n_parts, "dst")
     pairs = (
         a.join(b, "dst")
         .filter(F.col("c1") < F.col("c2"))
