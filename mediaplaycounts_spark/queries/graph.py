@@ -347,9 +347,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-estimated lineage AQE used to coalesce the co-join), and
     both co-join sides carry an explicit NUMBERED repartition on the
     shared-supplier key (AQE-coalesce-exempt) so the Σdeg² co-pair
-    stream and its partial (c1,c2) aggregation maps stay spread over
-    4x defaultParallelism tasks instead of collapsing onto a few
-    heap-sized ones."""
+    stream stays spread over 4x defaultParallelism tasks instead of
+    collapsing onto a few heap-sized ones. The (c1, c2) aggregation
+    gets its OWN pinned repartition (8x defaultParallelism): AQE sizes
+    that exchange from the co-pair stream's byte estimate and would
+    coalesce the final aggregation onto a handful of tasks, each
+    holding a multi-10M-group hash map (the second sf1 OOM). Pinning
+    the agg exchange forgoes map-side partial aggregation, which is
+    nearly free to give up here: a pair's duplicate occurrences live
+    in DIFFERENT supplier partitions (one per common neighbor), so
+    partials almost never merge anything pre-shuffle."""
     from mediaplaycounts_spark.session import checkpoint_df
 
     e = _trading_edges(spark, sf_dir)
@@ -363,6 +370,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "dst")
         .filter(F.col("c1") < F.col("c2"))
+        .repartition(n_parts * 2, "c1", "c2")
         .groupBy("c1", "c2")
         .agg(F.count("*").alias("common"))
     )
