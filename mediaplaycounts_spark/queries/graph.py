@@ -364,13 +364,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("src") % 2 == 0).select("src", "dst").distinct()
     )
     deg = cs.groupBy("src").agg(F.count("*").alias("d"))
-    n_parts = spark.sparkContext.defaultParallelism * 4
+    # 16x width on the co-join: each join task WRITES its slice of the
+    # Σdeg² co-pair stream to the (c1,c2) exchange, and the shuffle
+    # sorter's pointer array is proportional to rows-per-task — at sf1,
+    # 4x parallelism put ~7M rows (a ~100 MB array) in each of 32
+    # concurrent writers and the execution pool hit UNABLE_TO_ACQUIRE.
+    # Smaller tasks spill cleanly; the extra scheduling is noise.
+    n_parts = spark.sparkContext.defaultParallelism * 16
     a = cs.select(F.col("src").alias("c1"), "dst").repartition(n_parts, "dst")
     b = cs.select(F.col("src").alias("c2"), "dst").repartition(n_parts, "dst")
     pairs = (
         a.join(b, "dst")
         .filter(F.col("c1") < F.col("c2"))
-        .repartition(n_parts * 2, "c1", "c2")
+        .repartition(n_parts // 2, "c1", "c2")
         .groupBy("c1", "c2")
         .agg(F.count("*").alias("common"))
     )
