@@ -45,6 +45,11 @@ COMPLEXITY_BOUNDS = {
     # linear under replica-disjoint scaling, but the heaviest block's
     # skew grows with block size.
     "graph_triangle_count": 1.3,
+    # link prediction: the sum(deg^2) co-pair exchange (~16 bytes/row)
+    # crosses the in-memory -> spill-to-disk boundary between sf0.1
+    # (~90M rows) and sf1 (~900M rows); the spill I/O adds a bounded
+    # constant factor on top of linear growth (measured 13.4x per 10x).
+    "graph_link_prediction": 1.4,
     # emitted-pair-bound ops: runtime tracks qualifying pairs (the
     # out-rows growth term), plus verify work on sub-threshold
     # candidates that never reach the output.
