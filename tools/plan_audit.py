@@ -161,7 +161,7 @@ MAX_SHUFFLES = {
     "agg_trend_slope": 2,
     "agg_variance_exact": 1,
     "array_exists_forall": 1,
-    "dedup_embedding_cosine": 2,
+    "dedup_embedding_cosine": 3,  # +1: r5 broadcast hardening (see dedup_near_minhash)
     "dedup_exact": 1,
     "dedup_exact_hash": 1,
     # r3: within_bound keys (VERDICT r2 #1) carry their exact grading
@@ -210,7 +210,7 @@ MAX_SHUFFLES = {
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
-    "pipeline_split_leakage_guard": 4,
+    "pipeline_split_leakage_guard": 8,  # +4: r5 broadcast hardening, pair join x2 sides (see dedup_near_minhash)
     "agg_approx_distinct": 3,
     "agg_hll_sketch_merge": 4,
     "dedup_simhash": 9,  # +2: r5 broadcast hardening (see dedup_near_minhash)
@@ -240,7 +240,7 @@ MAX_SHUFFLES = {
     "setop_except": 1,
     "setop_intersect": 1,
     "setop_union_distinct": 1,
-    "sim_cosine_pairs": 1,
+    "sim_cosine_pairs": 2,  # +1: r5 broadcast hardening (see dedup_near_minhash)
     "sim_knn_join": 1,
     "sim_mmr_diversify": 1,
     "sink_compact_small_files": 1,
@@ -323,7 +323,7 @@ MAX_SHUFFLES = {
     "win_rolling_slope": 2,
     "ts_theil_sen": 3,
     "pipeline_vocab_coverage": 2,
-    "sim_threshold_sweep": 2,
+    "sim_threshold_sweep": 3,  # +1: r5 broadcast hardening (see dedup_near_minhash)
     "scan_table_profile": 1,
     "pipeline_feature_vector_assemble": 1,
     "stream_update_mode_final": 1,
