@@ -96,8 +96,13 @@ def _production_paths():
         return S.probe_vector(em(spark), "vec_id", "embedding", 0)
 
     return {
+        # Same shape as the registered key's production path
+        # (_minhash_pairs_raw): banding derived from the J=0.3 graded
+        # recall point -> 64 hashes/r=2/b=32 (r6 re-baseline; the old
+        # hardcoded 16-hash signature was ~4x cheaper but guaranteed
+        # only ~0.53 recall at J=0.3).
         "prod_minhash_pairs": lambda spark, _sf: D.minhash_lsh_pairs(
-            docs(spark), "doc_id", "text"
+            docs(spark), "doc_id", "text", threshold=0.05, recall_point=0.3
         ),
         "prod_simhash_pairs": lambda spark, _sf: D.simhash_near_dups(
             docs(spark), "doc_id", "text"

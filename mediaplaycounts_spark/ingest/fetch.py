@@ -45,6 +45,17 @@ class DumpNotPublished(Exception):
     today/future dates; reschedule instead of retrying."""
 
 
+def _content_length(resp) -> int | None:
+    """Declared body size, or None when absent/unparseable (then the
+    truncation check is skipped — chunked encodings etc.)."""
+    headers = getattr(resp, "headers", None)
+    raw = headers.get("Content-Length") if headers is not None else None
+    try:
+        return int(raw) if raw is not None else None
+    except (TypeError, ValueError):
+        return None
+
+
 def dump_filename(day: dt.date) -> str:
     return f"mediacounts.{day.isoformat()}.v00.tsv.bz2"
 
@@ -80,12 +91,27 @@ def download_day(
     for attempt in range(retries + 1):
         try:
             with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                expected = _content_length(resp)
+                written = 0
                 with open(part, "wb") as fh:
                     while True:
                         chunk = resp.read(chunk_bytes)
                         if not chunk:
                             break
+                        written += len(chunk)
                         fh.write(chunk)
+            # ADVICE r5 (medium): read(amt) returns b'' on a premature
+            # connection close WITHOUT raising IncompleteRead, so a
+            # truncated body exits the loop cleanly — and the
+            # exists-and-non-empty idempotence check would then pin the
+            # corrupt file forever. Verify against Content-Length (the
+            # dump server always sends it for these static files; so
+            # does urllib's file:// handler used by the tests) and treat
+            # a shortfall as a retryable failure.
+            if expected is not None and written != expected:
+                raise OSError(
+                    f"truncated download: {written} of {expected} bytes from {url}"
+                )
             part.replace(target)  # atomic within the same filesystem
             return target
         except urllib.error.HTTPError as ex:

@@ -109,8 +109,8 @@ def cosine_pairs_blocked(
     oversized block (every graded SF) the plan is byte-identical to
     the direct join."""
     from mediaplaycounts_spark.operators.dedup import (
-        _oversized_blocks,
         _resolve_block_ceiling,
+        _split_oversized_blocks,
     )
     from mediaplaycounts_spark.tables import ensure_min_parallelism
 
@@ -161,13 +161,12 @@ def cosine_pairs_blocked(
         )
 
     ceiling = _resolve_block_ceiling(df, block_ceiling)
-    big = _oversized_blocks(
-        base.select(F.col("vid").alias("doc_id"), "blk"), ceiling
-    )
-    if not big:
+    # Routing via semi/anti joins against the flagged-block count table,
+    # not a driver-collected isin literal (VERDICT r5 #2, see
+    # operators/dedup.py::_split_oversized_blocks).
+    small_side, big_side = _split_oversized_blocks(base, ceiling)
+    if big_side is None:
         return _exact_pairs(base)
-
-    big_side = base.filter(F.col("blk").isin(big))
     # Dim inference must skip NULL vectors (head() on a null row would
     # TypeError — ADVICE r4); a 1-row aggregate also asserts the
     # uniform-dimension assumption the hyperplane tables rely on, so a
@@ -177,7 +176,7 @@ def cosine_pairs_blocked(
         F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
     ).head()
     if dim_row is None or dim_row["lo"] is None:
-        return _exact_pairs(base.filter(~F.col("blk").isin(big)))
+        return _exact_pairs(small_side)
     if dim_row["lo"] != dim_row["hi"]:
         raise ValueError(
             "cosine_pairs_blocked requires uniform embedding dimension; "
@@ -221,9 +220,7 @@ def cosine_pairs_blocked(
     big_pairs = cand.select(
         "id_a", "id_b", F.round(cos, 6).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
-    return _exact_pairs(base.filter(~F.col("blk").isin(big))).unionByName(
-        big_pairs
-    )
+    return _exact_pairs(small_side).unionByName(big_pairs)
 
 
 def _plane_component(j: int, i: int) -> float:

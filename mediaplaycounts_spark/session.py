@@ -154,29 +154,39 @@ def checkpoint_df(df, eager: bool = True):
         return df.localCheckpoint(eager)
     sc = spark.sparkContext
     try:
-        # Normalized-path EQUALITY, not substring containment: a
-        # previously-set different directory that merely contains the
-        # configured path as a substring must NOT skip setCheckpointDir
-        # (ADVICE r4). The JVM may have resolved the dir to a file: URI,
-        # so compare the path component after stripping the scheme.
         current = sc._jsc.sc().getCheckpointDir()
-        has_dir = False
-        if current.isDefined():
-            cur = str(current.get())
-            if "://" in cur:
-                cur = cur.split("://", 1)[1]
-            elif cur.startswith("file:"):
-                cur = cur[len("file:"):]
-            want = ckdir
-            if "://" in want:
-                want = want.split("://", 1)[1]
-            # setCheckpointDir stores <dir>/<random-uuid>, so the
-            # configured dir is the PARENT of the stored value.
-            has_dir = os.path.normpath(os.path.dirname(cur)) == os.path.normpath(
-                os.path.abspath(want)
-            )
+        has_dir = current.isDefined() and _checkpoint_parent_matches(
+            str(current.get()), ckdir
+        )
     except Exception:
         has_dir = False
     if not has_dir:
         sc.setCheckpointDir(ckdir)
     return df.checkpoint(eager)
+
+
+def _checkpoint_parent_matches(stored: str, configured: str) -> bool:
+    """True iff the JVM's stored checkpoint dir (``<configured>/<uuid>``
+    — setCheckpointDir appends a random UUID subdir) was created from
+    ``configured``.
+
+    Normalized-path EQUALITY, not substring containment (ADVICE r4),
+    and component-wise URI comparison (ADVICE r5): the old form
+    stripped scheme AND authority from the JVM value but abspath'd the
+    configured value, so any scheme-qualified dir — the production
+    HDFS/S3 case this path exists for — always compared False and
+    setCheckpointDir re-ran per call, spraying fresh UUID dirs.
+    Compare scheme ('' == the local default 'file') + authority +
+    normalized parent path; os.path.abspath only applies to a
+    SCHEMELESS configured value, which the JVM itself resolves against
+    the local working directory.
+    """
+    from urllib.parse import urlsplit
+
+    st, cf = urlsplit(stored), urlsplit(configured)
+    if (st.scheme or "file") != (cf.scheme or "file"):
+        return False
+    if st.netloc != cf.netloc:
+        return False
+    cfg_path = cf.path if cf.scheme else os.path.abspath(configured)
+    return os.path.normpath(os.path.dirname(st.path)) == os.path.normpath(cfg_path)

@@ -122,7 +122,23 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     properly — every healthy large-scale layout — this is a no-op with
     zero plan change, which is why the guard is conditional instead of
     an unconditional repartition.
+
+    The partition count is probed WITHOUT materializing (ADVICE r5):
+    under AQE, touching ``df.rdd`` finalizes the adaptive plan and
+    eagerly EXECUTES every upstream shuffle stage — handing a derived
+    frame (joins/aggregates upstream) to an operator would run real
+    jobs at plan-build time. So the probe applies only to frames whose
+    optimized logical plan is a narrow pipeline over leaves (scans /
+    local relations — the only shape that can inherit an under-split
+    scan in the first place, and the shape where ``.rdd`` finalization
+    executes nothing because there are no shuffle stages). Any wide
+    node — or any node not on the narrow whitelist — skips the guard:
+    post-shuffle partitioning is governed by shuffle.partitions/AQE,
+    not file layout, so the scan-under-split failure mode this guard
+    exists for cannot apply.
     """
+    if not _is_narrow_over_leaves(df):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -131,6 +147,66 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     return df.repartition(target)
+
+
+#: Logical-plan nodes that keep the scan's partitioning and execute
+#: nothing when the plan is finalized: pure row-local transforms over a
+#: leaf. Anything else (Join/Aggregate/Window/Sort/Repartition/...) is
+#: treated as wide — fail-safe: an unknown node merely skips the guard.
+_NARROW_PLAN_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRelation",
+        "LogicalRDD",
+        "LocalRelation",
+        "OneRowRelation",
+        "Range",
+        "Project",
+        "Filter",
+        "Generate",
+        "SubqueryAlias",
+        "View",
+        "Expand",
+        "SerializeFromObject",
+        "DeserializeToObject",
+        "MapElements",
+        "TypedFilter",
+    }
+)
+
+_NODE_NAME_RE = None
+
+
+def _is_narrow_over_leaves(df: DataFrame) -> bool:
+    """True iff every node of the optimized logical plan is on the
+    narrow whitelist — i.e. the frame is scan-rooted with no exchange
+    upstream, so probing ``df.rdd`` cannot execute anything."""
+    global _NODE_NAME_RE
+    import re
+
+    if _NODE_NAME_RE is None:
+        _NODE_NAME_RE = re.compile(r"^[\s:+\-*']*([A-Za-z]+)")
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        m = _NODE_NAME_RE.match(line)
+        if not m:
+            continue
+        node = m.group(1)
+        if node == "Repartition":
+            # 'Repartition N, false' is coalesce — narrow, executes
+            # nothing when probed, and CAN present an under-split frame
+            # (that is literally what coalesce(1) does). 'true' is an
+            # explicit shuffle repartition: probing would execute it,
+            # and the caller has already chosen a partitioning anyway.
+            if ", false" in line:
+                continue
+            return False
+        if node not in _NARROW_PLAN_NODES:
+            return False
+    return True
 
 
 #: Conf key for the size gate used by :func:`maybe_broadcast`. When unset,

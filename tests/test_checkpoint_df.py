@@ -92,3 +92,30 @@ def test_pagerank_identical_both_branches(spark, ckdir):
     spark.conf.unset(CHECKPOINT_DIR_CONF)
     local = {tuple(r) for r in q(spark, SF).collect()}
     assert reliable == local and len(local) > 0
+
+
+def test_checkpoint_parent_matches_uri_forms():
+    """ADVICE r5: scheme-qualified checkpoint dirs (the production
+    HDFS/S3 case) must compare scheme+authority+normalized parent path
+    — the old form abspath'd the configured URI against cwd so has_dir
+    was always False and setCheckpointDir re-ran per call."""
+    from mediaplaycounts_spark.session import _checkpoint_parent_matches as m
+
+    # scheme-qualified: stored value is <configured>/<uuid>
+    assert m("hdfs://nn:8020/ck/abc-123", "hdfs://nn:8020/ck")
+    assert m("hdfs://nn:8020/ck/abc-123", "hdfs://nn:8020/ck/")
+    assert m("s3a://bucket/ck/u1", "s3a://bucket/ck")
+    # different authority or path must NOT match
+    assert not m("hdfs://other:8020/ck/u", "hdfs://nn:8020/ck")
+    assert not m("hdfs://nn:8020/elsewhere/u", "hdfs://nn:8020/ck")
+    # cross-scheme never matches
+    assert not m("hdfs://nn:8020/ck/u", "s3a://nn:8020/ck")
+    # JVM-resolved file: URI vs a schemeless absolute local path
+    assert m("file:/tmp/ckx/u-9", "/tmp/ckx")
+    assert not m("file:/tmp/ckx/u-9", "/tmp/other")
+    # schemeless relative configured path resolves against cwd
+    import os
+
+    rel = "relative-ck-dir"
+    stored = "file:" + os.path.abspath(rel) + "/u0"
+    assert m(stored, rel)

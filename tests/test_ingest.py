@@ -189,6 +189,48 @@ def test_download_days_isolates_bad_days(tmp_path, monkeypatch):
     }
 
 
+def test_download_day_rejects_truncated_body(tmp_path, monkeypatch):
+    """ADVICE r5 (medium): read() returning b'' on premature connection
+    close exits the chunk loop cleanly — the landed file must be
+    rejected against Content-Length, retried, and NEVER renamed into
+    place (else the exists-non-empty idempotence check pins the corrupt
+    file forever)."""
+    import datetime as dt
+    import email.message
+    import io
+    import urllib.request
+
+    import pytest
+
+    from mediaplaycounts_spark.ingest import fetch
+
+    calls = {"n": 0}
+
+    def fake_urlopen(url, timeout=None):
+        calls["n"] += 1
+
+        class R(io.BytesIO):
+            headers = email.message.Message()
+            headers["Content-Length"] = "100"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return R(b"only-9-by")  # 9 bytes < declared 100: truncated
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    day = dt.date(2024, 2, 1)
+    with pytest.raises(RuntimeError, match="download failed"):
+        fetch.download_day(day, tmp_path, retries=2, backoff_s=0.0)
+    assert calls["n"] == 3, "short body must be retried like any failure"
+    target = tmp_path / fetch.dump_filename(day)
+    assert not target.exists(), "truncated body must never land"
+    assert not target.with_suffix(target.suffix + ".part").exists()
+
+
 # ------------------------------------------------- category snapshot
 
 CAT_FIXTURE = str(

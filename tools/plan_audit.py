@@ -391,7 +391,17 @@ def _rest_stages(sc) -> dict[int, int]:
     surface, same numbers as the UI's Stages tab)."""
     base = sc.uiWebUrl
     apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
-    app_id = apps[0]["id"]
+    # Select OUR application by id, never apps[0] (ADVICE r5): if the
+    # endpoint ever lists more than one app (or changes ordering), the
+    # stage diff would silently baseline against the wrong app.
+    own = sc.applicationId
+    matches = [a for a in apps if a.get("id") == own]
+    if not matches:
+        raise RuntimeError(
+            f"application {own!r} not in {base}/api/v1/applications "
+            f"(got {[a.get('id') for a in apps]})"
+        )
+    app_id = matches[0]["id"]
     stages = json.load(
         urllib.request.urlopen(
             f"{base}/api/v1/applications/{app_id}/stages?status=complete"
