@@ -180,13 +180,47 @@ def _checkpoint_parent_matches(stored: str, configured: str) -> bool:
     normalized parent path; os.path.abspath only applies to a
     SCHEMELESS configured value, which the JVM itself resolves against
     the local working directory.
+
+    Authority comparison is NORMALIZED, not literal (ADVICE r6): the
+    JVM may canonicalize the stored authority (lowercase the host,
+    append the scheme-default port), and a literal string compare would
+    then never match the configured form — so setCheckpointDir would
+    re-run per call and spray UUID dirs, the exact failure this
+    function exists to prevent. Host is lowercased and a trailing
+    scheme-default port (hdfs:8020, webhdfs:9870, http:80, https:443,
+    ftp:21) is stripped on both sides before comparing.
     """
     from urllib.parse import urlsplit
 
     st, cf = urlsplit(stored), urlsplit(configured)
-    if (st.scheme or "file") != (cf.scheme or "file"):
+    scheme = st.scheme or "file"
+    if scheme != (cf.scheme or "file"):
         return False
-    if st.netloc != cf.netloc:
+    if _normalize_authority(st.netloc, scheme) != _normalize_authority(
+        cf.netloc, scheme
+    ):
         return False
     cfg_path = cf.path if cf.scheme else os.path.abspath(configured)
     return os.path.normpath(os.path.dirname(st.path)) == os.path.normpath(cfg_path)
+
+
+#: Scheme-default ports stripped during checkpoint-dir authority
+#: comparison — a "host" and "host:default" authority name the same
+#: filesystem.
+_SCHEME_DEFAULT_PORTS = {
+    "hdfs": 8020,
+    "webhdfs": 9870,
+    "http": 80,
+    "https": 443,
+    "ftp": 21,
+}
+
+
+def _normalize_authority(netloc: str, scheme: str) -> str:
+    """Lowercase the host and strip a scheme-default trailing port so
+    JVM-canonicalized and user-configured authorities compare equal."""
+    auth = netloc.lower()
+    default = _SCHEME_DEFAULT_PORTS.get(scheme)
+    if default is not None and auth.endswith(f":{default}"):
+        auth = auth[: -len(f":{default}")]
+    return auth

@@ -174,7 +174,52 @@ _NARROW_PLAN_NODES = frozenset(
     }
 )
 
+#: Nodes KNOWN to be wide (or to finalize/execute work when probed):
+#: skipping the guard for these is the designed behavior, silently.
+#: A node in NEITHER set is unrecognized — most likely a Spark-version
+#: rename of a narrow node (e.g. 'Relation') — and silently skipping
+#: would disable the under-split guard everywhere with no signal
+#: (ADVICE r6), so those warn once per node name before skipping.
+_WIDE_PLAN_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "WindowGroupLimit",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "Union",
+        "Distinct",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+        "LocalLimit",
+        "Limit",
+        "Offset",
+        "Sample",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "FlatMapGroupsWithState",
+        "MapInPandas",
+        "PythonMapInArrow",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "CollectMetrics",
+        "WithCTE",
+        "CTERelationRef",
+        "CTERelationDef",
+        "Pivot",
+        "Unpivot",
+        "ScriptTransformation",
+        "RebalancePartitions",
+        "Tail",
+    }
+)
+
 _NODE_NAME_RE = None
+_WARNED_UNRECOGNIZED_NODES: set = set()
 
 
 def _is_narrow_over_leaves(df: DataFrame) -> bool:
@@ -205,6 +250,20 @@ def _is_narrow_over_leaves(df: DataFrame) -> bool:
                 continue
             return False
         if node not in _NARROW_PLAN_NODES:
+            if node not in _WIDE_PLAN_NODES and node not in _WARNED_UNRECOGNIZED_NODES:
+                _WARNED_UNRECOGNIZED_NODES.add(node)
+                import warnings
+
+                warnings.warn(
+                    f"ensure_min_parallelism: unrecognized logical plan node "
+                    f"{node!r}; treating it as wide and skipping the "
+                    "under-split guard for this frame. If this is a narrow "
+                    "node renamed by a Spark upgrade, add it to "
+                    "_NARROW_PLAN_NODES or the guard is silently disabled "
+                    "for scan-rooted pipelines containing it.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
             return False
     return True
 
