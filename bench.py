@@ -119,7 +119,25 @@ def _production_paths():
         "prod_ann_pq": lambda spark, _sf: S.topk_pq(
             em(spark), "vec_id", "embedding", _probe(spark)
         ),
+        # The registered key IS the production shape (no grading harness
+        # inside); timed build-INCLUSIVE (see _TIME_BUILD) because its
+        # eager lineage-fork checkpoints do ~95% of the work at
+        # fn-call time, before the noop write a write-only timer sees.
+        "prod_e2e_curation": _e2e_curation,
     }
+
+
+def _e2e_curation(spark, _sf):
+    from mediaplaycounts_spark.queries.curation import pipeline_e2e_curation
+
+    return pipeline_e2e_curation(spark, SF_DIR)
+
+
+#: Keys whose callable performs eager work (checkpoint_df lineage cuts)
+#: during CONSTRUCTION: best-of-3 must time fn-call + write together or
+#: the recorded number is only the final join's write (measured 0.45 s
+#: of an 8.9 s run at sf0.1).
+_TIME_BUILD = {"prod_e2e_curation"}
 
 
 def main() -> None:
@@ -133,12 +151,15 @@ def main() -> None:
 
     def run(key: str, table=None) -> float:
         table = table or qs
+        time_build = key in _TIME_BUILD
         df = table[key](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()  # warm-up
         best = float("inf")
         for _ in range(3):
-            df = table[key](spark, SF_DIR)
             t0 = time.perf_counter()
+            df = table[key](spark, SF_DIR)
+            if not time_build:
+                t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
