@@ -1,0 +1,95 @@
+"""LSH band-bucket cap (VERDICT r5 #3 / r6 next #2): the boilerplate
+pathology where one near-identical doc family fills a
+(band_idx, band_hash) bucket in every band and all-pairs candidate
+generation goes quadratic in CORPUS size. The cap routes over-cap
+buckets through star candidates (bucket-min rep vs member, still
+exact-verified). tools/bench_skew.py --band measures the payoff and
+gates it; these tests pin the semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediaplaycounts_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def boiler(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_skew import build_boilerplate_corpus
+
+    docs, n_hot = build_boilerplate_corpus(spark, 400, 0.3)
+    return docs.localCheckpoint(), n_hot
+
+
+def _pairs(docs, cap):
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.05, recall_point=0.3,
+        band_bucket_cap=cap,
+    )
+
+
+def test_capped_pairs_subset_and_rep_connected(spark, boiler):
+    """Capped output is a subset of the uncapped exact-verified pairs
+    (same precision contract), and every hot-family member stays linked
+    to the family rep (doc 0) — clustering is lossless."""
+    docs, n_hot = boiler
+    uncapped = {(r.id_a, r.id_b) for r in _pairs(docs, None).collect()}
+    capped = {(r.id_a, r.id_b) for r in _pairs(docs, 16).collect()}
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)  # the quadratic family collapsed
+    linked_to_rep = {b for (a, b) in capped if a == 0}
+    assert linked_to_rep >= set(range(1, n_hot)), "star links missing"
+
+
+def test_cap_off_plan_identical(spark, boiler):
+    """Default (cap unset, conf unset) must keep the exact old plan —
+    no bucket aggregate, no anti/star joins."""
+    docs, _ = boiler
+    on = _pairs(docs, 16)._jdf.queryExecution().optimizedPlan().toString()
+    off = _pairs(docs, None)._jdf.queryExecution().optimizedPlan().toString()
+    # the input fixture is itself a localCheckpoint (one LogicalRDD in
+    # both); the CAP adds the checkpointed hot-bucket table and the
+    # anti/star routing joins — none of which may appear when off
+    assert on.count("LogicalRDD") > off.count("LogicalRDD")
+    assert "LeftAnti" in on and "LeftAnti" not in off
+
+
+def test_cap_via_conf(spark, boiler):
+    """spark.mediaplaycounts.bandBucketCap engages the cap without a
+    param — the production deployment path."""
+    docs, _ = boiler
+    explicit = {(r.id_a, r.id_b) for r in _pairs(docs, 16).collect()}
+    spark.conf.set(D.BAND_BUCKET_CAP_CONF, "16")
+    try:
+        via_conf = {(r.id_a, r.id_b) for r in _pairs(docs, None).collect()}
+    finally:
+        spark.conf.unset(D.BAND_BUCKET_CAP_CONF)
+    assert via_conf == explicit
+
+
+def test_signature_two_step_projection_values(spark):
+    """r7 signature-stage fix: materializing the shingle array in its
+    own Project (9.3x faster) must not change a single signature."""
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(12))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", num_hashes=16)
+    out = sigs.select("doc_id", F.element_at("sig", 1).alias("m0")).collect()
+    # signatures are xxhash64 minima over the doc's own shingles —
+    # recompute one doc's first hash by hand
+    import itertools
+
+    r0 = [r for r in out if r.doc_id == 0][0]
+    toks = rows[0][1].split(" ")
+    gram = [f"{a} {b}" for a, b in itertools.pairwise(toks)]
+    expect = (
+        df.sparkSession.createDataFrame([(g,) for g in set(gram)], "g string")
+        .select(F.min(F.xxhash64("g", F.lit(0))).alias("m"))
+        .head()
+        .m
+    )
+    assert r0.m0 == expect

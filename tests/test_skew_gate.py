@@ -22,8 +22,16 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
 def test_skew_defenses_hold_gate():
+    """Equi-join salting/AQE-split defenses AND (r7) the LSH band-bucket
+    cap on the boilerplate corpus: capped >= 1.5x faster than the
+    quadratic all-pairs path with hot-family rep connectivity 1.0."""
     proc = subprocess.run(
-        [sys.executable, str(REPO / "tools" / "bench_skew.py"), "--gate"],
+        [
+            sys.executable,
+            str(REPO / "tools" / "bench_skew.py"),
+            "--gate",
+            "--band",
+        ],
         capture_output=True,
         text=True,
         timeout=600,
@@ -33,7 +41,11 @@ def test_skew_defenses_hold_gate():
         f"skew gate failed:\nstdout={proc.stdout[-2000:]}\n"
         f"stderr={proc.stderr[-2000:]}"
     )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    res = json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    by_metric = {json.loads(l)["metric"]: json.loads(l) for l in lines}
+    res = by_metric["skew_join_warm_best3"]
     assert res["speedup_salted_vs_plain"] >= 1.3
     assert res["speedup_aqe_vs_plain"] >= 1.5
+    band = by_metric["lsh_band_join_boilerplate"]
+    assert band["speedup_capped_vs_uncapped"] >= 1.5
+    assert band["hot_family_rep_connectivity"] == 1.0

@@ -92,6 +92,134 @@ def timed(df) -> float:
     return round(best, 3)
 
 
+def build_boilerplate_corpus(spark, n_docs: int, hot_share: float):
+    """Boilerplate pathology for the LSH BAND join (VERDICT r5 #3):
+    ``hot_share`` of docs are near-identical (shared 40-word template +
+    one unique trailing token), so they land in the same
+    (band_idx, band_hash) bucket in ~every band and all-pairs candidate
+    generation inside that bucket is (hot_share*n)^2/2 — quadratic in
+    corpus size. The remaining docs are unique filler. Deterministic."""
+    n_hot = int(n_docs * hot_share)
+    template = " ".join(f"boiler{j} common{j % 7}" for j in range(20))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_hot,
+            F.concat(F.lit(template + " uniq"), F.col("id").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}x"), F.col("id").cast("string"))
+                    for j in range(41)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    return docs, n_hot
+
+
+def _task_skew_summary(sc) -> dict:
+    """p50/p99 executorRunTime of the longest COMPLETE stage (the band
+    self-join under the boilerplate corpus) via the monitoring REST
+    API — the direct task-skew measurement VERDICT r6 next #2 asks for."""
+    import urllib.request
+
+    base = sc.uiWebUrl
+    own = sc.applicationId
+    apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = next(a["id"] for a in apps if a.get("id") == own)
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    if not stages:
+        return {}
+    heaviest = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    summary = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages/"
+            f"{heaviest['stageId']}/{heaviest['attemptId']}/taskSummary"
+            "?quantiles=0.5,0.99"
+        )
+    )
+    p50, p99 = summary["executorRunTime"]
+    return {
+        "stage_id": heaviest["stageId"],
+        "num_tasks": heaviest["numCompleteTasks"],
+        "task_run_ms_p50": p50,
+        "task_run_ms_p99": p99,
+        "task_p99_over_p50": round(p99 / p50, 2) if p50 else None,
+    }
+
+
+def band_join_bench(spark, n_docs: int, hot_share: float, cap: int, gate: bool):
+    """Band-bucket cap gate: on the boilerplate corpus the capped run
+    must (a) emit a SUBSET of the uncapped exact-verified pairs, (b)
+    keep every hot doc connected to the family representative (star
+    links — clustering is lossless), (c) beat the uncapped wall-clock
+    by >= 1.5x (the quadratic-to-linear payoff). Also reports the
+    uncapped band-join stage's task p50/p99 for the record."""
+    from mediaplaycounts_spark.operators import dedup as D
+
+    docs, n_hot = build_boilerplate_corpus(spark, n_docs, hot_share)
+    docs = docs.localCheckpoint()
+
+    def pairs(cap_value):
+        return D.minhash_lsh_pairs(
+            docs,
+            "doc_id",
+            "text",
+            threshold=0.05,
+            recall_point=0.3,
+            band_bucket_cap=cap_value,
+        )
+
+    uncapped = {(r.id_a, r.id_b) for r in pairs(None).collect()}
+    capped = {(r.id_a, r.id_b) for r in pairs(cap).collect()}
+    assert capped <= uncapped, "capped pairs must be a subset (same verify)"
+    hot_linked = {b for (a, b) in capped if a == 0} | {
+        a for (a, b) in capped if b == 0
+    }
+    connectivity = len(hot_linked) / max(n_hot - 1, 1)
+
+    t_uncapped = timed(pairs(None))
+    skew = _task_skew_summary(spark.sparkContext)
+    t_capped = timed(pairs(cap))
+
+    out = {
+        "metric": "lsh_band_join_boilerplate",
+        "unit": "sec",
+        "n_docs": n_docs,
+        "hot_share": hot_share,
+        "band_bucket_cap": cap,
+        "uncapped_pairs": len(uncapped),
+        "capped_pairs": len(capped),
+        "hot_family_rep_connectivity": round(connectivity, 4),
+        "uncapped": t_uncapped,
+        "capped": t_capped,
+        "speedup_capped_vs_uncapped": round(t_uncapped / t_capped, 2),
+        "uncapped_heaviest_stage": skew,
+    }
+    print(json.dumps(out))
+    if gate:
+        problems = []
+        if connectivity < 1.0:
+            problems.append(
+                f"hot family not fully rep-connected ({connectivity:.4f})"
+            )
+        if t_uncapped / t_capped < 1.5:
+            problems.append(
+                f"cap speedup {t_uncapped / t_capped:.2f}x < 1.5x gate"
+            )
+        if problems:
+            print("BAND GATE FAILED: " + "; ".join(problems), file=sys.stderr)
+            raise SystemExit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=6_000_000)
@@ -99,13 +227,28 @@ def main() -> None:
     ap.add_argument(
         "--gate",
         action="store_true",
-        help="exit non-zero unless salted>=1.3x and AQE-split>=1.5x vs naive",
+        help="exit non-zero unless salted>=1.3x and AQE-split>=1.5x vs naive"
+        " (and, with --band, the band-bucket-cap gate)",
     )
+    ap.add_argument(
+        "--band",
+        action="store_true",
+        help="ALSO run the LSH band-join boilerplate benchmark/gate",
+    )
+    ap.add_argument("--band-docs", type=int, default=4000)
+    ap.add_argument("--band-hot-share", type=float, default=0.35)
+    ap.add_argument("--band-cap", type=int, default=64)
     args = ap.parse_args()
 
     from mediaplaycounts_spark.session import get_spark
 
-    spark = get_spark("bench-skew")
+    # UI on: the band bench reads task p50/p99 from the monitoring REST
+    # API (no-op for the equi-join bench).
+    spark = get_spark("bench-skew", extra_conf={"spark.ui.enabled": "true"})
+    if args.band:
+        band_join_bench(
+            spark, args.band_docs, args.band_hot_share, args.band_cap, args.gate
+        )
     # The dim must NOT broadcast: at target scale it does not fit.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     fact, dim = build_tables(spark, args.rows, args.dim)
