@@ -46,6 +46,13 @@ table is exactly ten shifted replicas of the driver's sf0.1 table:
 Deterministic end to end (no RNG), so ratio tables are reproducible.
 
 Run:  python tools/gen_sf1.py [--out .scratch/sf1]   (~seconds, DuckDB)
+      python tools/gen_sf1.py --src .scratch/sf1 --out .scratch/sf10
+        (r7: the SAME shifted-replica construction composes — sf10 is
+        ten replicas of sf1; offsets derive from the SRC's max keys so
+        foreign keys stay consistent at any level, document token tags
+        nest (r2xr7xtok), and the embedding rotation+mask layers a new
+        per-replica mask on top of the old one, preserving all
+        within-new-replica cosines by the same cancellation argument)
 Then: python tools/check_correctness.py --sf /root/repo/.scratch/sf1 <keys>
       python tools/scale_ratios.py <sf0.1 log> <sf1 log> --factor 10
 """
@@ -57,8 +64,8 @@ import pathlib
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+SRC = "/root/testdata/sf0.1"  # default; --src overrides
+REPLICAS = 10  # default; --replicas overrides
 
 
 def _offset(con: duckdb.DuckDBPyConnection, table: str, key: str) -> int:
@@ -70,9 +77,13 @@ def _offset(con: duckdb.DuckDBPyConnection, table: str, key: str) -> int:
 
 
 def main() -> None:
+    global SRC, REPLICAS
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
     args = ap.parse_args()
+    SRC, REPLICAS = args.src, args.replicas
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -187,7 +198,7 @@ def main() -> None:
         " (x, i) -> x * (1 - 2 * CAST(hash(k * 4099 + i) % 2 AS INT))) "
         "AS FLOAT[]) AS embedding, label",
     )
-    print(f"wrote sf1 fixtures to {out}")
+    print(f"wrote {REPLICAS}x replicas of {SRC} to {out}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,136 @@
+"""Warm-PAIRED per-key decade measurement (the flagged-key protocol
+SCALE.md mandates): one JVM per invocation, per key — warm-up run at
+the small SF (untimed), then timed runs at the small and big SFs
+back-to-back. Batch-position effects in long sweep sessions are
+±30-70% at these run lengths (measured r5); any ratio used to justify
+or test a complexity bound must come from THIS protocol, not from sweep
+logs.
+
+Usage:
+    python tools/paired_decade.py --small /root/testdata/sf0.1 \
+        --big .scratch/sf1 --factor 10 [--prod] [--best-of 1] key [key..]
+
+--prod sets the production conf (pairBlockCeiling=2000) for the run.
+Prints one JSON line per key:
+  {"key": ..., "small_sec": ..., "big_sec": ..., "ratio": ...,
+   "small_rows": ..., "big_rows": ..., "bound": ..., "allowed": ...,
+   "flag": bool}
+where bound comes from tools/scale_ratios.COMPLEXITY_BOUNDS (default
+1.0 = linear) and allowed = factor * bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _run(qs, key, sf_dir, spark):
+    # time from BEFORE the callable: keys with eager checkpoint_df
+    # lineage cuts do most of their work at construction time, and a
+    # count()-only timer would measure a scan of the materialized RDD
+    t0 = time.perf_counter()
+    df = qs[key](spark, sf_dir)
+    n = df.count()
+    return time.perf_counter() - t0, n
+
+
+def _spill_bytes(sc) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over all COMPLETE
+    stages retained so far (monitoring REST API). Diff around a run to
+    attribute spill to it."""
+    import json as _json
+    import urllib.request
+
+    base = sc.uiWebUrl
+    if base is None:
+        return (0, 0)
+    apps = _json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = next(a["id"] for a in apps if a.get("id") == sc.applicationId)
+    stages = _json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    return (
+        sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        sum(s.get("diskBytesSpilled", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--factor", type=float, default=10.0)
+    ap.add_argument("--prod", action="store_true",
+                    help="production conf: pairBlockCeiling=2000")
+    ap.add_argument("--best-of", type=int, default=1)
+    ap.add_argument("--gate", action="store_true",
+                    help="exit non-zero if any key exceeds its allowed ratio")
+    ap.add_argument("--spill", action="store_true",
+                    help="report per-run memory/disk spill bytes (REST)")
+    ap.add_argument("keys", nargs="+")
+    args = ap.parse_args()
+
+    from mediaplaycounts_spark.session import get_spark
+    from tools.scale_ratios import COMPLEXITY_BOUNDS
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "paired-decade",
+        extra_conf={"spark.ui.enabled": "true"} if args.spill else None,
+    )
+    if args.prod:
+        spark.conf.set("spark.mediaplaycounts.pairBlockCeiling", "2000")
+    qs = entrymod.queries()
+    sc = spark.sparkContext
+    any_flag = False
+    for key in args.keys:
+        _run(qs, key, args.small, spark)  # warm-up (JVM/JIT/code cache)
+        sp0 = _spill_bytes(sc) if args.spill else (0, 0)
+        small = min(
+            _run(qs, key, args.small, spark) for _ in range(args.best_of)
+        )
+        sp1 = _spill_bytes(sc) if args.spill else (0, 0)
+        big = min(_run(qs, key, args.big, spark) for _ in range(args.best_of))
+        sp2 = _spill_bytes(sc) if args.spill else (0, 0)
+        bound = COMPLEXITY_BOUNDS.get(key, 1.0)
+        # identical charge rule to scale_ratios.py: an operator whose
+        # OUTPUT grows faster than the input is charged for its output
+        rows_growth = (big[1] / small[1]) if small[1] else 1.0
+        allowed = bound * max(args.factor, rows_growth)
+        ratio = big[0] / small[0] if small[0] else float("inf")
+        flag = ratio > allowed and big[0] >= 2.0
+        any_flag |= flag
+        rec = {
+            "key": key,
+            "small_sec": round(small[0], 1),
+            "big_sec": round(big[0], 1),
+            "ratio": round(ratio, 1),
+            "small_rows": small[1],
+            "big_rows": big[1],
+            "rows_growth": round(rows_growth, 2),
+            "bound": bound,
+            "allowed": round(allowed, 1),
+            "flag": flag,
+            "conf": "prod" if args.prod else "default",
+            "factor": args.factor,
+        }
+        if args.spill:
+            rec["small_spill_mem"] = sp1[0] - sp0[0]
+            rec["small_spill_disk"] = sp1[1] - sp0[1]
+            rec["big_spill_mem"] = sp2[0] - sp1[0]
+            rec["big_spill_disk"] = sp2[1] - sp1[1]
+        print(json.dumps(rec))
+        sys.stdout.flush()
+    if args.gate and any_flag:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

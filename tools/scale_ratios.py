@@ -45,11 +45,14 @@ COMPLEXITY_BOUNDS = {
     # linear under replica-disjoint scaling, but the heaviest block's
     # skew grows with block size.
     "graph_triangle_count": 1.3,
-    # link prediction: the sum(deg^2) co-pair exchange (~16 bytes/row)
-    # crosses the in-memory -> spill-to-disk boundary between sf0.1
-    # (~90M rows) and sf1 (~900M rows); the spill I/O adds a bounded
-    # constant factor on top of linear growth (measured 13.4x per 10x).
-    "graph_link_prediction": 1.4,
+    # link prediction (r7): the degree cap (_LP_DEGREE_CAP) bounds the
+    # co-pair stream at n_supp·d² — linear in suppliers BY CONSTRUCTION.
+    # The r5-era 1.4 bound priced an uncapped Σdeg² spill boundary
+    # (re-measured r7: 16.5x per 10x with 252 GB memory-spill at sf1);
+    # capped, the paired decade is 2.3x per 10x with ZERO spill
+    # (evidence/sf1_paired_linkpred_r7.jsonl), so the claim is plain
+    # linear again.
+    "graph_link_prediction": 1.0,
     # emitted-pair-bound ops: runtime tracks qualifying pairs (the
     # out-rows growth term), plus verify work on sub-threshold
     # candidates that never reach the output.
