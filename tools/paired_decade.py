@@ -68,7 +68,10 @@ def main() -> None:
     ap.add_argument("--big", default="/root/repo/.scratch/sf1")
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--prod", action="store_true",
-                    help="production conf: pairBlockCeiling=2000")
+                    help="production conf: pairBlockCeiling=2000 + "
+                         "bandBucketCap=256 (r7 — without the cap, r=1 "
+                         "banding's hot buckets filled 77 GB of shuffle "
+                         "disk at sf10)")
     ap.add_argument("--best-of", type=int, default=1)
     ap.add_argument("--gate", action="store_true",
                     help="exit non-zero if any key exceeds its allowed ratio")
@@ -87,6 +90,7 @@ def main() -> None:
     )
     if args.prod:
         spark.conf.set("spark.mediaplaycounts.pairBlockCeiling", "2000")
+        spark.conf.set("spark.mediaplaycounts.bandBucketCap", "256")
     qs = entrymod.queries()
     sc = spark.sparkContext
     any_flag = False
@@ -127,6 +131,15 @@ def main() -> None:
             rec["big_spill_mem"] = sp2[0] - sp1[0]
             rec["big_spill_disk"] = sp2[1] - sp1[1]
         print(json.dumps(rec))
+        # Force a JVM GC between keys: shuffle files are reaped by the
+        # ContextCleaner only when their RDDs are collected, and a big
+        # heap GCs rarely — a multi-key big-SF session otherwise
+        # accumulates every key's shuffle dirs until the DISK fills
+        # (measured: 37 GB of blockmgr-* killed the r7 sf10 sweep).
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         sys.stdout.flush()
     if args.gate and any_flag:
         raise SystemExit(1)

@@ -299,6 +299,12 @@ MAX_SHUFFLES = {
     "graph_bfs_hops": 3,
     "scan_tsv_bz2_compressed": 1,
     "pipeline_curate_corpus": 1,
+    # e2e composition: the audited (post-fork-checkpoint) plan is
+    # join(lang-window(RDD), shard-grouped-map(RDD)) — window exchange,
+    # grouped-map exchange, and the doc_id join's two sides; upstream
+    # stages live behind the three checkpoint cuts and are audited via
+    # their own per-stage keys.
+    "pipeline_e2e_curation": 4,
     "agg_session_bounce_rate": 2,
     "join_temporal_scd2_asof": 1,
     "win_session_paths": 1,
