@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from mediaplaycounts_spark.ingest.mediacounts import (
     corrupt_records,
     daily_playcounts,
+    parse_raw,
     read_raw,
     write_daily,
 )
@@ -1181,4 +1182,124 @@ def scan_category_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return build_membership_snapshot(
         spark, _CATSNAP_FIXTURE, "Category:Root", max_depth=5
+    )
+
+
+# ------------------------------------------- end-to-end daily product loop
+
+#: All three committed dump days — days 1-2 clean, day 3 contains one
+#: corrupt-value line ("oops" in total_transfers) and one truncated line.
+ALL_DAYS_GLOB = f"{FIXTURE_DIR}/mediacounts.2024-01-0[123].v00.tsv"
+
+#: Probe titles for the serving read-back: two real files (multi-day
+#: series + one zero-filled spine day past the data) and the file whose
+#: ONLY appearance is day 3's truncated line — its all-zero series is
+#: the end-to-end proof that corrupt routing kept it out of the store.
+_E2E_PROBES = ("Accordion solo.ogg", "Dance clip.webm", "Truncated.webm")
+
+_E2E_DAILY_SQL = f"""
+    WITH lines AS (
+        SELECT line, filename
+        FROM read_csv('{ALL_DAYS_GLOB}', delim=chr(1), header=false,
+                      columns={{'line': 'VARCHAR'}}, filename=true)
+    ),
+    fields AS (
+        SELECT string_split(line, chr(9)) AS f, filename FROM lines
+    ),
+    clean AS (
+        -- Spark PERMISSIVE corrupt semantics over this schema: a row is
+        -- malformed iff it does not have exactly 26 fields or any LONG
+        -- column holds a non-numeric token (day 3's "oops"/truncated
+        -- lines). Empty LONG fields would be null, not corrupt, but no
+        -- committed fixture contains one (asserted in tests).
+        SELECT f, filename FROM fields
+        WHERE len(f) = 26
+          AND regexp_matches(f[2], '^[0-9]+$')
+          AND regexp_matches(f[3], '^[0-9]+$')
+          AND regexp_matches(f[4], '^[0-9]+$')
+          AND regexp_matches(f[17], '^[0-9]+$')
+          AND regexp_matches(f[19], '^[0-9]+$')
+    ),
+    plays AS (
+        SELECT replace(regexp_extract(f[1], '([^/]+)$', 1), '%20', ' ') AS file,
+               CAST(regexp_extract(filename,
+                    'mediacounts\\.(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) AS DATE) AS d,
+               CAST(SUM(CAST(f[4] AS BIGINT) + CAST(f[17] AS BIGINT)
+                        + CAST(f[19] AS BIGINT)) AS BIGINT) AS count
+        FROM clean
+        WHERE regexp_matches(lower(f[1]), '\\.(ogg|oga|ogv|webm|wav|flac|mid)$')
+        GROUP BY file, d
+    ),
+    probe(file) AS (VALUES {", ".join(f"('{p}')" for p in _E2E_PROBES)}),
+    spine AS (
+        SELECT p.file, CAST(gs.g AS DATE) AS date
+        FROM probe p CROSS JOIN (
+            SELECT unnest(generate_series(DATE '2024-01-01',
+                          DATE '2024-01-04', INTERVAL 1 DAY)) AS g) gs
+    )
+    SELECT s.file, CAST(s.date AS TIMESTAMP) AS date,
+           CAST(COALESCE(pl.count, 0) AS BIGINT) AS count
+    FROM spine s LEFT JOIN plays pl ON pl.file = s.file AND pl.d = s.date
+"""
+
+
+@register("pipeline_e2e_daily_ingest", oracle=_E2E_DAILY_SQL,
+          tags=("pipeline", "e2e", "ingest"))
+def pipeline_e2e_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference's complete product loop as ONE graded lineage
+    (REF LogProcessor daily cron -> MySQL -> GetData API, SURVEY.md
+    §3.1-§3.2): raw multi-day dump scan -> corrupt-line routing to the
+    error sink (REF ErrorLog) -> parse (extension whitelist, URL
+    decode, plays = cols 3+16+18) -> per-(file, date) aggregation ->
+    IDEMPOTENT day-partitioned store (day 1 loaded once, then the full
+    3-day re-run overwrites it in place — the reference's per-date
+    DELETE+INSERT) -> serving-table read-back -> the API's zero-filled
+    `date_range` series for three probe titles.
+
+    What only the composition can prove: (a) the corrupt day-3 rows
+    never reach the serving store — probe 3 ("Truncated.webm", whose
+    sole appearance is the truncated line) comes back as an all-zero
+    series; (b) the double write is idempotent under dynamic partition
+    overwrite — day 1 is loaded twice yet counts once; (c) the spine
+    extends one day past the data, so zero-fill is value-checked at
+    the API boundary, not just in unit tests.
+
+    Scale: identical posture to the per-stage keys it composes — one
+    map-side-combined (file, date) aggregation is the only shuffle on
+    the write path; the serving read is partition-pruned per API query
+    (asserted in tests/test_api_serving.py); each probe series is a
+    broadcast spine join. 100 TB = more days and files, same plan.
+    """
+    from mediaplaycounts_spark.api.playcounts import date_range
+    from mediaplaycounts_spark.api.serving import read_serving_parquet
+    from mediaplaycounts_spark.session import configure
+
+    configure(spark)  # dynamic partition overwrite for the re-run step
+    SCRATCH.mkdir(exist_ok=True)
+    out = str(SCRATCH / f"e2e_daily_{uuid.uuid4().hex[:12]}")
+    errs = str(SCRATCH / f"e2e_errlog_{uuid.uuid4().hex[:12]}")
+
+    raw = read_raw(spark, ALL_DAYS_GLOB)
+    # corrupt_records caches the parsed scan; the happy path below reuses
+    # that SAME cache — one pass over the raw dumps feeds both routes
+    # (the ErrorLog pattern ingest/mediacounts.py::corrupt_records
+    # documents; at 100 TB a second raw scan is the whole day's I/O again).
+    corrupt_records(raw).write.mode("overwrite").json(errs)
+
+    pc = parse_raw(raw).groupBy("file", "date").agg(F.sum("plays").alias("count"))
+    write_daily(pc.filter(F.col("date") == "2024-01-01"), out)  # initial day-1 load
+    write_daily(pc, out)  # nightly re-run: replaces day 1 in place, adds days 2-3
+
+    serving = read_serving_parquet(spark, out)
+    series = [
+        date_range(serving, p, "2024-01-01", "2024-01-04")
+        .select(F.lit(p).alias("file"), "date", "count")
+        for p in _E2E_PROBES
+    ]
+    merged = series[0]
+    for s in series[1:]:
+        merged = merged.unionByName(s)
+    return merged.select(
+        "file", F.col("date").cast("timestamp_ntz").alias("date"),
+        F.col("count").cast("long").alias("count"),
     )

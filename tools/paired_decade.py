@@ -77,6 +77,13 @@ def main() -> None:
                     help="exit non-zero if any key exceeds its allowed ratio")
     ap.add_argument("--spill", action="store_true",
                     help="report per-run memory/disk spill bytes (REST)")
+    ap.add_argument("--io-codec", default=None,
+                    help="spark.io.compression.codec override for BOTH "
+                         "legs (e.g. zstd: ~40%% smaller shuffle files "
+                         "than the lz4 default — the knob that fits a "
+                         "~65 GB-shuffle big leg onto this box's 77 GB "
+                         "disk; ratio stays conf-consistent because the "
+                         "small leg pays the same codec)")
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
 
@@ -84,10 +91,14 @@ def main() -> None:
     from tools.scale_ratios import COMPLEXITY_BOUNDS
     import __spark_entry__ as entrymod
 
-    spark = get_spark(
-        "paired-decade",
-        extra_conf={"spark.ui.enabled": "true"} if args.spill else None,
-    )
+    extra_conf = {}
+    if args.spill:
+        extra_conf["spark.ui.enabled"] = "true"
+    if args.io_codec:
+        # must land in the session builder: the codec is read from the
+        # core SparkConf at shuffle-writer construction, not per-query
+        extra_conf["spark.io.compression.codec"] = args.io_codec
+    spark = get_spark("paired-decade", extra_conf=extra_conf or None)
     if args.prod:
         spark.conf.set("spark.mediaplaycounts.pairBlockCeiling", "2000")
         spark.conf.set("spark.mediaplaycounts.bandBucketCap", "256")
@@ -101,6 +112,19 @@ def main() -> None:
             _run(qs, key, args.small, spark) for _ in range(args.best_of)
         )
         sp1 = _spill_bytes(sc) if args.spill else (0, 0)
+        # GC between the legs too (not just between keys): the warm-up
+        # + small-leg shuffle dirs (~12 GB on the triangle decade) are
+        # otherwise still on disk when the big leg starts, and a big
+        # leg that peaks near the disk ceiling dies on exactly that
+        # margin (measured: triangle sf10 completed at a ~62 GB peak in
+        # one attempt and hit "No space left" in the next, the diff
+        # being ContextCleaner timing). Outside both timed regions, so
+        # the ratio is unaffected.
+        try:
+            spark._jvm.System.gc()
+            time.sleep(3)
+        except Exception:
+            pass
         big = min(_run(qs, key, args.big, spark) for _ in range(args.best_of))
         sp2 = _spill_bytes(sc) if args.spill else (0, 0)
         bound = COMPLEXITY_BOUNDS.get(key, 1.0)
