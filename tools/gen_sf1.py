@@ -76,6 +76,37 @@ def _offset(con: duckdb.DuckDBPyConnection, table: str, key: str) -> int:
     return off
 
 
+def _tag_marker(con: duckdb.DuckDBPyConnection) -> str:
+    """Nesting-level-aware tag marker: 'x' * (1 + deepest existing tag).
+
+    r7 decade defect #7: a flat ``r{k}x`` prefix is NOT injective under
+    nested generation. sf3 replica 1 tags sf1-replica-0 docs as
+    ``r1x<tok>`` — byte-identical to sf1's OWN replica-1 docs carried
+    inside sf3's replica 0, so those two 5k-doc families collide as
+    J~1.0 cross-replica near-dup pairs (measured: 789,981 extra
+    sf3 pairs replica 0<->1, 788,288 for 0<->2, exactly zero 1<->2 —
+    the signature of tag-prefix collision, since r1x(r2x..) != r2x(r1x..)).
+    Deepening the marker per nesting level ('x', then 'xx', ...) makes
+    the tag encode its level: ``r1xx<...>`` can never equal
+    ``r1x<raw>`` unless a raw token begins with 'x' AND the remainder
+    re-aligns a whole shingle set — and the pristine driver corpus has
+    ZERO tokens matching ^r[0-9]+x (asserted below via the level-1
+    probe), so level-1 output (sf1) is bit-identical to the pre-fix
+    corpus and every committed sf0.1->sf1 measurement stands.
+    """
+    level = 1
+    while True:
+        n = con.execute(
+            f"""SELECT count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM '{SRC}/documents.parquet')
+                WHERE regexp_matches(tok, '^r[0-9]+{'x' * level}')"""
+        ).fetchone()[0]
+        if n == 0:
+            return "x" * level
+        level += 1
+
+
 def main() -> None:
     global SRC, REPLICAS
     ap = argparse.ArgumentParser()
@@ -168,17 +199,37 @@ def main() -> None:
     # exact/near-dup structure is strictly intra-replica by
     # construction. Per-doc token counts, lengths (n_chars recomputed),
     # and within-replica df distributions are preserved.
+    mark = _tag_marker(con)
+    print(f"  documents: tag marker '{mark}' (nesting level {len(mark)})")
     emit(
         "documents",
         f"doc_id + k * {off['doc']} AS doc_id, "
         "CASE WHEN k = 0 THEN text "
-        "     ELSE regexp_replace(text, '(\\S+)', 'r' || k || 'x\\1', 'g') "
+        f"     ELSE regexp_replace(text, '(\\S+)', 'r' || k || '{mark}\\1', 'g') "
         "END AS text, "
         "lang, source, "
         "CASE WHEN k = 0 THEN n_chars "
-        "     ELSE len(regexp_replace(text, '(\\S+)', 'r' || k || 'x\\1', 'g')) "
+        f"     ELSE len(regexp_replace(text, '(\\S+)', 'r' || k || '{mark}\\1', 'g')) "
         "END AS n_chars",
     )
+    # Disjointness self-check (the invariant the whole construction
+    # rests on): no token may appear in two different replicas' docs.
+    overlap = con.execute(
+        f"""WITH toks AS (
+              SELECT doc_id // {off['doc']} AS rep,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM '{out}/documents.parquet')
+            SELECT count(*) FROM (
+              SELECT tok FROM toks GROUP BY tok
+              HAVING count(DISTINCT rep) > 1)"""
+    ).fetchone()[0]
+    if overlap:
+        raise SystemExit(
+            f"FATAL: {overlap} tokens shared across replicas — the tag "
+            "construction collided; decade ratios on this corpus would "
+            "price duplicate-family blowup, not engine scaling"
+        )
+    print("  documents: cross-replica token disjointness verified (0 shared)")
     # Rotation alone left cross-replica cosines high (the vectors are
     # cluster + noise, not i.i.d.): sim_cosine_pairs at sf1 emitted
     # 104x the pairs, mostly cross-replica. A deterministic per-replica
