@@ -39,6 +39,44 @@ def _run(qs, key, sf_dir, spark):
     return time.perf_counter() - t0, n
 
 
+def _cpu_s(sc) -> float:
+    """Cumulative executor CPU seconds over all COMPLETE stages
+    (monitoring REST). Diff around a run to attribute CPU to it."""
+    import json as _json
+    import urllib.request
+
+    base = sc.uiWebUrl
+    if base is None:
+        return 0.0
+    stages = _json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+        )
+    )
+    return sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+
+
+def _leg(qs, key, sf_dir, spark, sc, best_of, with_cpu):
+    """best_of timed runs of one leg; returns (min wall, rows, min cpu).
+
+    Wall and CPU floors are taken INDEPENDENTLY across the repeats:
+    r7 measured identical back-to-back runs of an identical plan on
+    identical data varying 1.4-3.6x in executor CPU in one JVM
+    (memory-pressure-dependent execution paths — hash-agg/sort
+    fallbacks, GC interaction; rows and shuffle bytes identical), so
+    the floor of each metric is the closest observable to that
+    metric's true cost.
+    """
+    walls, cpus, rows = [], [], 0
+    for _ in range(best_of):
+        c0 = _cpu_s(sc) if with_cpu else 0.0
+        wall, rows = _run(qs, key, sf_dir, spark)
+        walls.append(wall)
+        if with_cpu:
+            cpus.append(_cpu_s(sc) - c0)
+    return min(walls), rows, (min(cpus) if cpus else 0.0)
+
+
 def _spill_bytes(sc) -> tuple[int, int]:
     """(memoryBytesSpilled, diskBytesSpilled) summed over all COMPLETE
     stages retained so far (monitoring REST API). Diff around a run to
@@ -77,6 +115,13 @@ def main() -> None:
                     help="exit non-zero if any key exceeds its allowed ratio")
     ap.add_argument("--spill", action="store_true",
                     help="report per-run memory/disk spill bytes (REST)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="also record per-leg executor-CPU floors and a "
+                         "cpu_ratio (REST; implies spark.ui.enabled). "
+                         "The flag then requires BOTH the wall and the "
+                         "work (CPU) ratio over bound — wall alone "
+                         "mode-flips 1.4-3.6x on this box for identical "
+                         "runs (r7 measurement, SCALE.md)")
     ap.add_argument("--io-codec", default=None,
                     help="spark.io.compression.codec override for BOTH "
                          "legs (e.g. zstd: ~40%% smaller shuffle files "
@@ -92,7 +137,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     extra_conf = {}
-    if args.spill:
+    if args.spill or args.cpu:
         extra_conf["spark.ui.enabled"] = "true"
     if args.io_codec:
         # must land in the session builder: the codec is read from the
@@ -108,9 +153,7 @@ def main() -> None:
     for key in args.keys:
         _run(qs, key, args.small, spark)  # warm-up (JVM/JIT/code cache)
         sp0 = _spill_bytes(sc) if args.spill else (0, 0)
-        small = min(
-            _run(qs, key, args.small, spark) for _ in range(args.best_of)
-        )
+        small = _leg(qs, key, args.small, spark, sc, args.best_of, args.cpu)
         sp1 = _spill_bytes(sc) if args.spill else (0, 0)
         # GC between the legs too (not just between keys): the warm-up
         # + small-leg shuffle dirs (~12 GB on the triangle decade) are
@@ -125,7 +168,7 @@ def main() -> None:
             time.sleep(3)
         except Exception:
             pass
-        big = min(_run(qs, key, args.big, spark) for _ in range(args.best_of))
+        big = _leg(qs, key, args.big, spark, sc, args.best_of, args.cpu)
         sp2 = _spill_bytes(sc) if args.spill else (0, 0)
         bound = COMPLEXITY_BOUNDS.get(key, 1.0)
         # identical charge rule to scale_ratios.py: an operator whose
@@ -134,6 +177,16 @@ def main() -> None:
         allowed = bound * max(args.factor, rows_growth)
         ratio = big[0] / small[0] if small[0] else float("inf")
         flag = ratio > allowed and big[0] >= 2.0
+        # With --cpu, the flag is adjudicated on whichever of the wall
+        # or executor-CPU (work) ratio is LOWER: r7 established that
+        # wall on this box mode-flips 1.4-3.6x for identical runs while
+        # rows/bytes stay constant, so a key whose WORK scales within
+        # bound is not super-linear no matter which mode the big leg
+        # drew. A key over bound on BOTH metrics still flags.
+        cpu_ratio = None
+        if args.cpu and small[2]:
+            cpu_ratio = big[2] / small[2]
+            flag = flag and (cpu_ratio > allowed)
         any_flag |= flag
         rec = {
             "key": key,
@@ -149,6 +202,10 @@ def main() -> None:
             "conf": "prod" if args.prod else "default",
             "factor": args.factor,
         }
+        if cpu_ratio is not None:
+            rec["small_cpu_s"] = round(small[2], 1)
+            rec["big_cpu_s"] = round(big[2], 1)
+            rec["cpu_ratio"] = round(cpu_ratio, 1)
         if args.spill:
             rec["small_spill_mem"] = sp1[0] - sp0[0]
             rec["small_spill_disk"] = sp1[1] - sp0[1]
