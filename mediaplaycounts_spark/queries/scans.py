@@ -1210,8 +1210,11 @@ _E2E_DAILY_SQL = f"""
         -- Spark PERMISSIVE corrupt semantics over this schema: a row is
         -- malformed iff it does not have exactly 26 fields or any LONG
         -- column holds a non-numeric token (day 3's "oops"/truncated
-        -- lines). Empty LONG fields would be null, not corrupt, but no
-        -- committed fixture contains one (asserted in tests).
+        -- lines). Empty LONG fields would be null (not corrupt) on
+        -- Spark and negative numerics would parse — both diverge from
+        -- this ^[0-9]+$ guard, so the fixture must contain neither:
+        -- pinned by test_e2e_daily_ingest.py::
+        -- test_fixture_long_fields_never_diverge_spark_vs_oracle.
         SELECT f, filename FROM fields
         WHERE len(f) = 26
           AND regexp_matches(f[2], '^[0-9]+$')

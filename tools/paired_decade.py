@@ -139,6 +139,11 @@ def main() -> None:
     extra_conf = {}
     if args.spill or args.cpu:
         extra_conf["spark.ui.enabled"] = "true"
+        # REST stage metrics are bounded by retainedStages (default
+        # 1000); long multi-key sweeps evict completed stages and the
+        # cumulative-sum diff then goes negative/understated (ADVICE
+        # r7). Big keys run thousands of stages across best-of repeats.
+        extra_conf["spark.ui.retainedStages"] = "100000"
     if args.io_codec:
         # must land in the session builder: the codec is read from the
         # core SparkConf at shuffle-writer construction, not per-query
@@ -184,9 +189,20 @@ def main() -> None:
         # bound is not super-linear no matter which mode the big leg
         # drew. A key over bound on BOTH metrics still flags.
         cpu_ratio = None
-        if args.cpu and small[2]:
+        if args.cpu and small[2] > 0 and big[2] > 0:
             cpu_ratio = big[2] / small[2]
             flag = flag and (cpu_ratio > allowed)
+        elif args.cpu:
+            # A non-positive CPU delta means the REST cumulative sum went
+            # backwards (stage eviction) or the UI was unreachable; the
+            # gate silently falling back to wall-only is exactly how a
+            # load-band flag masquerades as a regression (ADVICE r7).
+            print(
+                f"WARNING: {key}: CPU adjudication SKIPPED "
+                f"(small_cpu={small[2]:.1f}, big_cpu={big[2]:.1f} — "
+                "non-positive delta; flag is wall-only)",
+                file=sys.stderr,
+            )
         any_flag |= flag
         rec = {
             "key": key,
