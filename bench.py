@@ -31,6 +31,16 @@ REFERENCE_PATH = os.path.join(
 )
 DRIFT_FACTOR = 1.5
 
+#: CPU drift gate (VERDICT r7 #2/#7): wall time on this box mode-flips
+#: 1.4-3.6x for identical plans under machine load (measured r7, the
+#: three r7 driver drift alerts were exactly this), so a wall-only gate
+#: cannot tell load bands from plan regressions. Executor-CPU floors
+#: measure WORK: a key now alerts only when BOTH its wall exceeds
+#: DRIFT_FACTOR x recorded wall AND its CPU floor exceeds
+#: CPU_DRIFT_FACTOR x the recorded CPU floor (when a CPU recording
+#: exists — wall-only for pre-r8 references).
+CPU_DRIFT_FACTOR = 1.4
+
 #: Headline set: the reference-shaped core (daily rollup, date-range,
 #: rolling windows, category semi-join), the relational workhorses, and
 #: the LLM-pipeline ops that dominate at 100 TB.
@@ -140,40 +150,88 @@ def _e2e_curation(spark, _sf):
 _TIME_BUILD = {"prod_e2e_curation"}
 
 
+def _cpu_totals(sc) -> float:
+    """Cumulative executor CPU seconds over COMPLETE stages (REST).
+    Returns 0.0 when the UI is off (driver-provided vanilla session)."""
+    import urllib.request
+
+    base = sc.uiWebUrl
+    if base is None:
+        return 0.0
+    try:
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{sc.applicationId}"
+                "/stages?status=complete"
+            )
+        )
+        return sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+    except Exception:
+        return 0.0
+
+
 def main() -> None:
     from mediaplaycounts_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     production = _production_paths()
-    spark = get_spark("bench")
+    # The UI is the only source of executor-CPU stage metrics; bounded
+    # retention so long runs don't evict stages mid-diff (ADVICE r7).
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
+    sc = spark.sparkContext
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    def run(key: str, table=None) -> float:
+    def run(key: str, table=None) -> tuple[float, float]:
+        """(best wall, best cpu) over 3 runs — floors taken independently
+        (identical plans mode-flip 1.4-3.6x in CPU under memory
+        pressure; each metric's floor is its closest true-cost
+        observable, same rule as tools/paired_decade.py)."""
         table = table or qs
         time_build = key in _TIME_BUILD
         df = table[key](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()  # warm-up
-        best = float("inf")
+        best = best_cpu = float("inf")
         for _ in range(3):
+            c0 = _cpu_totals(sc)
             t0 = time.perf_counter()
             df = table[key](spark, SF_DIR)
             if not time_build:
                 t0 = time.perf_counter()
+                c0 = _cpu_totals(sc)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
+            best_cpu = min(best_cpu, _cpu_totals(sc) - c0)
+        return round(best, 4), round(max(best_cpu, 0.0), 4)
 
-    timings = {k: run(k) for k in HEADLINE if k in qs}
-    extended = {k: run(k) for k in EXTENDED if k in qs}
-    prod = {k: run(k, production) for k in sorted(production)}
+    timings, cpu = {}, {}
+    for k in HEADLINE:
+        if k in qs:
+            timings[k], cpu[k] = run(k)
+    extended = {}
+    for k in EXTENDED:
+        if k in qs:
+            extended[k], cpu[k] = run(k)
+    prod = {}
+    for k in sorted(production):
+        prod[k], cpu[k] = run(k, production)
     total = round(sum(timings.values()), 4)
 
     record = "--record" in sys.argv
     if record:
         with open(REFERENCE_PATH, "w") as f:
             json.dump(
-                {"sf_dir": SF_DIR, "queries": {**timings, **extended, **prod}},
+                {
+                    "sf_dir": SF_DIR,
+                    "queries": {**timings, **extended, **prod},
+                    "cpu": cpu,
+                },
                 f,
                 indent=2,
                 sort_keys=True,
@@ -183,10 +241,21 @@ def main() -> None:
         with open(REFERENCE_PATH) as f:
             ref = json.load(f)
         if ref.get("sf_dir") == SF_DIR:  # only compare like-for-like
+            ref_cpu = ref.get("cpu", {})
             for k, t in {**timings, **extended, **prod}.items():
                 r = ref["queries"].get(k)
-                if r and t > DRIFT_FACTOR * r:
-                    drift_alerts[k] = {"now": t, "recorded": r}
+                if not (r and t > DRIFT_FACTOR * r):
+                    continue
+                rc, c = ref_cpu.get(k), cpu.get(k)
+                if rc and c and c <= CPU_DRIFT_FACTOR * rc:
+                    # wall over gate but WORK within gate: load band,
+                    # not a plan regression — record, don't alert
+                    continue
+                drift_alerts[k] = {"now": t, "recorded": r}
+                if rc and c:
+                    drift_alerts[k].update(
+                        {"now_cpu": c, "recorded_cpu": rc}
+                    )
     if drift_alerts:
         print(
             f"DRIFT >%{int((DRIFT_FACTOR-1)*100)}: {drift_alerts}",
@@ -201,6 +270,7 @@ def main() -> None:
                 "queries": timings,
                 "extended": extended,
                 "production": prod,
+                "cpu": cpu,
                 "drift_alerts": drift_alerts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
