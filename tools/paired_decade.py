@@ -100,6 +100,76 @@ def _spill_bytes(sc) -> tuple[int, int]:
     )
 
 
+def _fresh_legs_parent(args) -> None:
+    """--fresh-legs driver: one child JVM per (key, leg); ratio math and
+    flag rule identical to the one-JVM path. Child stdout is one JSON
+    line; child stderr passes through for progress visibility."""
+    import subprocess
+
+    from tools.scale_ratios import COMPLEXITY_BOUNDS
+
+    def leg(key: str, sf_dir: str) -> dict:
+        cmd = [
+            sys.executable, __file__, "--_one-leg", sf_dir,
+            "--best-of", str(args.best_of),
+        ]
+        if args.prod:
+            cmd.append("--prod")
+        if args.cpu:
+            cmd.append("--cpu")
+        if args.io_codec:
+            cmd += ["--io-codec", args.io_codec]
+        cmd.append(key)
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True, cwd="/root/repo"
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    any_flag = False
+    for key in args.keys:
+        small = leg(key, args.small)
+        big = leg(key, args.big)
+        bound = COMPLEXITY_BOUNDS.get(key, 1.0)
+        rows_growth = (big["rows"] / small["rows"]) if small["rows"] else 1.0
+        allowed = bound * max(args.factor, rows_growth)
+        ratio = big["wall"] / small["wall"] if small["wall"] else float("inf")
+        flag = ratio > allowed and big["wall"] >= 2.0
+        cpu_ratio = None
+        if args.cpu and small["cpu"] > 0 and big["cpu"] > 0:
+            cpu_ratio = big["cpu"] / small["cpu"]
+            flag = flag and (cpu_ratio > allowed)
+        elif args.cpu:
+            print(
+                f"WARNING: {key}: CPU adjudication SKIPPED "
+                f"(small_cpu={small['cpu']:.1f}, big_cpu={big['cpu']:.1f})",
+                file=sys.stderr,
+            )
+        any_flag |= flag
+        rec = {
+            "key": key,
+            "small_sec": round(small["wall"], 1),
+            "big_sec": round(big["wall"], 1),
+            "ratio": round(ratio, 1),
+            "small_rows": small["rows"],
+            "big_rows": big["rows"],
+            "rows_growth": round(rows_growth, 2),
+            "bound": bound,
+            "allowed": round(allowed, 1),
+            "flag": flag,
+            "conf": "prod" if args.prod else "default",
+            "factor": args.factor,
+            "protocol": f"fresh-legs best-of-{args.best_of}",
+        }
+        if cpu_ratio is not None:
+            rec["small_cpu_s"] = round(small["cpu"], 1)
+            rec["big_cpu_s"] = round(big["cpu"], 1)
+            rec["cpu_ratio"] = round(cpu_ratio, 1)
+        print(json.dumps(rec))
+        sys.stdout.flush()
+    if args.gate and any_flag:
+        raise SystemExit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
@@ -129,8 +199,29 @@ def main() -> None:
                          "~65 GB-shuffle big leg onto this box's 77 GB "
                          "disk; ratio stays conf-consistent because the "
                          "small leg pays the same codec)")
+    ap.add_argument("--fresh-legs", action="store_true",
+                    help="run each LEG in its own subprocess JVM "
+                         "(warm-up at that leg's own SF inside the "
+                         "child, then best-of-N). The one-JVM protocol "
+                         "systematically biases the BIG leg: it always "
+                         "runs in a JVM aged by the warm-up + small "
+                         "leg, and r8 measured the aged-JVM penalty at "
+                         "2.5-2.8x CPU on the array-heavy verify joins "
+                         "(evidence/verify_fix_r8.jsonl: same sf3 plan "
+                         "896 s CPU fresh vs 2171-2535 s aged — three "
+                         "independent aged sessions). Fresh legs hold "
+                         "JVM state CONSTANT across legs, so the ratio "
+                         "measures the ENGINE's scaling, not HotSpot "
+                         "code-cache history. Shuffle dirs are also "
+                         "reaped at child exit (no cross-leg disk "
+                         "accumulation).")
+    ap.add_argument("--_one-leg", default=None, help=argparse.SUPPRESS)
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
+
+    if args.fresh_legs and not args._one_leg:
+        _fresh_legs_parent(args)
+        return
 
     from mediaplaycounts_spark.session import get_spark
     from tools.scale_ratios import COMPLEXITY_BOUNDS
@@ -154,6 +245,19 @@ def main() -> None:
         spark.conf.set("spark.mediaplaycounts.bandBucketCap", "256")
     qs = entrymod.queries()
     sc = spark.sparkContext
+
+    if args._one_leg:
+        # child mode (--fresh-legs): warm-up + best-of-N at ONE sf in
+        # this fresh JVM, print one JSON, exit (shuffle dirs reaped by
+        # JVM shutdown)
+        key = args.keys[0]
+        _run(qs, key, args._one_leg, spark)  # warm-up at the leg's own SF
+        wall, rows, cpu = _leg(
+            qs, key, args._one_leg, spark, sc, args.best_of, args.cpu
+        )
+        print(json.dumps({"wall": wall, "rows": rows, "cpu": cpu}))
+        return
+
     any_flag = False
     for key in args.keys:
         _run(qs, key, args.small, spark)  # warm-up (JVM/JIT/code cache)
