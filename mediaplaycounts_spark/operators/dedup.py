@@ -118,6 +118,104 @@ def minhash_signatures(
 DEFAULT_RECALL_POINT = 0.3
 
 
+def _jaccard_verify(
+    pairs: DataFrame,
+    sa: str,
+    sb: str,
+    threshold: float,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Exact-Jaccard verify over candidate pairs carrying both shingle
+    arrays: (id_a, id_b, jaccard) rows with jaccard >= threshold.
+
+    SHAPE MATTERS MORE THAN IT LOOKS (r8, the decade-flag fix). The
+    naive ``select(jaccard).filter(jaccard >= t)`` lets Catalyst push
+    the predicate INTO the join condition of the pair-fetch join, where
+    the array_intersect subtree appears 3x — and expensive expressions
+    inside join conditions are the one shape this engine has measured
+    catastrophic JVM-aging sensitivity on: the same sf3 plan costs
+    896 s executor-CPU in a fresh JVM but 1126-2535 s in long-lived
+    sessions, while the SAME arithmetic in a post-join Project/Aggregate
+    stays at 492-918 s with run-to-run variance under 10%
+    (evidence/verify_fix_r8.jsonl, evidence/aged_fix_r8.jsonl,
+    evidence/aged_guarded_r8.jsonl — a short-circuited guarded
+    conjunction still mode-flipped 737->1984 s because the exact
+    predicate stayed inside the condition). Long-lived 100 TB executors
+    age exactly like that, so the verify is built from two pieces that
+    keep heavy eval OUT of join conditions:
+
+    - an ALGEBRAIC GUARD that IS allowed to push into the join
+      condition: j >= t  <=>  i*(1+t) >= t*(a+b)  (i = |A∩B|, a+b-i =
+      |A∪B|) with +1e-9 float slack so it admits a strict SUPERSET —
+      one cheap intersect occurrence, prunes ~80% of candidates before
+      they are materialized (and before the barrier exchange);
+    - the EXACT division predicate above an AGGREGATE BARRIER
+      (groupBy on the pair key): predicates do not push through
+      aggregates except on grouping keys, so the exact jaccard is
+      computed exactly once per pair in the partial-aggregate stage and
+      the filter stays a Filter. Candidate streams are distinct on the
+      pair key at every call site (salted pair joins meet each pair
+      exactly once; LSH candidates are .distinct()), so the aggregate
+      is row-preserving and F.first is deterministic. The added
+      exchange ships (id_a, id_b, jaccard) — 24 B/row vs the ~430 B/row
+      array payload already flowing into the join.
+
+    The final predicate is the same double division the DuckDB oracle
+    computes, so boundary pairs (j == t exactly) keep bit-identical
+    membership; the guard's slack only ever ADMITS extra rows for the
+    exact predicate to drop.
+    """
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    jac = inter.cast("double") / union.cast("double")
+    guard = (
+        inter.cast("double") * (1.0 + threshold) + F.lit(1e-9)
+        >= F.lit(threshold) * (F.size(sa) + F.size(sb)).cast("double")
+    )
+    return (
+        pairs.filter(guard)
+        .groupBy(*id_cols)
+        .agg(F.first(jac).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _containment_verify(
+    pairs: DataFrame,
+    sa: str,
+    sb: str,
+    threshold: float,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Containment twin of :func:`_jaccard_verify` (same aging-resistant
+    shape; see there for the full rationale): emits both direction
+    scores per pair, keeping C(A->B) >= t OR C(B->A) >= t.
+
+    Guard: max(i/a, i/b) = i/min(a,b) >= t  <=>  i >= t*min(a,b), one
+    intersect occurrence with +1e-9 superset slack; the exact OR of
+    double divisions runs above the aggregate barrier.
+    """
+    inter = F.size(F.array_intersect(sa, sb))
+    c_ab = inter.cast("double") / F.size(sa).cast("double")
+    c_ba = inter.cast("double") / F.size(sb).cast("double")
+    guard = (
+        inter.cast("double") + F.lit(1e-9)
+        >= F.lit(threshold) * F.least(F.size(sa), F.size(sb)).cast("double")
+    )
+    return (
+        pairs.filter(guard)
+        .groupBy(*id_cols)
+        .agg(
+            F.first(c_ab).alias("containment_ab"),
+            F.first(c_ba).alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )
+
+
 def _hashed_sets(sh: DataFrame) -> DataFrame:
     """(doc_id, s) -> (doc_id, s) with the shingle STRING array replaced
     by its xxhash64 int64 array, for the exact-verify fetch (r7).
@@ -293,18 +391,10 @@ def minhash_lsh_pairs(
     # scale, no sort of the array payload. The arrays themselves are
     # HASHED (see _hashed_sets) before the per-pair exchange.
     sets = _hashed_sets(sigs.select("doc_id", F.col("shingle_set").alias("s")))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    return (
-        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
-        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    fetched = cand.join(
+        sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
+    ).join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+    return _jaccard_verify(fetched, "sa", "sb", threshold)
 
 
 #: Conf key: per-block row ceiling above which the exact-pair operators
@@ -593,17 +683,13 @@ def ngram_jaccard_pairs(
 
     def _exact_pairs(part: DataFrame) -> DataFrame:
         a, b, cond = _salted_pair_join(part, n_salt)
-        inter = F.size(F.array_intersect("a.s", "b.s"))
-        union = F.size("a.s") + F.size("b.s") - inter
-        return (
-            a.join(b, cond)
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                (inter.cast("double") / union.cast("double")).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
+        fetched = a.join(b, cond).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
         )
+        return _jaccard_verify(fetched, "sa", "sb", threshold)
 
     if big_part is None:
         return _exact_pairs(sh)
@@ -613,13 +699,7 @@ def ngram_jaccard_pairs(
         num_hashes=num_hashes,
         rows_per_band=rows_per_band,
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    big_pairs = cand.select(
-        "id_a",
-        "id_b",
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    big_pairs = _jaccard_verify(cand, "sa", "sb", threshold)
     return _exact_pairs(small_part).unionByName(big_pairs)
 
 
@@ -736,41 +816,20 @@ def containment_pairs(
     ceiling = _resolve_block_ceiling(df, block_ceiling)
     small_part, big_part = _split_oversized_blocks(sh, ceiling)
 
-    inter_direct = F.size(F.array_intersect("a.s", "b.s"))
-    c_ab = inter_direct.cast("double") / F.size("a.s").cast("double")
-    c_ba = inter_direct.cast("double") / F.size("b.s").cast("double")
-
     def _direct(part: DataFrame) -> DataFrame:
         a, b, cond = _salted_pair_join(part, n_salt)
-        return (
-            a.join(b, cond)
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                c_ab.alias("containment_ab"),
-                c_ba.alias("containment_ba"),
-            )
-            .filter(
-                (F.col("containment_ab") >= threshold)
-                | (F.col("containment_ba") >= threshold)
-            )
+        fetched = a.join(b, cond).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
         )
+        return _containment_verify(fetched, "sa", "sb", threshold)
 
     if big_part is None:
         return _direct(sh)
     cand = _prefix_filter_candidates(big_part, threshold)
-    inter = F.size(F.array_intersect("sa", "sb"))
-    cb_ab = inter.cast("double") / F.size("sa").cast("double")
-    cb_ba = inter.cast("double") / F.size("sb").cast("double")
-    big_pairs = cand.select(
-        "id_a",
-        "id_b",
-        cb_ab.alias("containment_ab"),
-        cb_ba.alias("containment_ba"),
-    ).filter(
-        (F.col("containment_ab") >= threshold)
-        | (F.col("containment_ba") >= threshold)
-    )
+    big_pairs = _containment_verify(cand, "sa", "sb", threshold)
     return _direct(small_part).unionByName(big_pairs)
 
 

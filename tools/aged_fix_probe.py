@@ -97,6 +97,20 @@ def main() -> None:
                 .filter(F.col("jaccard") >= t)
             )
 
+        def v_guarded():
+            # single-occurrence superset guard leads the conjunction;
+            # the exact division (3 occurrences) short-circuits to the
+            # ~20% of rows the guard admits. No plan-structure change.
+            guard = (
+                inter.cast("double") * (1.0 + t) + F.lit(1e-9)
+                >= F.lit(t) * (F.size("sa") + F.size("sb")).cast("double")
+            )
+            return (
+                joined()
+                .select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(guard & (F.col("jaccard") >= t))
+            )
+
         def v_agg_barrier():
             return (
                 joined()
@@ -106,7 +120,7 @@ def main() -> None:
             )
 
         return {"cond": v_cond, "algebraic": v_algebraic,
-                "agg_barrier": v_agg_barrier}
+                "agg_barrier": v_agg_barrier, "guarded": v_guarded}
 
     # AGE the JVM the way paired_decade does: warm-up + timed small leg
     s1 = shapes("sf1")
@@ -117,7 +131,9 @@ def main() -> None:
                           "cpu_s": round(_cpu(sc) - c0, 1)}), flush=True)
 
     s3 = shapes("sf3")
-    for name in ("cond", "algebraic", "agg_barrier"):
+    import os
+    sel = os.environ.get("AGED_VARIANTS", "cond,algebraic,agg_barrier")
+    for name in sel.split(","):
         runs = []
         rows = 0
         for i in range(2):

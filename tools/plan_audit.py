@@ -174,8 +174,14 @@ MAX_SHUFFLES = {
     # relation into the 8 GB driver and OOM'd). Each such join trades
     # one broadcast for 1-2 LINEAR-volume exchanges; ceilings below
     # reflect the reviewed post-hardening plans.
-    "dedup_near_minhash": 22,
-    "dedup_ngram_jaccard": 2,
+    # r8 aggregate-barrier verify: the exact jaccard/containment predicate
+    # moved out of the pair-fetch JOIN CONDITION (where expensive exprs
+    # measured 2.5-2.8x aged-JVM CPU inflation — operators/dedup.py::
+    # _jaccard_verify) into a groupBy(pair)-barrier: +1 slim exchange
+    # ((id_a,id_b,score) — 24 B/row) per embedded verify. Ceilings below
+    # updated by exactly the embedded-verify count of each key.
+    "dedup_near_minhash": 24,  # +2 r8 barrier (raw LSH verify + exact twin)
+    "dedup_ngram_jaccard": 3,  # +1 r8 barrier
     "dedup_paragraphs": 3,
     "dedup_minhash_clusters": 2,
     "text_contamination_bloom": 5,
@@ -210,10 +216,10 @@ MAX_SHUFFLES = {
     "scan_observe_metrics": 0,
     "agg_theta_set_ops": 6,
     "dedup_substring_spans": 2,
-    "pipeline_split_leakage_guard": 8,  # +4: r5 broadcast hardening, pair join x2 sides (see dedup_near_minhash)
+    "pipeline_split_leakage_guard": 10,  # +4: r5 broadcast hardening, pair join x2 sides; +2 r8 barrier x2 sides
     "agg_approx_distinct": 3,
     "agg_hll_sketch_merge": 4,
-    "dedup_simhash": 9,  # +2: r5 broadcast hardening (see dedup_near_minhash)
+    "dedup_simhash": 10,  # +2: r5 broadcast hardening; +1 r8 barrier (exact-pair twin)
     "dedup_url_canonical": 1,
     "filter_quality_rank": 1,
     "graph_pagerank_int": 9,
@@ -281,7 +287,7 @@ MAX_SHUFFLES = {
     "text_perplexity_unigram": 6,
     "pipeline_pack_sequences": 1,
     "stream_restart_idempotent": 1,
-    "text_containment_pairs": 2,  # +1: r5 broadcast hardening (see dedup_near_minhash)
+    "text_containment_pairs": 3,  # +1: r5 broadcast hardening; +1 r8 barrier
     "win_percent_rank_ntile": 2,
     "ts_anomaly_mad": 3,
     "sink_json_lines": 1,
