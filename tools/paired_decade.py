@@ -74,6 +74,16 @@ def _leg(qs, key, sf_dir, spark, sc, best_of, with_cpu):
         walls.append(wall)
         if with_cpu:
             cpus.append(_cpu_s(sc) - c0)
+        # GC between repeats, not only between legs/keys: a best-of-3
+        # big leg otherwise accumulates 4 runs' shuffle dirs (~28 GB
+        # each on the sf3 pair keys) in one JVM and dies on disk —
+        # ContextCleaner reaps a run's shuffles only after its RDDs are
+        # GC'd. Outside the timed region; floors unaffected.
+        try:
+            spark._jvm.System.gc()
+            time.sleep(2)
+        except Exception:
+            pass
     return min(walls), rows, (min(cpus) if cpus else 0.0)
 
 
@@ -121,8 +131,13 @@ def _fresh_legs_parent(args) -> None:
             cmd += ["--io-codec", args.io_codec]
         cmd.append(key)
         out = subprocess.run(
-            cmd, capture_output=True, text=True, check=True, cwd="/root/repo"
+            cmd, capture_output=True, text=True, cwd="/root/repo"
         )
+        if out.returncode != 0:
+            tail = "\n".join(out.stderr.splitlines()[-15:])
+            raise RuntimeError(
+                f"child leg failed ({key} @ {sf_dir}, rc={out.returncode}):\n{tail}"
+            )
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     any_flag = False
