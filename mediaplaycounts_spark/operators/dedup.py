@@ -703,6 +703,124 @@ def ngram_jaccard_pairs(
     return _exact_pairs(small_part).unionByName(big_pairs)
 
 
+def inverted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via a shared-shingle INVERTED INDEX —
+    recall 1.0 at any threshold > 0, conf-independent, no quadratic
+    block join and no array payloads in any shuffle.
+
+    This is the same algorithm the DuckDB ``_corpus_pairs_sql`` oracle
+    runs: explode each doc's distinct shingle set, self-join the
+    (block, shingle) postings, and COUNT(*) per (id_a, id_b) — the
+    count IS |A∩B| because the sets are distinct, so Jaccard is
+    i/(na+nb-i) from a tiny per-doc size table. Any pair with
+    J >= t > 0 shares at least one shingle, so the candidate set is a
+    superset of the answer BY CONSTRUCTION (unlike MinHash banding's
+    1-(1-j^r)^b recall curve).
+
+    Why this exists (r8 — the dedup_near_minhash decade flag): the
+    grading twins behind the near-dup keys need GROUND-TRUTH pairs.
+    The previous formulation (``ngram_jaccard_pairs`` over one
+    corpus-wide constant block) had two defects the sf1/sf3 stage probe
+    (evidence/stage_cpu_minhash_r8.jsonl) made measurable:
+
+    - under the default 1M block ceiling the single corpus block takes
+      the salted DIRECT path — an all-pairs self-join, Θ(rows²)
+      comparisons: 9x work per 3x data, the decade flag;
+    - under the production conf (pairBlockCeiling=2000) it routes
+      through MinHash-LSH banding, whose recall is < 1 — the "exact"
+      twin then MISSES pairs the production path legitimately finds,
+      and `dedup_near_minhash.within_bound` measured FALSE at sf1
+      (false "false positives"). A grading twin must not approximate.
+
+    Scale shape: join volume is Σ_g C(df(g), 2) over shingle postings —
+    linear in corpus growth whenever per-shingle document frequency is
+    bounded (new content brings new shingles), which is also the exact
+    condition under which near-dup GROUND TRUTH itself stays linear-
+    sized. A df-skewed shingle (boilerplate) concentrates C(df, 2)
+    pairs on one key; that is inherent to exactness — the output owns
+    those pairs — and AQE skew-join splitting spreads the task. The
+    shuffled payload per posting row is 24 B (doc_id, blk, int64
+    shingle hash); xxhash64 collisions could only merge two distinct
+    shingles of the SAME pair (expected pairs·|A|²/2⁶⁴ ≈ 0 — the
+    `_hashed_sets` argument), nudging one Jaccard by 1/|A∪B|.
+
+    The exact division runs in a Project above the COUNT aggregate —
+    nothing heavier than an int64 equality ever sits in a join
+    condition (the r8 aging-hazard rule, see :func:`_jaccard_verify`).
+
+    Returns (id_a < id_b, jaccard) with jaccard >= threshold,
+    bit-identical membership to the DuckDB oracle (same integer
+    arithmetic, same double division).
+    """
+    if not threshold > 0.0:
+        raise ValueError(
+            f"inverted-index exactness needs threshold > 0, got {threshold}"
+            " (a J=0 pair shares no shingle and never meets the index)"
+        )
+    df = ensure_min_parallelism(df)
+    blk = F.col(block_col) if block_col else F.lit(1)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        blk.alias("blk"),
+        shingles(text_col, n).alias("s"),
+    )
+    ex = sh.select(
+        "doc_id", "blk", F.explode("s").alias("g")
+    ).select("doc_id", "blk", F.xxhash64("g").alias("gh"))
+    hits = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    # The pair aggregation's input is the join OUTPUT — Σ_g C(df(g), 2)
+    # rows, 30-100x the posting-list input. groupBy directly on it:
+    # map-side partial aggregation runs BELOW the exchange, where a
+    # pair's occurrences across co-partitioned shingles collapse (~3x
+    # measured), so the exchange ships the reduced stream. An explicit
+    # repartition-then-agg was probed and REJECTED (r8,
+    # evidence/stage_cpu_minhash_r8.jsonl): it forfeits the partial
+    # reduction and re-ships the full join output — sf1 CPU 432->599 s,
+    # sf3 2702 vs 1943 s. The residual sf3 disk "spill" (~5 GB) is the
+    # shuffle WRITER's external sorter paging a linear-volume exchange
+    # (bytes grow exactly 3.0x with data), not a quadratic hash-agg
+    # overflow — on a fleet the same exchange spreads over executors.
+    inter = hits.groupBy("id_a", "id_b").agg(F.count("*").alias("i"))
+    sizes = sh.select("doc_id", F.size("s").alias("sz"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """EXACT candidate pairs for containment >= threshold within blocks,
     via the prefix-filter principle (AllPairs/PPJoin family).

@@ -190,11 +190,21 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_allpairs_jaccard(spark: SparkSession, sf_dir: str, threshold: float):
-    """Corpus-wide exact 2-gram Jaccard pairs (constant block — O(n²),
-    bound-check-at-small-SF only)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("one", F.lit(1))
-    return D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", "one", n=2, threshold=threshold
+    """Corpus-wide exact 2-gram Jaccard pairs — the GROUND TRUTH the
+    near-dup grading twins are measured against.
+
+    r8: inverted-shingle-index join (:func:`D.inverted_jaccard_pairs` —
+    the same algorithm as the DuckDB `_corpus_pairs_sql` oracle, linear
+    whenever per-shingle df is bounded) instead of the old constant-
+    block `ngram_jaccard_pairs` form, which was Θ(rows²) under the
+    default ceiling (the dedup_near_minhash sf1→sf3 decade flag:
+    exact05 twin = 3572 of 4188 composition CPU-s at sf1) and — worse —
+    silently became LSH-APPROXIMATE under the production conf's low
+    pairBlockCeiling, making `within_bound` measure FALSE at sf1
+    (a ground-truth stage must never route through a recall<1 path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.inverted_jaccard_pairs(
+        docs, "doc_id", "text", None, n=2, threshold=threshold
     )
 
 

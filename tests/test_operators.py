@@ -39,6 +39,38 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert (1, 3) not in got
 
 
+def test_inverted_jaccard_matches_direct_quadratic(spark, docs):
+    """r8: the grading-twin path (inverted shingle index) must emit the
+    SAME (pair, jaccard) set as the direct quadratic join at every
+    threshold — recall 1.0 is the property that lets grading twins use
+    it at any conf/scale (the LSH-routed twin measured within_bound
+    FALSE at sf1 because banding recall < 1)."""
+    for t in (0.05, 0.5, 0.9):
+        direct = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", "lang", n=2, threshold=t
+            ).collect()
+        }
+        inv = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.inverted_jaccard_pairs(
+                docs, "doc_id", "text", "lang", n=2, threshold=t
+            ).collect()
+        }
+        assert inv == direct, (t, inv, direct)
+    # blockless form pairs across blocks too (corpus-wide ground truth)
+    allb = {
+        (r["id_a"], r["id_b"])
+        for r in D.inverted_jaccard_pairs(
+            docs, "doc_id", "text", None, n=2, threshold=0.05
+        ).collect()
+    }
+    assert (1, 4) in allb and (1, 2) in allb
+    with pytest.raises(ValueError):
+        D.inverted_jaccard_pairs(docs, "doc_id", "text", None, threshold=0.0)
+
+
 def test_minhash_lsh_finds_exact_and_near(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
