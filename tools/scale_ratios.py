@@ -41,6 +41,15 @@ COMPLEXITY_BOUNDS = {
     "dedup_ngram_jaccard": 1.3,
     "text_containment_pairs": 1.3,
     "dedup_near_minhash": 1.3,
+    # r8: dedup_simhash's registered plan embeds the EXACT J>=0.5
+    # ground-truth twin (inverted-index pairs) since the grading-twin
+    # fix — the r1-r7 bound of 1.0 priced the old LSH-routed twin,
+    # which was cheap because it was silently recall<1 under the prod
+    # conf. The production simhash operator (prod_simhash_pairs:
+    # fingerprints + chunk equi-join) remains plain linear and is
+    # benched separately; the registered key now carries the same
+    # pair-twin slack as dedup_near_minhash.
+    "dedup_simhash": 1.3,
     # triangle counting: sum over nodes of deg^2 within replicas stays
     # linear under replica-disjoint scaling, but the heaviest block's
     # skew grows with block size.
