@@ -38,8 +38,13 @@ DRIFT_FACTOR = 1.5
 #: measure WORK: a key now alerts only when BOTH its wall exceeds
 #: DRIFT_FACTOR x recorded wall AND its CPU floor exceeds
 #: CPU_DRIFT_FACTOR x the recorded CPU floor (when a CPU recording
-#: exists — wall-only for pre-r8 references).
+#: exists — wall-only for pre-r8 references). CPU_ABS_SLACK_S guards
+#: the sub-second keys: the REST stage metrics carry tens-of-ms
+#: per-stage jitter (task launch, GC attribution), so a 60 ms floor vs
+#: a 40 ms recording is measurement noise, not 1.5x more work — a key
+#: must exceed the factor AND the recording by the absolute slack.
 CPU_DRIFT_FACTOR = 1.4
+CPU_ABS_SLACK_S = 0.1
 
 #: Headline set: the reference-shaped core (daily rollup, date-range,
 #: rolling windows, category semi-join), the relational workhorses, and
@@ -247,7 +252,9 @@ def main() -> None:
                 if not (r and t > DRIFT_FACTOR * r):
                     continue
                 rc, c = ref_cpu.get(k), cpu.get(k)
-                if rc and c and c <= CPU_DRIFT_FACTOR * rc:
+                if rc and c and c <= max(
+                    CPU_DRIFT_FACTOR * rc, rc + CPU_ABS_SLACK_S
+                ):
                     # wall over gate but WORK within gate: load band,
                     # not a plan regression — record, don't alert
                     continue
