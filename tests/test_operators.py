@@ -71,6 +71,39 @@ def test_inverted_jaccard_matches_direct_quadratic(spark, docs):
         D.inverted_jaccard_pairs(docs, "doc_id", "text", None, threshold=0.0)
 
 
+def test_inverted_jaccard_df_ceiling_guard(spark, docs):
+    """ADVICE r8: the bounded-df linearity assumption must fail LOUDLY.
+    'the quick'/'quick brown'/... appear in docs 1, 2, 4 (df=3), so a
+    ceiling of 2 fires; a ceiling above every posting list passes and
+    returns the same pairs as the unguarded run. Both the explicit
+    param and the conf spelling engage it."""
+    with pytest.raises(ValueError, match="df ceiling violated"):
+        D.inverted_jaccard_pairs(
+            docs, "doc_id", "text", None, threshold=0.05, max_df=2
+        ).collect()
+    ok = {
+        (r["id_a"], r["id_b"])
+        for r in D.inverted_jaccard_pairs(
+            docs, "doc_id", "text", None, threshold=0.05, max_df=100
+        ).collect()
+    }
+    un = {
+        (r["id_a"], r["id_b"])
+        for r in D.inverted_jaccard_pairs(
+            docs, "doc_id", "text", None, threshold=0.05
+        ).collect()
+    }
+    assert ok == un
+    spark.conf.set(D.INVERTED_MAX_DF_CONF, "2")
+    try:
+        with pytest.raises(ValueError, match="df ceiling violated"):
+            D.inverted_jaccard_pairs(
+                docs, "doc_id", "text", None, threshold=0.05
+            ).collect()
+    finally:
+        spark.conf.unset(D.INVERTED_MAX_DF_CONF)
+
+
 def test_minhash_lsh_finds_exact_and_near(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

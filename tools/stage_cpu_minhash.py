@@ -55,8 +55,12 @@ def _stage_totals(sc) -> dict[str, float]:
 
 
 def _measure(sc, spark, thunk, best_of: int):
-    walls, cpus, out = [], [], None
-    gc = spill = 0.0
+    """Best-of-N floors for wall and CPU, taken independently (the
+    paired_decade rule). gc/spill are NOT floored: they come from the
+    SAME repetition that produced the min CPU, so one emitted record
+    never mixes metrics from different runs (ADVICE r8 — the old form
+    reported the LAST rep's gc/spill next to cross-rep minima)."""
+    walls, cpus, gcs, spills, out = [], [], [], [], None
     for _ in range(best_of):
         b = _stage_totals(sc)
         t0 = time.perf_counter()
@@ -64,14 +68,15 @@ def _measure(sc, spark, thunk, best_of: int):
         walls.append(time.perf_counter() - t0)
         a = _stage_totals(sc)
         cpus.append(a["cpu_s"] - b["cpu_s"])
-        gc = a["gc_s"] - b["gc_s"]
-        spill = a["spill_disk"] - b["spill_disk"]
+        gcs.append(a["gc_s"] - b["gc_s"])
+        spills.append(a["spill_disk"] - b["spill_disk"])
         try:
             spark._jvm.System.gc()
             time.sleep(2)
         except Exception:
             pass
-    return min(walls), min(cpus), gc, spill, out
+    i = cpus.index(min(cpus))
+    return min(walls), cpus[i], gcs[i], spills[i], out
 
 
 def main() -> None:
@@ -93,6 +98,12 @@ def main() -> None:
     )
     spark.conf.set("spark.mediaplaycounts.pairBlockCeiling", str(args.ceiling))
     spark.conf.set("spark.mediaplaycounts.bandBucketCap", str(args.cap))
+    # Loud-failure linearity guard on the exact twins (ADVICE r8): the
+    # probe runs beyond graded SFs, exactly where a df-skewed corpus
+    # would make the inverted-index twin silently quadratic. Measured
+    # max df(g) is 338 at sf0.1..sf1 (constant across SFs); 4096 leaves
+    # honest headroom while still firing orders below all-pairs.
+    spark.conf.set("spark.mediaplaycounts.invertedIndexMaxDf", "4096")
     sc = spark.sparkContext
     sf = args.sf
     label = sf.rstrip("/").rsplit("/", 1)[-1]
