@@ -97,70 +97,26 @@ EXTENDED = [
 
 def _production_paths():
     """PRODUCTION entry points for keys whose REGISTERED plan embeds an
-    exact grading twin (VERDICT r4 next #3): the registry numbers for
-    dedup_near_minhash / dedup_simhash / sim_ann_* include the cost of
-    the exact-verification harness that exists only so the driver can
-    value-check recall; at 100 TB only the approximate path would run.
-    These closures bench the raw operators from `operators/` — the
-    number a reader should quote for "MinHash dedup" etc. BASELINE.md
-    documents the split.
-    """
-    from mediaplaycounts_spark.operators import dedup as D
-    from mediaplaycounts_spark.operators import similarity as S
-    from mediaplaycounts_spark.tables import load_table
+    exact grading twin (VERDICT r4 next #3): those registry numbers
+    include the cost of the exact-verification harness that exists only
+    so the driver can value-check recall; at 100 TB only the raw path
+    would run. Since r9 the twin/production split is FIRST-CLASS
+    registry metadata (`Production` tags on dedup_near_minhash /
+    dedup_simhash / sim_ann_* / pipeline_e2e_curation) — this reads the
+    tags instead of a hardcoded list, so a new twin-bearing key is
+    benched the moment it declares its raw path. Returns
+    ({bench_label: fn}, {labels needing build-inclusive timing}).
+    Build-inclusive = the callable does eager work (checkpoint_df
+    lineage cuts) at CONSTRUCTION time, so best-of-3 must time fn-call
+    + write together or the recorded number is only the final join's
+    write (measured 0.45 s of an 8.9 s run at sf0.1)."""
+    from mediaplaycounts_spark import registry
 
-    def docs(spark):
-        return load_table(spark, SF_DIR, "documents")
-
-    def em(spark):
-        return load_table(spark, SF_DIR, "embeddings")
-
-    def _probe(spark):
-        return S.probe_vector(em(spark), "vec_id", "embedding", 0)
-
-    return {
-        # Same shape as the registered key's production path
-        # (_minhash_pairs_raw): banding derived from the J=0.3 graded
-        # recall point -> 64 hashes/r=2/b=32 (r6 re-baseline; the old
-        # hardcoded 16-hash signature was ~4x cheaper but guaranteed
-        # only ~0.53 recall at J=0.3).
-        "prod_minhash_pairs": lambda spark, _sf: D.minhash_lsh_pairs(
-            docs(spark), "doc_id", "text", threshold=0.05, recall_point=0.3
-        ),
-        "prod_simhash_pairs": lambda spark, _sf: D.simhash_near_dups(
-            docs(spark), "doc_id", "text"
-        ),
-        "prod_ann_lsh": lambda spark, _sf: S.topk_lsh(
-            em(spark), "vec_id", "embedding", _probe(spark)
-        ),
-        "prod_ann_lsh_multiprobe": lambda spark, _sf: S.topk_lsh_multiprobe(
-            em(spark), "vec_id", "embedding", _probe(spark)
-        ),
-        "prod_ann_ivf": lambda spark, _sf: S.topk_ivf(
-            em(spark), "vec_id", "embedding", _probe(spark)
-        ),
-        "prod_ann_pq": lambda spark, _sf: S.topk_pq(
-            em(spark), "vec_id", "embedding", _probe(spark)
-        ),
-        # The registered key IS the production shape (no grading harness
-        # inside); timed build-INCLUSIVE (see _TIME_BUILD) because its
-        # eager lineage-fork checkpoints do ~95% of the work at
-        # fn-call time, before the noop write a write-only timer sees.
-        "prod_e2e_curation": _e2e_curation,
-    }
-
-
-def _e2e_curation(spark, _sf):
-    from mediaplaycounts_spark.queries.curation import pipeline_e2e_curation
-
-    return pipeline_e2e_curation(spark, SF_DIR)
-
-
-#: Keys whose callable performs eager work (checkpoint_df lineage cuts)
-#: during CONSTRUCTION: best-of-3 must time fn-call + write together or
-#: the recorded number is only the final join's write (measured 0.45 s
-#: of an 8.9 s run at sf0.1).
-_TIME_BUILD = {"prod_e2e_curation"}
+    prods = registry.production_paths()
+    return (
+        {label: p.fn for label, p in prods.items()},
+        {label for label, p in prods.items() if p.time_build},
+    )
 
 
 def _cpu_totals(sc) -> float:
@@ -183,12 +139,61 @@ def _cpu_totals(sc) -> float:
         return 0.0
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Machine-epoch fingerprint (VERDICT r8 next #7): consecutive
+    idle-box sessions mode-flip 2.38<->4.64 s on the identical headline
+    (commit bf699be), so every bench artifact carries a 3-probe
+    calibration — engine-independent, plan-stable jobs whose cost can
+    only move with the MACHINE, never with repo code — letting
+    cross-round wall comparisons normalize by epoch instead of
+    guessing. Probes: pure codegen CPU (range+xxhash fold), one small
+    exchange (groupBy on a synthetic key), and a parquet scan+sum of
+    the benched dataset's largest table. Warm best-of-3 each, same
+    method as the queries."""
+    from pyspark.sql import functions as F
+
+    # shiftright(,32) before SUM: raw xxhash64 sums overflow long under
+    # the session's ANSI mode; 30M values < 2^32 sum < 2^57.
+    def cal_cpu():
+        return spark.range(30_000_000).select(
+            F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("h")
+        )
+
+    def cal_shuffle():
+        return (
+            spark.range(2_000_000)
+            .groupBy(F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"))
+            .count()
+            .agg(F.sum("count").alias("n"))
+        )
+
+    def cal_scan():
+        return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").agg(
+            F.sum(F.shiftright(F.xxhash64("l_orderkey"), 32)).alias("h")
+        )
+
+    out = {}
+    for name, thunk in (
+        ("cal_cpu", cal_cpu),
+        ("cal_shuffle", cal_shuffle),
+        ("cal_scan", cal_scan),
+    ):
+        thunk().write.mode("overwrite").format("noop").save()  # warm-up
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            thunk().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
+
+
 def main() -> None:
     from mediaplaycounts_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    production = _production_paths()
+    production, time_build_keys = _production_paths()
     # The UI is the only source of executor-CPU stage metrics; bounded
     # retention so long runs don't evict stages mid-diff (ADVICE r7).
     spark = get_spark(
@@ -207,7 +212,7 @@ def main() -> None:
         pressure; each metric's floor is its closest true-cost
         observable, same rule as tools/paired_decade.py)."""
         table = table or qs
-        time_build = key in _TIME_BUILD
+        time_build = key in time_build_keys
         df = table[key](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()  # warm-up
         best = best_cpu = float("inf")
@@ -223,6 +228,7 @@ def main() -> None:
             best_cpu = min(best_cpu, _cpu_totals(sc) - c0)
         return round(best, 4), round(max(best_cpu, 0.0), 4)
 
+    calibration = _calibration(spark)
     timings, cpu = {}, {}
     for k in HEADLINE:
         if k in qs:
@@ -244,6 +250,7 @@ def main() -> None:
                     "sf_dir": SF_DIR,
                     "queries": {**timings, **extended, **prod},
                     "cpu": cpu,
+                    "calibration": calibration,
                 },
                 f,
                 indent=2,
@@ -291,6 +298,7 @@ def main() -> None:
                 "extended": extended,
                 "production": prod,
                 "cpu": cpu,
+                "calibration": calibration,
                 "drift_alerts": drift_alerts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mediaplaycounts_spark.operators import dedup as D
-from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.registry import Production, register
 from mediaplaycounts_spark.tables import load_table
 
 # ------------------------------------------------------------------ PII
@@ -1030,7 +1030,15 @@ _E2E_SQL = f"""
 """
 
 
-@register("pipeline_e2e_curation", oracle=_E2E_SQL, tags=("pipeline", "e2e"))
+@register(
+    "pipeline_e2e_curation",
+    oracle=_E2E_SQL,
+    tags=("pipeline", "e2e"),
+    # The registered key IS the production shape (no grading harness in
+    # the lineage); time_build because its eager checkpoint_df fork
+    # cuts do ~95% of the work at fn-call time (bench _TIME_BUILD note).
+    production=Production("prod_e2e_curation", None, time_build=True),
+)
 def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE full curation composition, raw crawl -> training manifest, as
     ONE lineage (VERDICT r5 #5 / r6 next #4): code router -> PII

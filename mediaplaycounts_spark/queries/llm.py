@@ -21,7 +21,7 @@ from mediaplaycounts_spark.operators import multimodal as M
 from mediaplaycounts_spark.operators import similarity as S
 from mediaplaycounts_spark.operators import textstats as T
 from mediaplaycounts_spark.session import checkpoint_df
-from mediaplaycounts_spark.registry import register
+from mediaplaycounts_spark.registry import Production, register
 from mediaplaycounts_spark.tables import load_table
 
 # ---------------------------------------------------------------- text
@@ -299,6 +299,7 @@ def _corpus_pairs_sql(threshold: float, select: str) -> str:
         "SELECT COUNT(*) AS n_exact_pairs_j03, TRUE AS within_bound FROM p",
     ),
     bound=_bound_minhash,
+    production=Production("prod_minhash_pairs", _minhash_pairs_raw),
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates -> exact-Jaccard-verified near-dup pairs.
@@ -411,6 +412,14 @@ def _bound_simhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
     )
 
 
+def _simhash_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SimHash path behind `dedup_simhash` (bench
+    `prod_simhash_pairs` row): fingerprints + 16-bit-chunk blocking +
+    Hamming verify, no exact-Jaccard grading twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, "doc_id", "text")
+
+
 @register(
     "dedup_simhash",
     oracle=_corpus_pairs_sql(
@@ -418,6 +427,7 @@ def _bound_simhash(spark: SparkSession, sf_dir: str, result: DataFrame) -> str:
         "SELECT COUNT(*) AS n_near_pairs, TRUE AS within_bound FROM p",
     ),
     bound=_bound_simhash,
+    production=Production("prod_simhash_pairs", _simhash_pairs_raw),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit frequency-weighted SimHash fingerprints, graded by
@@ -667,6 +677,7 @@ def _ann_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_lsh",
     oracle=_ANN_CHECKED_SQL,
     bound=_bound_ann(_ann_lsh_raw, min_overlap=1),
+    production=Production("prod_ann_lsh", _ann_lsh_raw),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k — the 100 TB scale path for
@@ -897,6 +908,7 @@ def _ann_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_ivf",
     oracle=_ANN_CHECKED_SQL,
     bound=_bound_ann(_ann_ivf_raw, min_overlap=14),
+    production=Production("prod_ann_ivf", _ann_ivf_raw),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN top-k — the inverted-file alternative to sim_ann_lsh:
@@ -1270,6 +1282,7 @@ def _ann_multiprobe_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_lsh_multiprobe",
     oracle=_ANN_CHECKED_SQL,
     bound=_bound_ann(_ann_multiprobe_raw, min_overlap=1),
+    production=Production("prod_ann_lsh_multiprobe", _ann_multiprobe_raw),
 )
 def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN top-k: probe bucket + every 1-bit-flip
@@ -1887,6 +1900,7 @@ def _ann_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_pq",
     oracle=_ANN_CHECKED_SQL,
     bound=_bound_ann(_ann_pq_raw, min_overlap=10),
+    production=Production("prod_ann_pq", _ann_pq_raw),
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k — the MEMORY-bound scale path the

@@ -35,12 +35,36 @@ _REGISTRY: dict[str, "Query"] = {}
 
 
 @dataclass(frozen=True)
+class Production:
+    """PRODUCTION-PATH metadata for a key whose REGISTERED plan embeds a
+    grading harness (exact twin, in-plan recall floor, …) that exists
+    only so the driver can value-check it — at 100 TB only the raw
+    operator would run (VERDICT r8 next #4: the twin/production split is
+    structural since r8, so the registry states it as first-class
+    metadata instead of BASELINE.md prose).
+
+    ``key`` is the bench label the production number is recorded under
+    (bench_reference.json / BENCH_rN.json "production" section — the
+    numbers a 100 TB reader should quote); ``fn`` is the raw
+    ``(spark, sf_dir) -> DataFrame`` path (None at register time = "the
+    registered fn IS the production shape", resolved by the decorator);
+    ``time_build`` marks callables that do eager work (checkpoint_df
+    lineage cuts) during CONSTRUCTION, which bench must time fn-call +
+    write together."""
+
+    key: str
+    fn: QueryFn | None = None
+    time_build: bool = False
+
+
+@dataclass(frozen=True)
 class Query:
     key: str
     fn: QueryFn
     oracle: str | None = None
     bound: BoundFn | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
+    production: Production | None = None
 
 
 def register(
@@ -48,6 +72,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bound: BoundFn | None = None,
+    production: Production | None = None,
 ):
     """Decorator: register a graded query under ``key``.
 
@@ -56,13 +81,23 @@ def register(
     ``bound`` — a quantitative assertion (error tolerance, recall floor,
     separation margin) that tools/check_correctness.py runs in place of
     the value oracle, so "no ANSI twin" never means "unchecked".
+
+    ``production`` tags keys whose registered plan embeds a grading
+    harness with the raw production path bench should time separately
+    (see :class:`Production`).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in _REGISTRY:
             raise ValueError(f"duplicate query key: {key}")
+        prod = production
+        if prod is not None and prod.fn is None:
+            import dataclasses
+
+            prod = dataclasses.replace(prod, fn=fn)
         _REGISTRY[key] = Query(
-            key=key, fn=fn, oracle=oracle, bound=bound, tags=tuple(tags)
+            key=key, fn=fn, oracle=oracle, bound=bound, tags=tuple(tags),
+            production=prod,
         )
         return fn
 
@@ -87,3 +122,22 @@ def all_oracles() -> dict[str, str]:
 def get(key: str) -> Query:
     _ensure_loaded()
     return _REGISTRY[key]
+
+
+def production_paths() -> dict[str, Production]:
+    """{bench_label: Production} over every key that declares one —
+    the table bench.py times as its "production" section. Labels are
+    asserted unique at collection time (two keys must not record under
+    one bench label)."""
+    _ensure_loaded()
+    out: dict[str, Production] = {}
+    for q in sorted(_REGISTRY.values(), key=lambda q: q.key):
+        if q.production is None:
+            continue
+        if q.production.key in out:
+            raise ValueError(
+                f"duplicate production bench label {q.production.key!r} "
+                f"(second declarer: {q.key})"
+            )
+        out[q.production.key] = q.production
+    return out

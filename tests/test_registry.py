@@ -48,3 +48,33 @@ def test_query_runs_and_matches_oracle_shape(spark, duck, key):
             c.lower() for c in duck_df.columns
         ), f"{key}: column mismatch"
         assert spark_rows == len(duck_df), f"{key}: row count mismatch"
+
+
+def test_production_tags_cover_the_twin_bearing_keys(spark):
+    """r9 (VERDICT r8 next #4): the twin/production split is registry
+    metadata — every key whose registered plan embeds a grading harness
+    declares its raw production path, labels are unique, and each raw
+    path builds a DataFrame under a vanilla session (bench consumes
+    exactly this table)."""
+    from mediaplaycounts_spark import registry
+
+    prods = registry.production_paths()
+    assert set(prods) == {
+        "prod_minhash_pairs",
+        "prod_simhash_pairs",
+        "prod_ann_lsh",
+        "prod_ann_lsh_multiprobe",
+        "prod_ann_ivf",
+        "prod_ann_pq",
+        "prod_e2e_curation",
+    }
+    assert prods["prod_e2e_curation"].time_build
+    assert prods["prod_e2e_curation"].fn is registry.get(
+        "pipeline_e2e_curation"
+    ).fn  # fn=None at register time resolves to the registered fn
+    # cheap plan-build smoke for the non-eager paths (e2e is eager —
+    # covered by bench/test_e2e_curation)
+    for label, p in prods.items():
+        if not p.time_build:
+            df = p.fn(spark, SF_SMOKE)
+            assert df.columns, label
