@@ -145,6 +145,25 @@ def cosine_pairs_blocked(
             .alias("b")
         )
         cos = cosine(F.col("a.v"), F.col("b.v"))
+        # AGGREGATE BARRIER between the join and the threshold filter
+        # (r9 join-condition audit; the r8 aging-hazard rule of
+        # operators/dedup.py::_jaccard_verify applied to cosine): the
+        # old select(cos).filter(cos >= t) let Catalyst push the whole
+        # zip_with/aggregate cosine lambda INTO the join condition —
+        # exactly the expensive-expression-in-condition shape that
+        # mode-flips 2.5-2.8x CPU in aged JVMs. Predicates do not push
+        # through aggregates except on grouping keys, so grouping on
+        # the pair key pins the condition to pure equi+< scalars and
+        # the cosine evaluates exactly once per pair in the map-side
+        # partial-agg stage (same pipeline stage as the join — no extra
+        # pass). The added exchange ships (id_a, id_b, cos_sim) = 24
+        # B/row for the within-block pair stream, bounded by the block
+        # ceiling — the same priced trade as the jaccard barrier.
+        # first() is deterministic: the salted join meets each pair
+        # exactly once. Unlike jaccard there is no cheap algebraic
+        # guard for a dot product (norms bound nothing per-pair), so
+        # nothing pre-prunes — the compare work was always the full
+        # block pair set.
         return (
             a.join(
                 b,
@@ -157,6 +176,8 @@ def cosine_pairs_blocked(
                 F.col("b.vid").alias("id_b"),
                 F.round(cos, 6).alias("cos_sim"),
             )
+            .groupBy("id_a", "id_b")
+            .agg(F.first("cos_sim").alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
         )
 

@@ -1152,7 +1152,16 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALE.md): the quadratic comparison runs only INSIDE prefix
     blocks, whose size is bounded by content locality; the block join
     is a plain hash equi-join. At 100 TB, widen the block key or
-    pre-filter with MinHash candidates before paying the DP cost."""
+    pre-filter with MinHash candidates before paying the DP cost.
+
+    GUARD + BARRIER SHAPE (r9 join-condition audit): the old
+    filter(dist <= 16) pushed the O(len²) Levenshtein DP into the join
+    condition — the r8 aged-JVM hazard shape (_jaccard_verify). Now a
+    CHEAP algebraic guard sits in the condition (|len(a)-len(b)| <= 16
+    — edit distance is bounded below by the length difference, so the
+    guard only ever ADMITS a superset) and the exact DP runs once per
+    pair above a groupBy(pair) aggregate barrier, where the <= 16
+    predicate cannot be pushed back down."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring("text", 1, 12).alias("block_key"),
@@ -1161,18 +1170,24 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.alias("a")
     b = d.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    len_guard = (
+        F.abs(F.length(F.col("a.head")) - F.length(F.col("b.head"))) <= 16
+    )
     return (
         a.join(
             b,
             (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_guard,
         )
-        .filter(dist <= 16)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             dist.cast("long").alias("edit_dist"),
         )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("edit_dist").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 16)
     )
 
 

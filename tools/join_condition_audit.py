@@ -67,7 +67,21 @@ EXPENSIVE = [
 
 #: (key, condition-substring) pairs reviewed and accepted, with the
 #: reason. Keep this SHORT — the rule is to fix, not allowlist.
-ALLOWLIST: dict[tuple[str, str], str] = {}
+_GUARD_WHY = (
+    "the r8 algebraic guard (operators/dedup.py::_jaccard_verify /"
+    " _containment_verify): deliberately ONE intersect occurrence in the"
+    " condition pruning ~80% of candidates before the barrier exchange;"
+    " the exact division runs above the aggregate barrier. Measured"
+    " aged-JVM-stable: sf3 aged CPU 2535->792 s after this exact shape"
+    " (evidence/aged_fix_r8.jsonl, verify_fix_r8.jsonl); a guard-free"
+    " variant re-ships the unpruned candidate stream."
+)
+ALLOWLIST: dict[tuple[str, str], str] = {
+    ("dedup_near_minhash", "array_intersect"): _GUARD_WHY,
+    ("dedup_ngram_jaccard", "array_intersect"): _GUARD_WHY,
+    ("prod_minhash_pairs", "array_intersect"): _GUARD_WHY,
+    ("text_containment_pairs", "array_intersect"): _GUARD_WHY,
+}
 
 
 def _join_conditions(plan_str: str) -> list[str]:

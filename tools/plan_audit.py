@@ -161,8 +161,13 @@ MAX_SHUFFLES = {
     "agg_trend_slope": 2,
     "agg_variance_exact": 1,
     "array_exists_forall": 1,
-    "dedup_embedding_cosine": 3,  # +1: r5 broadcast hardening (see dedup_near_minhash)
+    "dedup_embedding_cosine": 4,  # +1 r5 broadcast hardening; +1 r9 pair-key
+    # aggregate barrier (join-condition audit: keeps the cosine lambda out
+    # of the join condition — the r8 aged-JVM hazard; 24 B/row exchange)
     "dedup_exact": 1,
+    # r9 pair-key aggregate barrier (join-condition audit: Levenshtein DP
+    # out of the join condition; length-difference guard stays in)
+    "dedup_fuzzy_levenshtein": 1,
     "dedup_exact_hash": 1,
     # r3: within_bound keys (VERDICT r2 #1) carry their exact grading
     # twin IN the plan — the extra shuffles below are the twin's
@@ -246,7 +251,8 @@ MAX_SHUFFLES = {
     "setop_except": 1,
     "setop_intersect": 1,
     "setop_union_distinct": 1,
-    "sim_cosine_pairs": 2,  # +1: r5 broadcast hardening (see dedup_near_minhash)
+    "sim_cosine_pairs": 3,  # +1 r5 broadcast hardening; +1 r9 pair-key
+    # aggregate barrier (see dedup_embedding_cosine)
     "sim_knn_join": 1,
     "sim_mmr_diversify": 1,
     "sink_compact_small_files": 1,
@@ -343,7 +349,8 @@ MAX_SHUFFLES = {
     "win_rolling_slope": 2,
     "ts_theil_sen": 3,
     "pipeline_vocab_coverage": 2,
-    "sim_threshold_sweep": 3,  # +1: r5 broadcast hardening (see dedup_near_minhash)
+    "sim_threshold_sweep": 4,  # +1 r5 broadcast hardening; +1 r9 pair-key
+    # aggregate barrier (see dedup_embedding_cosine)
     "scan_table_profile": 1,
     "pipeline_feature_vector_assemble": 1,
     "stream_update_mode_final": 1,
