@@ -119,6 +119,15 @@ def main() -> int:
         "spark.mediaplaycounts.pairBlockCeiling=2000 to exercise the "
         "production LSH fallback in a scale sweep)",
     )
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write results in the DRIVER's CORRECTNESS_rN.json "
+        "shape ({key: {rows_match, schema_match, hash_match, "
+        "spark_rows, oracle_rows, err}}), so the builder's full-"
+        "registry sweep is diffable against the driver's 50-key "
+        "sample (VERDICT r8 next #5)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -136,10 +145,23 @@ def main() -> int:
 
     from mediaplaycounts_spark import registry
 
+    records: dict[str, dict] = {}
+
+    def record(k, rows=None, schema=None, values=None, sr=None, orr=None, err=None):
+        records[k] = {
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": values,
+            "spark_rows": sr,
+            "oracle_rows": orr,
+            "err": err,
+        }
+
     n_pass = n_fail = n_rows_only = n_bound = 0
     for k in keys:
         if k not in qs:
             print(f"  {k}: UNKNOWN KEY")
+            record(k, False, False, False, err="unknown key")
             n_fail += 1
             continue
         t0 = time.time()
@@ -151,6 +173,7 @@ def main() -> int:
             sdf = df.toPandas()
         except Exception as ex:
             print(f"✗ {k}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            record(k, False, False, False, err=f"{type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
             continue
         # Bounds run regardless of oracle presence: within_bound-style
@@ -159,6 +182,7 @@ def main() -> int:
         t_spark = time.time() - t0
         if args.runtime_only:
             print(f"~ {k}: rows-only ({len(sdf)} rows, spark={t_spark:.1f}s)")
+            record(k, sr=len(sdf))
             n_rows_only += 1
             continue
         bound = registry.get(k).bound
@@ -168,6 +192,10 @@ def main() -> int:
                 bound_msg = bound(spark, args.sf, df)
             except AssertionError as ex:
                 print(f"✗ {k}: BOUND VIOLATED {str(ex)[:300]}")
+                record(
+                    k, False, False, False, sr=len(sdf),
+                    err=f"bound violated: {str(ex)[:300]}",
+                )
                 n_fail += 1
                 continue
         if k not in oracles:
@@ -176,11 +204,13 @@ def main() -> int:
                     f"✓ {k}: bound-pass — {bound_msg} "
                     f"({len(sdf)} rows, spark={t_spark:.1f}s)"
                 )
+                record(k, sr=len(sdf))
                 n_bound += 1
                 continue
             print(
                 f"~ {k}: rows-only ({len(sdf)} rows, spark={t_spark:.1f}s)"
             )
+            record(k, sr=len(sdf))
             n_rows_only += 1
             continue
         t1 = time.time()
@@ -188,10 +218,22 @@ def main() -> int:
             ddf = con.execute(oracles[k]).fetchdf()
         except Exception as ex:
             print(f"✗ {k}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            record(
+                k, False, False, False, sr=len(sdf),
+                err=f"oracle: {type(ex).__name__}: {str(ex)[:300]}",
+            )
             n_fail += 1
             continue
         t_oracle = time.time() - t1
         ok, msg = compare(sdf, ddf)
+        record(
+            k,
+            rows=len(sdf) == len(ddf),
+            schema=sorted(sdf.columns) == sorted(ddf.columns),
+            values=bool(ok),
+            sr=len(sdf),
+            orr=len(ddf),
+        )
         if ok and bound_msg is not None:
             msg = f"{msg} + bound — {bound_msg}"
         mark = "✓" if ok else "✗"
@@ -205,6 +247,12 @@ def main() -> int:
         f"\n{n_pass} pass, {n_bound} bound-pass, {n_fail} fail, "
         f"{n_rows_only} rows-only"
     )
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(records, f, indent=2, sort_keys=True)
+        print(f"driver-format records -> {args.json}")
     return 1 if n_fail else 0
 
 
