@@ -300,13 +300,24 @@ def minhash_lsh_pairs(
     every emitted pair still goes through the exact-Jaccard verify, so
     precision stays 1.0. The trade is documented, not silent: PAIRWISE
     completeness inside over-cap buckets is sacrificed (member-member
-    pairs surface only if they co-occur in some under-cap bucket), but
-    CLUSTER connectivity is preserved — every member links to the rep,
-    so connected-components dedup collapses the family identically.
-    A bucket hot enough to trip the cap is by construction a set of
-    docs agreeing on r consecutive minhashes — a near-identical
-    boilerplate family, exactly the shape star-linking is lossless for
-    (clustering-wise). Default OFF: the graded pairs contract
+    pairs surface only if they co-occur in some under-cap bucket), and
+    CLUSTER connectivity is preserved FOR COHESIVE BUCKETS — when the
+    members are actually similar to the rep, every member's star pair
+    survives the verify and connected-components collapses the family
+    identically. A bucket hot enough to trip the cap at r >= 2 is by
+    construction a set of docs agreeing on r consecutive minhashes — a
+    near-identical boilerplate family, exactly that cohesive shape
+    (measured: dedup_minhash_clusters value-identical under a firing
+    cap at sf0.1, CORRECTNESS_conf_r9.txt bandcap_fire cell). The
+    qualifier is NOT vacuous (r9 ceiling_cap_fire cell, found by
+    measurement): an r=1 bucket can be MIXED — a family plus a
+    min-hash-colliding stranger — and a member whose only qualifying
+    partners were co-members loses ALL its links when its rep pair
+    fails the verify (measured: 1 of 5000 docs at sf0.1 under cap=4 on
+    the routed ngram path). No O(bucket)-candidate scheme can
+    guarantee threshold-graph connectivity of a non-cohesive bucket;
+    callers needing complete pairs keep the cap OFF — which is the
+    default. Default OFF: the graded pairs contract
     (dedup_near_minhash) requires complete pairs; the cap is the
     production knob for boilerplate-heavy corpora, gated by
     tools/bench_skew.py --band. When off, the plan is byte-identical
@@ -561,8 +572,13 @@ def _lsh_candidate_pairs(
     :func:`minhash_lsh_pairs`'s cap, honoring the same
     ``spark.mediaplaycounts.bandBucketCap`` conf (default OFF — the
     graded plan is byte-identical): over-cap buckets emit star
-    candidates (bucket-min rep x member, exact-verified), preserving
-    cluster connectivity while bounding the stream linearly."""
+    candidates (bucket-min rep x member, exact-verified), bounding the
+    stream linearly. NOTE the connectivity caveat is SHARPER here than
+    at r >= 2 (see minhash_lsh_pairs): an r=1 bucket ("same k-th
+    min-hash") is only family-cohesive with probability ~ pairwise
+    Jaccard, so mixed buckets are common and star linking drops a
+    member whose rep pair fails the verify (measured r9: 1/5000 docs
+    at sf0.1, cap=4 — CORRECTNESS_conf_r9.txt ceiling_cap_fire)."""
     num_bands = num_hashes // rows_per_band
     sig = F.array(
         *[

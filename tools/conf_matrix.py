@@ -221,6 +221,51 @@ def c_minhash_summary(routed, default, oracle):
     return True, f"twin exact ({n_r} pairs == oracle); within_bound={wb}"
 
 
+def c_pairs_precision_cluster(routed, default, oracle):
+    """ngram pairs under ceiling+cap BOTH firing. HARD contract is
+    precision only (subset with identical jaccard): the star cap has NO
+    recall floor (a pair can live entirely inside over-cap buckets) and
+    — measured by this very cell in r9 — no unconditional connectivity
+    guarantee either: an r=1 bucket can be MIXED (family + a min-hash-
+    colliding stranger) and a member whose rep pair fails the verify
+    loses all its links (1/5000 docs at sf0.1, cap=4; the operator
+    docstring carries the qualified claim). Connectivity divergence is
+    MEASURED AND REPORTED so the trade stays a number."""
+    r, d = _pair_sets(routed, "jaccard"), _pair_sets(default, "jaccard")
+    extra = set(r) - set(d)
+    if extra:
+        return False, f"PRECISION violated: {len(extra)} non-default pairs"
+    bad = [k for k in r if abs(r[k] - d[k]) > 1e-9]
+    if bad:
+        return False, f"score mismatch on {len(bad)} routed pairs"
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    cr, cd = components(set(r)), components(set(d))
+    lost_nodes = len(set(cd) - set(cr))
+    agree = sum(1 for x in cd if cr.get(x) == cd[x])
+    rec = len(r) / len(d) if d else 1.0
+    return True, (
+        f"precision 1.0 ({len(r)} pairs); recall {rec:.4f} (no floor "
+        f"under cap); cluster divergence measured: {lost_nodes} of "
+        f"{len(cd)} paired docs lost all links, label agreement "
+        f"{agree}/{len(cd)} — the documented star trade"
+    )
+
+
 CONTRACTS = {
     # ngram LSH fallback: banding derived at threshold 0.05 -> r=1/b=59,
     # recall >= 1-(0.95)^59 ~ 0.952 at J=0.05 by construction and
@@ -403,6 +448,58 @@ def prove_maxdf(spark, sf, qs, confs) -> tuple[bool, str]:
     return True, "maxDf=1 raises the df guard (conf live); cell value 4096 no-op"
 
 
+def prove_ceiling_cap(spark, sf, qs, confs) -> tuple[bool, str]:
+    """Both knobs must fire INSIDE the routed LSH path: blocks over the
+    ceiling route through _lsh_candidate_pairs, and within that path at
+    least one (blk, band_idx, band_hash) bucket of the r=1/b=59 banding
+    (derived at the 0.05 ngram threshold) exceeds the cap, so star
+    routing engages. Witnesses: both data-level maxima + the plan under
+    {ceiling} differing from the plan under {ceiling, cap}."""
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.operators import dedup as D
+    from mediaplaycounts_spark.tables import load_table
+
+    ceiling = int(confs["spark.mediaplaycounts.pairBlockCeiling"])
+    cap = int(confs["spark.mediaplaycounts.bandBucketCap"])
+    docs = load_table(spark, sf, "documents")
+    dmax = docs.groupBy("lang").count().agg(F.max("count")).head()[0]
+    if dmax <= ceiling:
+        return False, f"no doc block over ceiling {ceiling} (max {dmax})"
+    nh, r = D._banding_params(0.05)
+    sh = docs.select(
+        "doc_id", F.col("lang").alias("blk"), D.shingles("text", 2).alias("s")
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("s", lambda x, k=k: F.xxhash64(x, F.lit(k))))
+            for k in range(nh)
+        ]
+    )
+    bmax = (
+        sh.select("blk", F.posexplode(sig).alias("i", "h"))
+        .groupBy("blk", "i", "h")
+        .count()
+        .agg(F.max("count"))
+        .head()[0]
+    )
+    if bmax <= cap:
+        return False, f"no r=1 band bucket over cap {cap} (max {bmax})"
+    with _with_conf(
+        spark,
+        {"spark.mediaplaycounts.pairBlockCeiling": str(ceiling)},
+    ):
+        p_ceiling_only = _plan(qs["dedup_ngram_jaccard"](spark, sf))
+    with _with_conf(spark, confs):
+        p_both = _plan(qs["dedup_ngram_jaccard"](spark, sf))
+    if p_both == p_ceiling_only:
+        return False, "cap conf did not change the ROUTED plan"
+    return True, (
+        f"doc max block {dmax} > {ceiling} AND max r=1 bucket {bmax} > "
+        f"{cap}; routed plan diverges ceiling-only vs ceiling+cap"
+    )
+
+
 def prove_production(spark, sf, qs, confs) -> tuple[bool, str]:
     from pyspark.sql import functions as F
 
@@ -443,6 +540,23 @@ CELLS = {
         {"spark.mediaplaycounts.bandBucketCap": "64"},
         BANDCAP_KEYS,
         prove_bandcap,
+    ),
+    # ceiling AND cap firing TOGETHER — the ngram keys' routed-LSH path
+    # with star routing engaged inside it. Under the cap no pair-recall
+    # floor exists (star drops member-member pairs of over-cap buckets,
+    # at any J), so these keys swap to the precision+cluster contract.
+    # cap=4: the r=1 banding's over-cap buckets on this corpus are the
+    # exact-dup families (max bucket 6 at sf0.1 — unlike the (64,2)
+    # banding's 136, an r=1 bucket needs the doc's MINIMUM hash to
+    # collide, which for non-near-dup docs happens at ~their Jaccard).
+    "ceiling_cap_fire": (
+        {
+            "spark.mediaplaycounts.pairBlockCeiling": "100",
+            "spark.mediaplaycounts.bandBucketCap": "4",
+        },
+        ["dedup_ngram_jaccard", "dedup_clusters"],
+        prove_ceiling_cap,
+        {"dedup_ngram_jaccard": c_pairs_precision_cluster},
     ),
     "broadcast_off": (
         {
@@ -500,7 +614,8 @@ def main() -> int:
 
     n_pass = n_fail = 0
     for cell in args.cells.split(","):
-        confs, keys, prove = CELLS[cell]
+        confs, keys, prove, *rest = CELLS[cell]
+        overrides = rest[0] if rest else {}
         print(f"\n=== cell {cell}: {confs}")
         ok, msg = prove(spark, args.sf, qs, confs)
         print(f"{'✓' if ok else '✗'} route-proof: {msg}")
@@ -514,7 +629,7 @@ def main() -> int:
                     routed = qs[k](spark, args.sf).toPandas()
                 d = default_of(k)
                 o = oracle_of(k)
-                contract = CONTRACTS.get(k, c_exact)
+                contract = overrides.get(k) or CONTRACTS.get(k, c_exact)
                 ok, msg = contract(routed, d, o)
             except Exception as ex:
                 ok, msg = False, f"ERROR {type(ex).__name__}: {str(ex)[:300]}"
