@@ -813,10 +813,18 @@ def inverted_jaccard_pairs(
         "doc_id", "blk", F.explode("s").alias("g")
     ).select("doc_id", "blk", F.xxhash64("g").alias("gh"))
     if max_df is None:
+        # A malformed conf value must RAISE, not silently disable the
+        # guard (ADVICE r9: int('4k') falling back to 0 turned the
+        # loud-failure ceiling OFF exactly when someone tried to set
+        # it). Only a genuinely unset conf falls back to 0/OFF.
+        raw = df.sparkSession.conf.get(INVERTED_MAX_DF_CONF, "0")
         try:
-            max_df = int(df.sparkSession.conf.get(INVERTED_MAX_DF_CONF, "0"))
-        except Exception:
-            max_df = 0
+            max_df = int(raw)
+        except ValueError as ex:
+            raise ValueError(
+                f"malformed {INVERTED_MAX_DF_CONF}={raw!r}: expected an "
+                "integer document-frequency ceiling (0/unset = OFF)"
+            ) from ex
     if max_df and max_df > 0:
         # Eager linearity guard: one aggregate pass over the postings.
         # Deliberately a separate job (conf default OFF keeps graded
