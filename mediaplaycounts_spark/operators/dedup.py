@@ -244,6 +244,98 @@ def _hashed_sets(sh: DataFrame) -> DataFrame:
 #: See :func:`minhash_lsh_pairs`.
 BAND_BUCKET_CAP_CONF = "spark.mediaplaycounts.bandBucketCap"
 
+#: Chain-repair peeling rounds for star candidates of over-cap buckets
+#: (VERDICT r9 #3). Each round re-stars the members whose previous star
+#: pair FAILED the exact verify against the lowest failed member of the
+#: same bucket, so one non-cohesive representative (a min-hash-colliding
+#: stranger as the bucket min) no longer orphans a whole family. Every
+#: round peels at least the round's rep out of the failed set, so k
+#: rounds restore connectivity for any bucket that is a union of <= k
+#: cohesive families plus arbitrary strangers — the r9-measured loss
+#: class (1 stranger rep) needs exactly one. Work per round is linear
+#: in the (shrinking) failed-member count; 3 rounds is margin, not
+#: tuning.
+STAR_REPAIR_ROUNDS = 3
+
+
+def _star_candidates_with_repair(
+    bands: DataFrame,
+    buckets: DataFrame,
+    keys: list[str],
+    sets: DataFrame,
+    threshold: float,
+    rounds: int = STAR_REPAIR_ROUNDS,
+) -> DataFrame:
+    """(id_a, id_b) star candidates for over-cap buckets, chain-repaired.
+
+    ``bands`` = exploded (doc_id, *keys) rows; ``buckets`` = the
+    over-cap key table carrying ``_rep`` (bucket min doc_id); ``sets``
+    = the hashed shingle table (doc_id, s) for the in-repair verify.
+    Emitted candidates are a SUPERSET of the plain star set — callers
+    re-run the uniform exact verify over everything, so precision is
+    unchanged (the in-repair scoring only decides who needs another
+    rep, never what is emitted as a result).
+
+    Scoring shape follows the r8 aging rule (:func:`_jaccard_verify`):
+    the Jaccard lands above a groupBy barrier on the pair key, never
+    in a join condition. No algebraic pre-guard here — the guard
+    prunes pairs that cannot PASS, and repair routing needs exactly
+    the failures.
+
+    LINEAGE DISCIPLINE (measured, r10): ``star`` and each round's
+    ``failed`` are checkpoint_df'd. Without the cuts the round-i pair
+    table references failed_(i-1) TWICE (once directly, once through
+    its groupBy rep), so the logical tree — including the full
+    minhash/shingle subtree under ``bands`` — doubles per round:
+    the first uncut build ran the boilerplate gate fixture 4.5x
+    SLOWER capped than uncapped (2^rounds subtree copies), vs 2.6x
+    FASTER with the cuts. The checkpointed tables are the linear
+    star/failed member lists (ids + bucket keys only), never
+    payloads.
+    """
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+
+    def failed_members(pairs: DataFrame) -> DataFrame:
+        inter = F.size(F.array_intersect("sa", "sb"))
+        jac = inter.cast("double") / (
+            F.size("sa") + F.size("sb") - inter
+        ).cast("double")
+        return (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .groupBy(*keys, "id_a", "id_b")
+            .agg(F.first(jac).alias("_j"))
+            .filter(F.col("_j") < threshold)
+            .select(*keys, "id_b")
+        )
+
+    star = checkpoint_df(
+        bands.join(buckets, keys)
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(
+            *keys, F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    out = star.select("id_a", "id_b")
+    failed = checkpoint_df(failed_members(star))
+    for i in range(rounds):
+        # checkpoint_df is eager, so this emptiness probe is a cheap
+        # scan of materialized blocks — cohesive buckets (the common
+        # case) pay for round 0's scoring only, never the loop.
+        if failed.isEmpty():
+            break
+        rep = failed.groupBy(*keys).agg(F.min("id_b").alias("_rep2"))
+        pairs_i = (
+            failed.join(rep, keys)
+            .filter(F.col("id_b") != F.col("_rep2"))
+            .select(*keys, F.col("_rep2").alias("id_a"), "id_b")
+        )
+        out = out.unionByName(pairs_i.select("id_a", "id_b"))
+        if i < rounds - 1:
+            failed = checkpoint_df(failed_members(pairs_i))
+    return out
+
 
 def minhash_lsh_pairs(
     df: DataFrame,
@@ -300,28 +392,29 @@ def minhash_lsh_pairs(
     every emitted pair still goes through the exact-Jaccard verify, so
     precision stays 1.0. The trade is documented, not silent: PAIRWISE
     completeness inside over-cap buckets is sacrificed (member-member
-    pairs surface only if they co-occur in some under-cap bucket), and
-    CLUSTER connectivity is preserved FOR COHESIVE BUCKETS — when the
-    members are actually similar to the rep, every member's star pair
-    survives the verify and connected-components collapses the family
-    identically. A bucket hot enough to trip the cap at r >= 2 is by
-    construction a set of docs agreeing on r consecutive minhashes — a
-    near-identical boilerplate family, exactly that cohesive shape
-    (measured: dedup_minhash_clusters value-identical under a firing
-    cap at sf0.1, CORRECTNESS_conf_r9.txt bandcap_fire cell). The
-    qualifier is NOT vacuous (r9 ceiling_cap_fire cell, found by
-    measurement): an r=1 bucket can be MIXED — a family plus a
-    min-hash-colliding stranger — and a member whose only qualifying
-    partners were co-members loses ALL its links when its rep pair
-    fails the verify (measured: 1 of 5000 docs at sf0.1 under cap=4 on
-    the routed ngram path). No O(bucket)-candidate scheme can
-    guarantee threshold-graph connectivity of a non-cohesive bucket;
-    callers needing complete pairs keep the cap OFF — which is the
-    default. Default OFF: the graded pairs contract
-    (dedup_near_minhash) requires complete pairs; the cap is the
-    production knob for boilerplate-heavy corpora, gated by
-    tools/bench_skew.py --band. When off, the plan is byte-identical
-    to the uncapped plan of old.
+    pairs surface only if they co-occur in some under-cap bucket);
+    CLUSTER connectivity is preserved for cohesive buckets directly —
+    when the members are actually similar to the rep, every member's
+    star pair survives the verify and connected-components collapses
+    the family identically (measured: dedup_minhash_clusters
+    value-identical under a firing cap at sf0.1, the bandcap_fire
+    conf cell) — and for MIXED buckets via CHAIN-REPAIR
+    (:func:`_star_candidates_with_repair`, VERDICT r9 #3): the r9
+    ceiling_cap_fire cell measured that an r=1 bucket can be a family
+    plus a min-hash-colliding stranger, and with the STRANGER as the
+    bucket min every family member's rep pair failed the verify and
+    the family lost all its links (1 of 5000 docs at sf0.1, cap=4).
+    Repair re-stars each round's failed members against the lowest
+    failed member of their bucket for STAR_REPAIR_ROUNDS rounds —
+    linear extra candidates, peeling one cohesive group per round —
+    so connectivity now survives up to that many stacked groups per
+    bucket (the measured class needs one round); buckets wilder than
+    that remain a documented residual, and callers needing complete
+    pairs keep the cap OFF — which is the default. Default OFF: the
+    graded pairs contract (dedup_near_minhash) requires complete
+    pairs; the cap is the production knob for boilerplate-heavy
+    corpora, gated by tools/bench_skew.py --band. When off, the plan
+    is byte-identical to the uncapped plan of old.
     """
     if (num_hashes is None) != (rows_per_band is None):
         raise ValueError(
@@ -371,6 +464,15 @@ def minhash_lsh_pairs(
             )
         )
 
+    # The verify side carries shingle-set ARRAYS. Its Catalyst size
+    # estimate derives from the compressed parquet scan (a few MB), but
+    # the deserialized arrays are 100-1000x that — at sf1 Catalyst
+    # happily broadcast it and the 8 GB driver OOM'd building the
+    # relation. shuffle_hash: doc_id is high-cardinality, so the build
+    # side per partition is corpus/shuffle-partitions — bounded at any
+    # scale, no sort of the array payload. The arrays themselves are
+    # HASHED (see _hashed_sets) before the per-pair exchange.
+    sets = _hashed_sets(sigs.select("doc_id", F.col("shingle_set").alias("s")))
     if band_bucket_cap and band_bucket_cap > 0:
         # One linear aggregate finds hot buckets (tiny by construction:
         # at most band_rows/cap keys) — checkpointed so it runs once,
@@ -383,25 +485,12 @@ def minhash_lsh_pairs(
             .select("band_idx", "band_hash", "_rep")
         )
         cold = bands.join(buckets, ["band_idx", "band_hash"], "left_anti")
-        star = (
-            bands.join(buckets, ["band_idx", "band_hash"])
-            .filter(F.col("doc_id") != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")
-            )
+        star = _star_candidates_with_repair(
+            bands, buckets, ["band_idx", "band_hash"], sets, threshold
         )
         cand = _all_pairs(cold).unionByName(star).distinct()
     else:
         cand = _all_pairs(bands).distinct()
-    # The verify side carries shingle-set ARRAYS. Its Catalyst size
-    # estimate derives from the compressed parquet scan (a few MB), but
-    # the deserialized arrays are 100-1000x that — at sf1 Catalyst
-    # happily broadcast it and the 8 GB driver OOM'd building the
-    # relation. shuffle_hash: doc_id is high-cardinality, so the build
-    # side per partition is corpus/shuffle-partitions — bounded at any
-    # scale, no sort of the array payload. The arrays themselves are
-    # HASHED (see _hashed_sets) before the per-pair exchange.
-    sets = _hashed_sets(sigs.select("doc_id", F.col("shingle_set").alias("s")))
     fetched = cand.join(
         sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
     ).join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
@@ -554,7 +643,10 @@ def _banding_params(
 
 
 def _lsh_candidate_pairs(
-    sh: DataFrame, num_hashes: int, rows_per_band: int
+    sh: DataFrame,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float = 0.05,
 ) -> DataFrame:
     """Within-block MinHash-LSH candidate pairs over pre-computed
     shingle arrays (sh = doc_id, blk, s). Band hash join keyed by
@@ -573,12 +665,17 @@ def _lsh_candidate_pairs(
     ``spark.mediaplaycounts.bandBucketCap`` conf (default OFF — the
     graded plan is byte-identical): over-cap buckets emit star
     candidates (bucket-min rep x member, exact-verified), bounding the
-    stream linearly. NOTE the connectivity caveat is SHARPER here than
-    at r >= 2 (see minhash_lsh_pairs): an r=1 bucket ("same k-th
+    stream linearly. The connectivity caveat is SHARPER here than at
+    r >= 2 (see minhash_lsh_pairs): an r=1 bucket ("same k-th
     min-hash") is only family-cohesive with probability ~ pairwise
-    Jaccard, so mixed buckets are common and star linking drops a
-    member whose rep pair fails the verify (measured r9: 1/5000 docs
-    at sf0.1, cap=4 — CORRECTNESS_conf_r9.txt ceiling_cap_fire)."""
+    Jaccard, so mixed buckets are common — which is exactly why star
+    candidates go through :func:`_star_candidates_with_repair`
+    (r10, VERDICT r9 #3): members whose rep pair fails the verify
+    re-star against the lowest failed co-member for a bounded number
+    of peeling rounds, repairing the measured r9 loss class (a
+    stranger as bucket min orphaning a family: 1/5000 docs at sf0.1,
+    cap=4 — CORRECTNESS_conf_r9.txt ceiling_cap_fire, re-measured
+    5000/5000 in r10)."""
     num_bands = num_hashes // rows_per_band
     sig = F.array(
         *[
@@ -622,6 +719,9 @@ def _lsh_candidate_pairs(
         cap = int(sh.sparkSession.conf.get(BAND_BUCKET_CAP_CONF, "0"))
     except Exception:
         cap = 0
+    # hashed verify payload + shuffle_hash pin (see _hashed_sets /
+    # minhash_lsh_pairs).
+    sets = _hashed_sets(sh.select("doc_id", "s"))
     if cap > 0:
         keys = ["blk", "band_idx", "band_hash"]
         buckets = checkpoint_df(
@@ -631,17 +731,12 @@ def _lsh_candidate_pairs(
             .select(*keys, "_rep")
         )
         cold = bands.join(buckets, keys, "left_anti")
-        star = (
-            bands.join(buckets, keys)
-            .filter(F.col("doc_id") != F.col("_rep"))
-            .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        star = _star_candidates_with_repair(
+            bands, buckets, keys, sets, threshold
         )
         cand = _all_pairs(cold).unionByName(star).distinct()
     else:
         cand = _all_pairs(bands).distinct()
-    # hashed verify payload + shuffle_hash pin (see _hashed_sets /
-    # minhash_lsh_pairs).
-    sets = _hashed_sets(sh.select("doc_id", "s"))
     return cand.join(
         sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
     ).join(
@@ -714,6 +809,7 @@ def ngram_jaccard_pairs(
         big_part,
         num_hashes=num_hashes,
         rows_per_band=rows_per_band,
+        threshold=threshold,
     )
     big_pairs = _jaccard_verify(cand, "sa", "sb", threshold)
     return _exact_pairs(small_part).unionByName(big_pairs)

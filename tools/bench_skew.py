@@ -24,13 +24,18 @@ numbers are recorded per-round in BASELINE.md.
 
 Run: python tools/bench_skew.py  [--rows 6000000 --dim 200000]
 
-GATE MODE (VERDICT r3 #7): ``--gate`` additionally asserts the skew
-defenses actually defend — salted/naive >= 1.3x and AQE-split/naive >=
-1.5x (BASELINE.md's alert rule; measured 1.81x / 2.62x with ~40%
-headroom) — and exits non-zero otherwise, so a Spark upgrade or conf
-change that silently loses the defense fails the round instead of
-hiding inside bench noise. tests/test_skew_gate.py runs this mode
-per-round.
+GATE MODE (VERDICT r3 #7, epoch-aware since r10 per VERDICT r9 #6):
+``--gate`` asserts the defenses actually defend, on the
+load-insensitive signal — the within-stage max/p50 task-runtime
+ratio: plain must stay detectably skewed (>= 3.0, the built-in
+negative control) while salted and AQE-split must land under half of
+plain's imbalance, with a 3x executorCpuTime guard so distribution
+is not bought with a work blow-up. Wall speedups (salted/naive,
+AQE/naive — measured 1.81x / 2.62x idle) are still REPORTED but no
+longer asserted: r9 measured the salted wall ratio compressing to
+1.24x purely under machine load (1.81x isolated, identical plans),
+because parallelism is exactly what background load contends for.
+tests/test_skew_gate.py runs this mode per-round.
 """
 
 from __future__ import annotations
@@ -119,6 +124,77 @@ def build_boilerplate_corpus(spark, n_docs: int, hot_share: float):
         .alias("text"),
     )
     return docs, n_hot
+
+
+def _completed_stage_ids(sc) -> set:
+    import urllib.request
+
+    base = sc.uiWebUrl
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{sc.applicationId}"
+            "/stages?status=complete"
+        )
+    )
+    return {(s["stageId"], s["attemptId"]) for s in stages}
+
+
+def _window_task_stats(sc, before: set) -> dict:
+    """Task-distribution stats over the stages completed since
+    ``before`` (one strategy's timing window): the BOTTLENECK stage's
+    max/p50 task executorRunTime — the LOAD-INSENSITIVE skew signal
+    (VERDICT r9 #6) — plus the window's total executorCpuTime as the
+    work-volume guard. Background load slows every task of a stage
+    roughly uniformly, so the WITHIN-STAGE max/p50 ratio survives
+    machine epochs that compress wall-clock speedups (r9: salted
+    1.24x mid-suite vs 1.81x isolated — same plans, same defense).
+
+    Bottleneck = the stage whose LONGEST SINGLE TASK is the window
+    maximum. Picking by total executorRunTime instead (first build)
+    lands on the uniform 32-task exchange-write stage, whose summed
+    runtime dwarfs the skewed join stage's one hot task — the metric
+    read 1.48 on the undefended plain join. Wall-clock critical paths
+    follow the longest task, not the biggest stage sum."""
+    import urllib.request
+
+    base = sc.uiWebUrl
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{sc.applicationId}"
+            "/stages?status=complete"
+        )
+    )
+    window = [
+        s for s in stages if (s["stageId"], s["attemptId"]) not in before
+    ]
+    if not window:
+        return {}
+    best = None
+    for s in window:
+        if s.get("numCompleteTasks", 0) < 2:
+            continue
+        summary = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{sc.applicationId}/stages/"
+                f"{s['stageId']}/{s['attemptId']}/taskSummary"
+                "?quantiles=0.5,1.0"
+            )
+        )
+        p50, mx = summary["executorRunTime"]
+        if best is None or mx > best["task_run_ms_max"]:
+            best = {
+                "stage_id": s["stageId"],
+                "num_tasks": s["numCompleteTasks"],
+                "task_run_ms_p50": p50,
+                "task_run_ms_max": mx,
+                "max_over_p50": round(mx / p50, 2) if p50 else None,
+            }
+    if best is None:
+        return {}
+    best["window_cpu_s"] = round(
+        sum(s.get("executorCpuTime", 0) for s in window) / 1e9, 3
+    )
+    return best
 
 
 def _task_skew_summary(sc) -> dict:
@@ -264,9 +340,14 @@ def main() -> None:
     }
     assert want == got, "salted join result diverges from plain join"
 
+    sc = spark.sparkContext
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    snap = _completed_stage_ids(sc)
     t_plain = timed(plain_join(fact, dim))
+    stats_plain = _window_task_stats(sc, snap)
+    snap = _completed_stage_ids(sc)
     t_salted = timed(salted_join(fact, dim))
+    stats_salted = _window_task_stats(sc, snap)
 
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # scale the skew-split thresholds to local data (defaults: 256 MB)
@@ -274,7 +355,9 @@ def main() -> None:
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    snap = _completed_stage_ids(sc)
     t_aqe = timed(plain_join(fact, dim))
+    stats_aqe = _window_task_stats(sc, snap)
 
     print(
         json.dumps(
@@ -290,18 +373,55 @@ def main() -> None:
                 "salted": t_salted,
                 "speedup_salted_vs_plain": round(t_plain / t_salted, 2),
                 "speedup_aqe_vs_plain": round(t_plain / t_aqe, 2),
+                "task_stats": {
+                    "plain": stats_plain,
+                    "salted": stats_salted,
+                    "aqe": stats_aqe,
+                },
             }
         )
     )
     if args.gate:
+        # EPOCH-AWARE gate (VERDICT r9 #6): wall-clock speedups are
+        # REPORTED above but no longer asserted — salting's wall win
+        # is parallelism, exactly the resource background load
+        # contends for, so the ratio compresses on a busy box while
+        # the defense is perfectly intact (r9: 1.24x mid-suite, 1.81x
+        # isolated, identical plans). What the defenses actually
+        # change is the per-task WORK DISTRIBUTION, and the
+        # within-stage max/p50 task-runtime ratio measures it
+        # load-insensitively. The plain run doubles as the built-in
+        # NEGATIVE CONTROL: it is what a lost defense looks like, and
+        # it must stay detectably skewed or the whole gate is vacuous.
+        imb_plain = (stats_plain or {}).get("max_over_p50")
+        imb_salted = (stats_salted or {}).get("max_over_p50")
+        imb_aqe = (stats_aqe or {}).get("max_over_p50")
+        cpu_plain = (stats_plain or {}).get("window_cpu_s")
+        cpu_salted = (stats_salted or {}).get("window_cpu_s")
         problems = []
-        if t_plain / t_salted < 1.3:
+        if None in (imb_plain, imb_salted, imb_aqe):
+            problems.append("task stats unavailable (UI off?)")
+        else:
+            if imb_plain < 3.0:
+                problems.append(
+                    f"negative control lost: plain join task max/p50 "
+                    f"{imb_plain:.2f} < 3.0 — fixture no longer skewed"
+                )
+            if imb_salted > imb_plain / 2:
+                problems.append(
+                    f"salted task max/p50 {imb_salted:.2f} not under "
+                    f"half of plain's {imb_plain:.2f} — salting lost"
+                )
+            if imb_aqe > imb_plain / 2:
+                problems.append(
+                    f"AQE-split task max/p50 {imb_aqe:.2f} not under "
+                    f"half of plain's {imb_plain:.2f} — skew-split lost"
+                )
+        # Work-volume guard: distribution must not be bought with a
+        # work blow-up (executorCpuTime is scheduling-insensitive).
+        if cpu_plain and cpu_salted and cpu_salted > 3.0 * cpu_plain:
             problems.append(
-                f"salted speedup {t_plain / t_salted:.2f}x < 1.3x gate"
-            )
-        if t_plain / t_aqe < 1.5:
-            problems.append(
-                f"AQE skew-split speedup {t_plain / t_aqe:.2f}x < 1.5x gate"
+                f"salted CPU {cpu_salted:.1f}s > 3x plain {cpu_plain:.1f}s"
             )
         if problems:
             print("SKEW GATE FAILED: " + "; ".join(problems), file=sys.stderr)

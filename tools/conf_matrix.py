@@ -229,15 +229,16 @@ def c_minhash_summary(routed, default, oracle):
 
 
 def c_pairs_precision_cluster(routed, default, oracle):
-    """ngram pairs under ceiling+cap BOTH firing. HARD contract is
-    precision only (subset with identical jaccard): the star cap has NO
-    recall floor (a pair can live entirely inside over-cap buckets) and
-    — measured by this very cell in r9 — no unconditional connectivity
-    guarantee either: an r=1 bucket can be MIXED (family + a min-hash-
-    colliding stranger) and a member whose rep pair fails the verify
-    loses all its links (1/5000 docs at sf0.1, cap=4; the operator
-    docstring carries the qualified claim). Connectivity divergence is
-    MEASURED AND REPORTED so the trade stays a number."""
+    """ngram pairs under ceiling+cap BOTH firing. HARD contract:
+    precision (subset with identical jaccard) AND zero connectivity
+    loss — the star cap has NO pair-recall floor (a pair can live
+    entirely inside over-cap buckets), but as of r10 the chain-repair
+    rounds (operators/dedup._star_candidates_with_repair, VERDICT r9
+    #3) must keep every paired doc connected to its default component:
+    the r9 loss class (a min-hash-colliding stranger as bucket min
+    orphaning a family, 1/5000 docs at cap=4) is exactly what repair
+    exists to fix, so a reappearing lost node is a regression, not a
+    documented trade. Label agreement is still reported."""
     r, d = _pair_sets(routed, "jaccard"), _pair_sets(default, "jaccard")
     extra = set(r) - set(d)
     if extra:
@@ -265,11 +266,16 @@ def c_pairs_precision_cluster(routed, default, oracle):
     lost_nodes = len(set(cd) - set(cr))
     agree = sum(1 for x in cd if cr.get(x) == cd[x])
     rec = len(r) / len(d) if d else 1.0
+    if lost_nodes:
+        return False, (
+            f"CONNECTIVITY violated: {lost_nodes} of {len(cd)} paired "
+            "docs lost all links under the cap — chain-repair should "
+            "have re-starred them"
+        )
     return True, (
         f"precision 1.0 ({len(r)} pairs); recall {rec:.4f} (no floor "
-        f"under cap); cluster divergence measured: {lost_nodes} of "
-        f"{len(cd)} paired docs lost all links, label agreement "
-        f"{agree}/{len(cd)} — the documented star trade"
+        f"under cap); connectivity 0 lost of {len(cd)} paired docs, "
+        f"label agreement {agree}/{len(cd)}"
     )
 
 
