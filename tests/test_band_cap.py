@@ -72,6 +72,50 @@ def test_cap_via_conf(spark, boiler):
     assert via_conf == explicit
 
 
+def test_chain_repair_reconnects_stranger_rep_bucket(spark):
+    """VERDICT r9 #3 loss class, unit-pinned: a mixed bucket whose MIN
+    doc is a stranger used to orphan the whole family (every star pair
+    fails the verify). Chain-repair must re-star the failed members
+    against the lowest failed co-member, reconnecting the family."""
+    keys = ["band_idx", "band_hash"]
+    bands = spark.createDataFrame(
+        [(d, 0, 7) for d in (1, 2, 3, 4)],
+        "doc_id long, band_idx int, band_hash long",
+    )
+    buckets = spark.createDataFrame(
+        [(0, 7, 1)], "band_idx int, band_hash long, _rep long"
+    )
+    fam = list(range(100, 110))
+    sets = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, fam), (3, fam), (4, fam + [200])],
+        "doc_id long, s array<long>",
+    )
+    out = {
+        (r.id_a, r.id_b)
+        for r in D._star_candidates_with_repair(
+            bands, buckets, keys, sets, 0.5
+        ).collect()
+    }
+    # star pairs still emitted (the caller's uniform verify drops them)
+    assert {(1, 2), (1, 3), (1, 4)} <= out
+    # the repair round: rep2 = min failed member (2) re-starred
+    assert {(2, 3), (2, 4)} <= out
+
+
+def test_malformed_maxdf_conf_raises(spark):
+    """ADVICE r9: a malformed invertedIndexMaxDf conf must raise, not
+    silently disable the df guard it configures."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    spark.conf.set(D.INVERTED_MAX_DF_CONF, "4k")
+    try:
+        with pytest.raises(ValueError, match="invertedIndexMaxDf"):
+            D.inverted_jaccard_pairs(docs, "doc_id", "text")
+    finally:
+        spark.conf.unset(D.INVERTED_MAX_DF_CONF)
+
+
 def test_signature_two_step_projection_values(spark):
     """r7 signature-stage fix: materializing the shingle array in its
     own Project (9.3x faster) must not change a single signature."""

@@ -14,6 +14,14 @@ git and polling continues. Every probe is appended to
 evidence/epoch_poll_r10.jsonl so the round's epoch history is itself
 an artifact.
 
+Acceptance is keyed to the RECORDED HEADLINE, not the probe alone:
+the anchor's purpose is tying calibration probes to the epoch class
+the BASELINE.md reference band (1.9-2.2 s headline) was measured in,
+so a recording is accepted iff its headline lands at or under
+HEADLINE_MAX (default 2.30 s ~ 1.0x the 2.24 s baseline point) AND
+the post-record probe confirms the epoch held. The probe threshold
+only gates when a record ATTEMPT is worth its ~6 minutes.
+
 Exit codes: 0 = anchor recorded and verified; 3 = deadline hit with
 no fast epoch (probe log still written).
 """
@@ -29,7 +37,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "evidence", "epoch_poll_r10.jsonl")
 RECORD_OUT = os.path.join(REPO, "evidence", "bench_record_r10.json")
-FAST = float(os.environ.get("EPOCH_FAST_CAL_CPU", "0.30"))
+FAST = float(os.environ.get("EPOCH_FAST_CAL_CPU", "0.40"))
+HEADLINE_MAX = float(os.environ.get("EPOCH_HEADLINE_MAX", "2.30"))
 INTERVAL = int(os.environ.get("EPOCH_POLL_INTERVAL_S", "420"))
 HOURS = float(os.environ.get("EPOCH_POLL_HOURS", "3.5"))
 
@@ -80,10 +89,26 @@ def main() -> int:
             )
             with open(RECORD_OUT, "w") as f:
                 f.write(rec.stdout)
+            headline = None
+            for line in rec.stdout.splitlines():
+                if line.startswith("{"):
+                    try:
+                        headline = json.loads(line).get("value")
+                    except ValueError:
+                        pass
             post = probe()
-            log({"event": "record", "rc": rec.returncode, "post": post})
+            log(
+                {
+                    "event": "record",
+                    "rc": rec.returncode,
+                    "headline": headline,
+                    "post": post,
+                }
+            )
             ok = (
                 rec.returncode == 0
+                and headline is not None
+                and headline <= HEADLINE_MAX
                 and post
                 and post.get("cal_cpu", 9e9) < FAST * 1.3
             )

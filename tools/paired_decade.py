@@ -129,6 +129,8 @@ def _fresh_legs_parent(args) -> None:
             cmd.append("--cpu")
         if args.io_codec:
             cmd += ["--io-codec", args.io_codec]
+        if args.shuffle_partitions:
+            cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
         cmd.append(key)
         out = subprocess.run(
             cmd, capture_output=True, text=True, cwd="/root/repo"
@@ -207,6 +209,15 @@ def main() -> None:
                          "work (CPU) ratio over bound — wall alone "
                          "mode-flips 1.4-3.6x on this box for identical "
                          "runs (r7 measurement, SCALE.md)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="spark.sql.shuffle.partitions override for BOTH "
+                         "legs (VERDICT r9 #7): the sf10 minhash leg's "
+                         "36 GB disk / 1 TB page spill is 32 partitions "
+                         "each external-sorting ~1.2 GB of exchange in "
+                         "bounded execution memory; more partitions = "
+                         "smaller per-task sorts = less paging. Applied "
+                         "to both legs so the ratio stays "
+                         "conf-consistent.")
     ap.add_argument("--io-codec", default=None,
                     help="spark.io.compression.codec override for BOTH "
                          "legs (e.g. zstd: ~40%% smaller shuffle files "
@@ -254,6 +265,10 @@ def main() -> None:
         # must land in the session builder: the codec is read from the
         # core SparkConf at shuffle-writer construction, not per-query
         extra_conf["spark.io.compression.codec"] = args.io_codec
+    if args.shuffle_partitions:
+        extra_conf["spark.sql.shuffle.partitions"] = str(
+            args.shuffle_partitions
+        )
     spark = get_spark("paired-decade", extra_conf=extra_conf or None)
     if args.prod:
         spark.conf.set("spark.mediaplaycounts.pairBlockCeiling", "2000")
