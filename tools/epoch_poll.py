@@ -54,14 +54,19 @@ print("CAL::" + json.dumps(bench._calibration(spark)))
 
 def probe() -> dict | None:
     """One fresh-JVM calibration read (subprocess: no warm-session
-    or JIT state can leak between polls)."""
-    out = subprocess.run(
-        [sys.executable, "-c", PROBE_SRC],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        timeout=900,
-    )
+    or JIT state can leak between polls). A timeout — the box so
+    saturated the probes can't finish — is itself a 'slow epoch'
+    reading, not a reason to kill the poll loop."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", PROBE_SRC],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        return None
     for line in out.stdout.splitlines():
         if line.startswith("CAL::"):
             return json.loads(line[5:])
