@@ -385,3 +385,48 @@ def test_cosine_pairs_blocked_null_and_mixed_dim_vectors(spark):
         S.cosine_pairs_blocked(
             mixed, "vec_id", "embedding", "label", 0.5, block_ceiling=10
         ).count()
+
+
+def test_cosine_fallback_multiprobe_candidate_model(spark):
+    """r10 multi-probe semantic pin (VERDICT r9 #2): with threshold -1
+    the routed path's output IS its candidate set (every candidate
+    passes a -1 cosine filter), which must equal the Hamming<=1 model —
+    pair (a,b) emitted iff some table t has buckets within 1 bit.
+    Computes the model driver-side from the SAME deterministic planes
+    (lsh_planes is md5-derived, engine-independent), so the test pins
+    the JOIN semantics, not the hashing."""
+    dim, n = 6, 30
+    vecs = {
+        i: [float(((i * 7 + j * 13) % 11) - 5) for j in range(dim)]
+        for i in range(n)
+    }
+    em = spark.createDataFrame(
+        [(i, "hot", v) for i, v in vecs.items()],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_blocked(
+            em, "vec_id", "embedding", "label", -1.0, block_ceiling=5
+        ).collect()
+    }
+    n_tables, n_planes = 8, 8
+    planes = S.lsh_planes(n_tables * n_planes, dim)
+
+    def bucket(v, t):
+        b = 0
+        for j in range(n_planes):
+            d = sum(x * y for x, y in zip(v, planes[t * n_planes + j]))
+            b |= (1 if d > 0 else 0) << j
+        return b
+
+    expected = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            for t in range(n_tables):
+                h = bucket(vecs[a], t) ^ bucket(vecs[b], t)
+                if bin(h).count("1") <= 1:
+                    expected.add((a, b))
+                    break
+    assert out == expected
+    assert expected, "degenerate fixture: no candidate pairs at all"
