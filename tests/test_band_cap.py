@@ -102,6 +102,90 @@ def test_chain_repair_reconnects_stranger_rep_bucket(spark):
     assert {(2, 3), (2, 4)} <= out
 
 
+def _stacked_bucket(spark, n_strangers=4, n_families=4, fam_size=4):
+    """One over-cap bucket = ``n_strangers`` mutually-dissimilar docs
+    (ids 1..s, so the bucket MIN is always a stranger until all are
+    peeled) stacked on ``n_families`` cohesive families (ids 10f+10 ..):
+    the >=4-deep stack VERDICT r10 next #2 demands, beyond the old
+    3-round bound."""
+    keys = ["band_idx", "band_hash"]
+    ids, sets = [], []
+    for s in range(1, n_strangers + 1):
+        ids.append(s)
+        sets.append((s, [1000 * s + k for k in range(5)]))
+    for f in range(n_families):
+        fam = [7000 + 100 * f + k for k in range(6)]
+        for m in range(fam_size):
+            d = 10 * (f + 1)
+            ids.append(d + m)
+            sets.append((d + m, fam))
+    bands = spark.createDataFrame(
+        [(d, 0, 7) for d in ids], "doc_id long, band_idx int, band_hash long"
+    )
+    buckets = spark.createDataFrame(
+        [(0, 7, min(ids))], "band_idx int, band_hash long, _rep long"
+    )
+    sdf = spark.createDataFrame(sets, "doc_id long, s array<long>")
+    return bands, buckets, keys, sdf, ids
+
+
+def test_chain_repair_unconditional_stacked_families(spark):
+    """VERDICT r10 next #2 done-criterion: a 4-family + 4-stranger
+    bucket (8 peeling rounds — far beyond the old 3-round bound) loses
+    ZERO nodes: after the caller-side exact verify, every family is
+    internally connected."""
+    bands, buckets, keys, sets, ids = _stacked_bucket(spark)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in D._star_candidates_with_repair(
+            bands, buckets, keys, sets, 0.5
+        ).collect()
+    }
+    shingle = {r.doc_id: set(r.s) for r in sets.collect()}
+
+    def jac(a, b):
+        i = len(shingle[a] & shingle[b])
+        return i / len(shingle[a] | shingle[b])
+
+    verified = {(a, b) for a, b in cand if jac(a, b) >= 0.5}
+    # connectivity: union-find over verified pairs
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for f in range(4):
+        fam = [10 * (f + 1) + m for m in range(4)]
+        roots = {find(d) for d in fam}
+        assert len(roots) == 1, f"family {f} split into {roots}"
+
+
+def test_chain_repair_round_ceiling_raises_loudly(spark):
+    """The hard iteration cap RAISES naming the residue instead of
+    silently returning partial candidates — via param and via the
+    starRepairMaxRounds conf (both paths live)."""
+    bands, buckets, keys, sets, _ = _stacked_bucket(spark)
+    with pytest.raises(ValueError, match="chain-repair exceeded"):
+        D._star_candidates_with_repair(
+            bands, buckets, keys, sets, 0.5, max_rounds=2
+        ).collect()
+    spark.conf.set(D.STAR_REPAIR_MAX_ROUNDS_CONF, "2")
+    try:
+        with pytest.raises(ValueError, match="chain-repair exceeded"):
+            D._star_candidates_with_repair(
+                bands, buckets, keys, sets, 0.5
+            ).collect()
+    finally:
+        spark.conf.unset(D.STAR_REPAIR_MAX_ROUNDS_CONF)
+
+
 def test_malformed_maxdf_conf_raises(spark):
     """ADVICE r9: a malformed invertedIndexMaxDf conf must raise, not
     silently disable the df guard it configures."""

