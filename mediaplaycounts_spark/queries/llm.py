@@ -816,6 +816,51 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 9) % 9 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, w * h * 3 - 1)) AS i
+            FROM dims
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS n_channels,
+               CAST(COUNT(*) AS BIGINT) AS n_px_bytes,
+               CAST(SUM(CASE WHEN i % 3 = 0
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS r_sum,
+               CAST(SUM(CASE WHEN i % 3 = 1
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS g_sum,
+               CAST(SUM(CASE WHEN i % 3 = 2
+                             THEN (doc_id * 7 + i * 13) % 256 END) AS BIGINT)
+                 AS b_sum
+        FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-codec image decode (VERDICT r10 next #7, proving the
+    "swap the parse fn" claim of multimodal_image_features): each doc
+    gets a deterministic non-interlaced RGB8 PNG payload — scanlines
+    rotate through ALL FIVE PNG filter types — and a stdlib-only
+    mapInPandas kernel (operators/multimodal.py::parse_png) walks the
+    chunk grammar, verifies CRC32s, inflates the IDAT stream, and
+    unfilters the raster. Dims and pixel values share the PPM path's
+    closed forms, so the SAME DuckDB first-principles oracle
+    value-grades a genuinely compressed decode end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_png_features(M.with_png_payload(docs, "doc_id"), "doc_id")
+
+
+@register(
     "dedup_clusters",
     oracle="""
         WITH RECURSIVE sh AS MATERIALIZED (
