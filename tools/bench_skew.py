@@ -130,6 +130,8 @@ def _completed_stage_ids(sc) -> set:
     import urllib.request
 
     base = sc.uiWebUrl
+    if base is None:  # UI disabled: gate mode must reach its own
+        return set()   # 'task stats unavailable' diagnostic (ADVICE r10)
     stages = json.load(
         urllib.request.urlopen(
             f"{base}/api/v1/applications/{sc.applicationId}"
@@ -158,6 +160,9 @@ def _window_task_stats(sc, before: set) -> dict:
     import urllib.request
 
     base = sc.uiWebUrl
+    if base is None:  # ADVICE r10: with spark.ui.enabled=false this
+        return {}      # must degrade to the designed gate message,
+                       # not a TypeError before the JSON line prints
     stages = json.load(
         urllib.request.urlopen(
             f"{base}/api/v1/applications/{sc.applicationId}"
@@ -204,6 +209,8 @@ def _task_skew_summary(sc) -> dict:
     import urllib.request
 
     base = sc.uiWebUrl
+    if base is None:
+        return {}
     own = sc.applicationId
     apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
     app_id = next(a["id"] for a in apps if a.get("id") == own)

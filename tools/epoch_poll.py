@@ -80,6 +80,17 @@ def log(entry: dict) -> None:
 
 
 def main() -> int:
+    # Snapshot the anchor file BEFORE any recording (ADVICE r10): a
+    # rejected record used to `git checkout --` the file, silently
+    # discarding any pre-existing uncommitted edits along with the
+    # rejected record. Restoring the snapshot reverts exactly what this
+    # tool wrote and nothing else.
+    ref_path = os.path.join(REPO, "bench_reference.json")
+    try:
+        with open(ref_path, "rb") as f:
+            ref_snapshot = f.read()
+    except OSError:
+        ref_snapshot = None
     deadline = time.time() + HOURS * 3600
     while time.time() < deadline:
         cal = probe()
@@ -121,11 +132,12 @@ def main() -> int:
                 log({"event": "accepted"})
                 return 0
             # epoch shifted mid-record: the recording is polluted —
-            # revert the anchor file and keep polling.
-            subprocess.run(
-                ["git", "checkout", "--", "bench_reference.json"],
-                cwd=REPO,
-            )
+            # restore the pre-run snapshot (NOT git HEAD, which would
+            # also discard unrelated uncommitted edits) and keep
+            # polling.
+            if ref_snapshot is not None:
+                with open(ref_path, "wb") as f:
+                    f.write(ref_snapshot)
             log({"event": "reverted"})
         time.sleep(INTERVAL)
     log({"event": "deadline"})
