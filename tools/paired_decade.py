@@ -125,6 +125,8 @@ def _fresh_legs_parent(args) -> None:
         ]
         if args.prod:
             cmd.append("--prod")
+        for kv in args.conf:
+            cmd += ["--conf", kv]
         if args.cpu:
             cmd.append("--cpu")
         if args.io_codec:
@@ -241,6 +243,12 @@ def main() -> None:
                          "code-cache history. Shuffle dirs are also "
                          "reaped at child exit (no cross-leg disk "
                          "accumulation).")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra k=v session conf applied to BOTH legs "
+                         "(repeatable) — e.g. "
+                         "spark.mediaplaycounts.pairBlockCeiling=100 to "
+                         "force the LSH ceiling route at every SF (r11, "
+                         "the multiprobe decade row)")
     ap.add_argument("--_one-leg", default=None, help=argparse.SUPPRESS)
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
@@ -273,6 +281,11 @@ def main() -> None:
     if args.prod:
         spark.conf.set("spark.mediaplaycounts.pairBlockCeiling", "2000")
         spark.conf.set("spark.mediaplaycounts.bandBucketCap", "256")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        if not v:
+            raise SystemExit(f"--conf expects k=v, got {kv!r}")
+        spark.conf.set(k, v)
     qs = entrymod.queries()
     sc = spark.sparkContext
 
