@@ -175,7 +175,8 @@ def _fresh_legs_parent(args) -> None:
             "bound": bound,
             "allowed": round(allowed, 1),
             "flag": flag,
-            "conf": "prod" if args.prod else "default",
+            "conf": ("prod" if args.prod else "default")
+            + ("".join(" " + c for c in args.conf)),
             "factor": args.factor,
             "protocol": f"fresh-legs best-of-{args.best_of}",
         }
@@ -362,7 +363,8 @@ def main() -> None:
             "bound": bound,
             "allowed": round(allowed, 1),
             "flag": flag,
-            "conf": "prod" if args.prod else "default",
+            "conf": ("prod" if args.prod else "default")
+            + ("".join(" " + c for c in args.conf)),
             "factor": args.factor,
         }
         if cpu_ratio is not None:
