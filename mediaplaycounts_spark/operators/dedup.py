@@ -168,7 +168,22 @@ def _jaccard_verify(
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(sa) + F.size(sb) - inter
     jac = inter.cast("double") / union.cast("double")
-    guard = (
+    # SIZE-ONLY SHORT-CIRCUIT ahead of the intersect conjunct (r11
+    # optimization round): inter <= min(|A|, |B|), so the intersect
+    # guard can only pass when min*(1+t) >= t*(|A|+|B|) — two int
+    # compares that skip the whole hash-set intersect for
+    # size-mismatched pairs (And short-circuits left to right in
+    # codegen). At the e2e threshold 0.6 this prunes every pair whose
+    # smaller doc is under ~0.6x the larger before any per-element
+    # work; at 0.05 it passes ~everything and costs two comparisons.
+    # Pure necessary condition of the guard below — the admitted set
+    # is unchanged, so results stay bit-identical.
+    size_ok = (
+        F.least(F.size(sa), F.size(sb)).cast("double") * (1.0 + threshold)
+        + F.lit(1e-9)
+        >= F.lit(threshold) * (F.size(sa) + F.size(sb)).cast("double")
+    )
+    guard = size_ok & (
         inter.cast("double") * (1.0 + threshold) + F.lit(1e-9)
         >= F.lit(threshold) * (F.size(sa) + F.size(sb)).cast("double")
     )
@@ -532,6 +547,28 @@ def minhash_lsh_pairs(
         num_hashes, rows_per_band = _banding_params(point)
     num_bands = num_hashes // rows_per_band
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    # ONE per-doc fingerprint projection feeds every consumer (r11
+    # optimization round; guide §2.4 remove-shuffles / §8 decide-with-
+    # small-rows): both sides of the band self-join AND both sides of
+    # the verify payload fetch derive from this base. The band join
+    # used to plan as a BroadcastHashJoin whose build side re-derived
+    # the whole shingle+64-hash signature pipeline from the parquet
+    # scan — the full candidate stage cost 30 executor-CPU s at sf0.1
+    # of which ~22 s was that recomputation (8.2 s from a materialized
+    # band table, .scratch probe). The `shuffle_hash` hint on `bands`
+    # makes both join sides identical Exchange subtrees, so Catalyst
+    # plans ONE exchange + ReusedExchange and the signature pipeline
+    # runs exactly once; the exchanged rows are (doc_id, band_idx,
+    # band_hash) ints — n_docs x bands x 20 B, linear. Same for the
+    # two `sets` fetch joins (both exchange the same hashed-set
+    # projection by doc_id). Measured on the full production path:
+    # 44.7 -> 25.9 executor-CPU s, wall 6.2 -> 2.8 s, output pair set
+    # bit-identical (175,553 pairs at sf0.1).
+    base = sigs.select(
+        "doc_id",
+        F.transform("shingle_set", lambda x: F.xxhash64(x)).alias("s"),
+        "sig",
+    )
     band_hash = F.array(
         *[
             F.xxhash64(
@@ -541,9 +578,9 @@ def minhash_lsh_pairs(
             for b in range(num_bands)
         ]
     )
-    bands = sigs.select(
+    bands = base.select(
         "doc_id", F.posexplode(band_hash).alias("band_idx", "band_hash")
-    )
+    ).hint("shuffle_hash")
     if band_bucket_cap is None:
         try:
             band_bucket_cap = int(
@@ -572,9 +609,10 @@ def minhash_lsh_pairs(
     # happily broadcast it and the 8 GB driver OOM'd building the
     # relation. shuffle_hash: doc_id is high-cardinality, so the build
     # side per partition is corpus/shuffle-partitions — bounded at any
-    # scale, no sort of the array payload. The arrays themselves are
-    # HASHED (see _hashed_sets) before the per-pair exchange.
-    sets = _hashed_sets(sigs.select("doc_id", F.col("shingle_set").alias("s")))
+    # scale, no sort of the array payload. The arrays are the int64
+    # `base` hashes (the `_hashed_sets` transform, now computed in the
+    # shared base projection so the fetch sides reuse one exchange).
+    sets = base.select("doc_id", "s").hint("shuffle_hash")
     if band_bucket_cap and band_bucket_cap > 0:
         # One linear aggregate finds hot buckets (tiny by construction:
         # at most band_rows/cap keys) — checkpointed so it runs once,
@@ -805,10 +843,24 @@ def _lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    sigs = sh.withColumn("sig", sig)
-    bands = sigs.select(
-        "doc_id", "blk", F.posexplode(band_hash).alias("band_idx", "band_hash")
+    # Shared fingerprint base + shuffle_hash on the band table, exactly
+    # as in :func:`minhash_lsh_pairs` (r11 optimization round): the
+    # band self-join sides and the two verify fetch sides all read ONE
+    # exchange each instead of re-deriving the shingle+signature
+    # pipeline per consumer. `sig` references the STRING shingles of
+    # ``sh`` (hash family unchanged — routed-path candidates stay
+    # byte-identical); the verify payload is the int64 hash of the
+    # same arrays (the `_hashed_sets` transform, folded into the base
+    # projection).
+    base = sh.select(
+        "doc_id",
+        "blk",
+        sig.alias("sig"),
+        F.transform("s", lambda x: F.xxhash64(x)).alias("s"),
     )
+    bands = base.select(
+        "doc_id", "blk", F.posexplode(band_hash).alias("band_idx", "band_hash")
+    ).hint("shuffle_hash")
 
     def _all_pairs(b: DataFrame) -> DataFrame:
         return (
@@ -830,8 +882,8 @@ def _lsh_candidate_pairs(
     except Exception:
         cap = 0
     # hashed verify payload + shuffle_hash pin (see _hashed_sets /
-    # minhash_lsh_pairs).
-    sets = _hashed_sets(sh.select("doc_id", "s"))
+    # minhash_lsh_pairs) — read from the shared base projection.
+    sets = base.select("doc_id", "s").hint("shuffle_hash")
     if cap > 0:
         keys = ["blk", "band_idx", "band_hash"]
         buckets = checkpoint_df(
@@ -903,6 +955,21 @@ def ngram_jaccard_pairs(
     small_part, big_part = _split_oversized_blocks(sh, ceiling)
 
     def _exact_pairs(part: DataFrame) -> DataFrame:
+        # int64-hash the shingle arrays BEFORE the salted self-join
+        # (r11 optimization round; guide §2.3 narrower types / §2.3
+        # shuffle-metadata-not-payloads): the direct path used to ship
+        # the STRING shingle arrays through the n_salt-replicated
+        # exchange and intersect UTF8 strings per candidate pair, while
+        # the LSH route had long since moved to `_hashed_sets` int64
+        # arrays. Hashing each shingle once up front cuts the exchange
+        # payload ~3x and turns every per-pair array_intersect from
+        # string hashing into long compares — measured 127.6 -> 50.9
+        # executor-CPU s (2.5x) on the full dedup_ngram_jaccard path at
+        # sf0.1, with the 403,884 output (id_a, id_b, jaccard) rows
+        # bit-identical (same xxhash64-collision argument, and the same
+        # accepted risk, as `_hashed_sets`: distinct shingles collide
+        # with probability ~ pairs x |A|^2 / 2^64 ~ 0).
+        part = part.withColumn("s", F.transform("s", lambda x: F.xxhash64(x)))
         a, b, cond = _salted_pair_join(part, n_salt)
         fetched = a.join(b, cond).select(
             F.col("a.doc_id").alias("id_a"),
@@ -1218,6 +1285,13 @@ def containment_pairs(
     small_part, big_part = _split_oversized_blocks(sh, ceiling)
 
     def _direct(part: DataFrame) -> DataFrame:
+        # Same int64 pre-hash as ngram_jaccard_pairs._exact_pairs (r11
+        # optimization round): containment = |A∩B|/|A| is preserved
+        # exactly under a collision-free per-shingle hash, and the
+        # salted exchange ships long arrays instead of strings. The
+        # routed branch below keeps STRING shingles — its prefix-filter
+        # ranks by (df, w) and the tie-break order must not change.
+        part = part.withColumn("s", F.transform("s", lambda x: F.xxhash64(x)))
         a, b, cond = _salted_pair_join(part, n_salt)
         fetched = a.join(b, cond).select(
             F.col("a.doc_id").alias("id_a"),
@@ -1278,9 +1352,16 @@ def simhash_near_dups(
             for c in range(4)
         ]
     )
+    # shuffle_hash (r11 optimization round): the chunk self-join used
+    # to plan as a BroadcastHashJoin whose build side re-ran the whole
+    # tokenize+explode+64-bit-vote fingerprint aggregation from the
+    # scan. With both sides hinted, the two Exchange subtrees are
+    # identical and Catalyst plans one exchange + ReusedExchange — the
+    # fingerprint groupBy runs once; the exchanged rows are
+    # (doc_id, fingerprint, chunk_idx, chunk_val) ints, 4x n_docs.
     chunks = fps.select(
         "doc_id", "fingerprint", F.posexplode(chunk).alias("chunk_idx", "chunk_val")
-    )
+    ).hint("shuffle_hash")
     cand = (
         chunks.alias("a")
         .join(

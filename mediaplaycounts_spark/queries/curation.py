@@ -1129,11 +1129,26 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (sc >= _STOP_FLOOR)
     ).select("doc_id", "lang", "rtext", n_words.alias("n_tokens"))
 
-    # stage 4: exact dedup — (hash, min-id) groupBy, join back
-    keeper = kept.groupBy(F.sha2("rtext", 256).alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # stage 4: exact dedup — keeper = min doc_id per content hash,
+    # expressed as ONE window pass instead of the old groupBy +
+    # join-back (r11 optimization round; guide §2.4): the join form
+    # derived `kept` twice in the checkpoint job — the two regex
+    # redactions and the Gopher token statistics are the most
+    # expensive scalar work in the pipeline and both ran once per
+    # join side — and paid two exchanges (hash agg + join). The
+    # row_number form partitions by sha2 once, keeps rn=1 (the same
+    # minimum-doc_id keeper), and derives `kept` exactly once.
+    # Value-identical to the oracle's exk/exd CTE pair.
+    exd = checkpoint_df(  # fork 1
+        kept.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.sha2("rtext", 256)).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    exd = checkpoint_df(kept.join(keeper.select("doc_id"), "doc_id"))  # fork 1
 
     # stage 5: near dedup on survivors — exact 2-gram Jaccard pairs
     # (block-ceiling self-routing inside) + connected components;
