@@ -455,7 +455,11 @@ def image_phash(df: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> pd.D
                 {"doc_id": ids, "width": ws, "height": hs, "phash": hashes}
             ).astype("int64")
 
-    return df.mapInPandas(phash_batches, PHASH_SCHEMA)
+    # Explicit projection before the Python boundary (guide §4): the
+    # current caller already passes exactly (id, payload), but an
+    # opaque mapInPandas otherwise ships — and scans — every column a
+    # future caller leaves attached.
+    return df.select(id_col, "payload").mapInPandas(phash_batches, PHASH_SCHEMA)
 
 
 IMAGE_RESIZE_SCHEMA = (

@@ -440,7 +440,15 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = Window.partitionBy("para").orderBy("doc_id", "pos")
     ranked = paras.withColumn("rn", F.row_number().over(first))
     kept = ranked.filter(F.col("rn") == 1)
-    tot = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    # n_paras counts over `ranked`, not `paras` (r11 optimization
+    # round): row_number adds a column and drops nothing, so the two
+    # tables have identical (doc_id, pos) rows — but counting the
+    # pre-window `paras` re-derived the whole chunking explode from the
+    # scan (its aggregate exchanges by doc_id while the window
+    # exchanges by para, so not even AQE stage reuse could share them).
+    # Counting the window output reads the para-keyed exchange that
+    # already exists: one corpus tokenization pass instead of two.
+    tot = ranked.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
     ka = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(

@@ -295,21 +295,30 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(F.split("text", " ")).alias("word"))
 
     def misra_gries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized Misra-Gries (r11 optimization round; guide §4.2):
+        # the old form looped over every TOKEN in Python — the one
+        # row-at-a-time Python loop left in a production path, and
+        # invisible to the executor-CPU gates because Python worker
+        # time is not JVM CPU. Each batch is now counted with
+        # pandas.value_counts (C speed), merged into the counter dict
+        # at VOCABULARY cardinality, and pruned with the mergeable-
+        # summaries rule: subtract the (k+1)-th largest count from
+        # all, drop non-positives. Each prune subtracts its threshold
+        # from > k positive counters, so the total decrement any word
+        # can accumulate is < n/(k+1) — any word with true count
+        # > n/k still ends positive, i.e. the candidate set remains a
+        # SUPERSET of the true heavy hitters (the exact recount below
+        # makes the final output identical regardless of which extra
+        # candidates survive).
         counters: dict[str, int] = {}
         for pdf in batches:
-            for w in pdf["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < _MG_K:
-                    counters[w] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > _MG_K:
+                thr = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = {
+                    w: c - thr for w, c in counters.items() if c > thr
+                }
         yield pd.DataFrame({"word": list(counters)})
 
     cands = toks.mapInPandas(misra_gries, "word string").distinct()

@@ -153,6 +153,57 @@ def test_heavy_hitters_equals_bruteforce(spark, queries):
     assert len(got) > 0
 
 
+def test_heavy_hitters_prune_path_stays_exact(spark, queries, tmp_path):
+    """Adversarial corpus for the vectorized Misra-Gries prune (r11).
+
+    SF_SMOKE's vocabulary (31 words) never exceeds k=200, so the
+    brute-force test above exercises only the merge half of the
+    kernel. Here the vocabulary is ~2500 words and the Arrow batch
+    size is forced down so the (k+1)-th-largest subtract-and-drop
+    prune fires many times inside one partition — the mergeable-
+    summaries superset guarantee is what keeps the exact recount
+    (and thus the output) identical to brute force.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng_words = [f"tail{i:04d}" for i in range(2500)]
+    docs = []
+    # 3 genuine heavy hitters woven through every doc, plus a long
+    # distinct tail so the counter dict repeatedly overflows k=200.
+    for d in range(50):
+        words = ["alpha", "beta", "alpha"] + rng_words[d * 50 : (d + 1) * 50]
+        if d % 2 == 0:
+            words += ["gamma"] * 3
+        docs.append((d, " ".join(words)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "t", pdf.text.str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    try:
+        got = {
+            (r.word, r.n)
+            for r in queries["agg_heavy_hitters"](spark, str(tmp_path)).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    toks = [w for _, t in docs for w in t.split(" ")]
+    n_total = len(toks)
+    counts = pd.Series(toks).value_counts()
+    exact = {(w, int(c)) for w, c in counts.items() if c * 200 >= n_total}
+    assert got == exact
+    # The heavy words must actually be heavy AND the tail must be big
+    # enough that the prune fired (vocab >> k).
+    assert {w for w, _ in exact} == {"alpha", "beta", "gamma"}
+    assert len(counts) > 2000
+
+
 def test_pagerank_structure(spark, queries):
     rows = queries["graph_pagerank_int"](spark, SF_SMOKE).collect()
     assert len(rows) > 0
