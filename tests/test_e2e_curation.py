@@ -82,3 +82,53 @@ def test_survivors_are_gate_keepers_and_decontaminated(spark, e2e):
     # per-stage key computes trigrams on RAW text; the e2e stage on
     # redacted text — identical on this PII-free corpus by construction
     assert out_ids.isdisjoint(contaminated)
+
+
+def test_anchor_guarded_redaction_equals_unguarded(spark):
+    """The r11 scalar rewrite gates each redaction regex behind a
+    contains() check for its literal anchor ('@' for _EMAIL_RE,
+    '+1-555-' for _PHONE_RE, the latter checked on the RAW text even
+    though the regex runs on the email-redacted text). Pin the
+    equivalence argument on adversarial strings: anchors adjacent to
+    matches, anchors without full matches, digits inside email local
+    parts, replacement boundaries — guarded and unguarded forms must
+    agree on every row."""
+    from pyspark.sql import functions as F
+
+    from mediaplaycounts_spark.queries.curation import _EMAIL_RE, _PHONE_RE
+
+    texts = [
+        "plain prose with no pii at all",
+        "user@example.com",
+        "+1-555-0123",
+        "both x9@y.z and +1-555-0000 here",
+        "adjacent abc@def.ghi+1-555-9999 no space",
+        "anchor only @ floating",
+        "anchor only +1-555- truncated",
+        "+1-555-12 too short to match",
+        "digits in local part a123@bb.cc",
+        "phone then email +1-555-4321 tail z@q.r",
+        "email-ish a@b (no tld dot) plus +1-555-7777",
+        "uppercase USER@EXAMPLE.COM stays (case-sensitive pattern)",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+    unguarded = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    detexted = F.when(
+        F.col("text").contains("@"),
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+    ).otherwise(F.col("text"))
+    guarded = F.when(
+        F.col("text").contains("+1-555-"),
+        F.regexp_replace(detexted, _PHONE_RE, "<PHONE>"),
+    ).otherwise(detexted)
+
+    rows = df.select("id", "text", unguarded.alias("u"), guarded.alias("g")).collect()
+    mismatches = [(r.text, r.u, r.g) for r in rows if r.u != r.g]
+    assert mismatches == []
+    # sanity: the corpus actually exercises both replacement paths
+    assert any("<EMAIL>" in r.u for r in rows)
+    assert any("<PHONE>" in r.u for r in rows)
