@@ -7,6 +7,20 @@ Method (BASELINE.md): one warm-up execution per query, then best-of-3
 timed runs. Queries execute end-to-end into the `noop` sink (full plan
 runs, no collect/serialization cost measured). Baseline reference
 numbers in BASELINE.md were measured the same way.
+
+OUTPUT CONTRACT (r12, VERDICT r11 next #2): stdout carries EXACTLY ONE
+compact JSON line — metric, value, unit, queries, extended, production,
+drift_alerts, sf. The grading driver keeps only a bounded TAIL of
+stdout and BENCH_r10 already broke on this (its single line grew past
+the tail buffer and the front was clipped mid-JSON, so the driver's
+round-over-round table came up empty). The verbose measurement blob
+(per-key executor-CPU floors, calibration probes, the dual-anchor
+calibrated arm) moved OFF stdout: it is written to
+``bench_verbose.json`` next to this file (override with
+$SPARK_GRAFT_BENCH_VERBOSE) and echoed to stderr. Timed region, query
+set, methodology and the raw ``value`` metric are UNCHANGED — this is
+a reporting-surface fix only, gated by a clipped-tail simulation test
+(tests/test_bench_contract.py).
 """
 
 from __future__ import annotations
@@ -30,6 +44,45 @@ REFERENCE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_reference.json"
 )
 DRIFT_FACTOR = 1.5
+
+#: Where the verbose measurement blob (cpu floors, calibration probes,
+#: calibrated arm) goes instead of stdout — see the module docstring.
+VERBOSE_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_VERBOSE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_verbose.json"),
+)
+
+#: The driver keeps a bounded tail of stdout; the contract line must
+#: survive front-clipping to this many bytes (BENCH_r10 regression —
+#: its tail buffer was ~2 KB). Enforced at runtime (loud stderr
+#: warning) and by tests/test_bench_contract.py.
+TAIL_SAFE_BYTES = 2000
+
+
+def contract_line(
+    total: float,
+    timings: dict,
+    extended: dict,
+    prod: dict,
+    drift_alerts: dict,
+    sf,
+) -> str:
+    """The single compact stdout line — everything else is verbose-file
+    material. Key order puts metric/value first so even a human tail
+    read starts at the headline."""
+    return json.dumps(
+        {
+            "metric": "headline_total_warm_best3",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extended": extended,
+            "production": prod,
+            "drift_alerts": drift_alerts,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
 
 #: CPU drift gate (VERDICT r7 #2/#7): wall time on this box mode-flips
 #: 1.4-3.6x for identical plans under machine load (measured r7, the
@@ -400,23 +453,33 @@ def main() -> None:
             f"DRIFT >%{int((DRIFT_FACTOR-1)*100)}: {drift_alerts}",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm_best3",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended": extended,
-                "production": prod,
-                "cpu": cpu,
-                "calibration": calibration,
-                "calibrated": calibrated,
-                "drift_alerts": drift_alerts,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    line = contract_line(total, timings, extended, prod, drift_alerts, sf_val)
+    if len(line) > TAIL_SAFE_BYTES:
+        # Never trim data silently — but say loudly that the driver's
+        # tail buffer may clip this line (the BENCH_r10 failure mode).
+        print(
+            f"WARNING: contract line {len(line)} B exceeds the "
+            f"{TAIL_SAFE_BYTES} B tail-safety budget",
+            file=sys.stderr,
         )
-    )
+    verbose = {
+        "cpu": cpu,
+        "calibration": calibration,
+        "calibrated": calibrated,
+        "value": total,
+        "queries": timings,
+        "extended": extended,
+        "production": prod,
+        "sf": sf_val,
+    }
+    try:
+        with open(VERBOSE_PATH, "w") as f:
+            json.dump(verbose, f, indent=2, sort_keys=True)
+    except OSError as ex:
+        print(f"WARNING: could not write {VERBOSE_PATH}: {ex}", file=sys.stderr)
+    print(f"VERBOSE: {json.dumps(verbose)}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
