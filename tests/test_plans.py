@@ -330,14 +330,34 @@ def test_shingle_array_join_sides_never_broadcast(spark, queries):
 
 def test_pairwise_blocked_ops_fan_out(spark, queries):
     """Low-cardinality block keys (5 langs / 10 labels) must NOT pin the
-    quadratic pairwise work to a handful of tasks: the probe side is
-    explicitly repartitioned on (blk, salt) with a user-specified count
-    (exempt from AQE coalescing). Measured 6x on 32 cores at sf0.1."""
-    for key in ("dedup_ngram_jaccard", "sim_cosine_pairs"):
-        plan = plan_of(queries[key](spark, SF_SMOKE))
-        m = re.search(r"Arguments: hashpartitioning\(blk#\d+, salt#\d+L?, (\d+)", plan)
-        assert m, key
-        assert int(m.group(1)) >= 32, (key, m.group(1))
+    quadratic pairwise work to a handful of tasks.
+
+    sim_cosine_pairs: the probe side is explicitly repartitioned on
+    (blk, salt) with a user-specified count (exempt from AQE
+    coalescing). Measured 6x on 32 cores at sf0.1.
+
+    dedup_ngram_jaccard (r12 — inverted-index direct path): the pair
+    work is keyed by (blk, shingle-hash), a HIGH-cardinality key, so
+    fan-out is structural — assert the postings self-join exchanges on
+    (blk, gh), never on blk alone."""
+    plan = plan_of(queries["sim_cosine_pairs"](spark, SF_SMOKE))
+    m = re.search(
+        r"Arguments: hashpartitioning\(blk#\d+, salt#\d+L?, (\d+)", plan
+    )
+    assert m, "sim_cosine_pairs"
+    assert int(m.group(1)) >= 32, ("sim_cosine_pairs", m.group(1))
+
+    plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF_SMOKE))
+    # The pair join must be keyed by the high-cardinality shingle hash
+    # (at smoke scale the tiny int posting side may legitimately
+    # BROADCAST — zero exchange — so accept either shape) …
+    assert re.search(r"hashpartitioning\(blk#\d+, gh#\d+L", plan) or (
+        "BroadcastHashJoin" in plan and re.search(r"gh#\d+L", plan)
+    ), "postings self-join must be keyed by (blk, shingle-hash)"
+    # … and NOTHING may exchange on the low-cardinality block alone.
+    assert not re.search(
+        r"hashpartitioning\(blk#\d+, \d+\)", plan
+    ), "no exchange may be keyed by the low-cardinality block alone"
 
 
 def test_partition_discovery_prunes_directories(spark, queries):
