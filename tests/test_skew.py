@@ -175,14 +175,25 @@ def test_skewed_plan_respects_shuffle_ceiling(spark, skew_dir, key):
 
 
 def test_salt_fanout_engages_on_skewed_blocks(spark, skew_dir):
-    """The lang-blocked exact-pair join must partition on (blk, salt) —
-    with 80% of docs in one lang, an unsalted blk-only partitioning
-    would put 80% of the quadratic work in one task. The fan-out is in
-    the PLAN (not data-dependent), proven here on the skewed corpus."""
+    """The lang-blocked exact-pair work must not key an exchange on the
+    low-cardinality blk alone — with 80% of docs in one lang that would
+    put 80% of the quadratic work in one task. Since r12 the direct
+    path is the inverted shingle index: the postings self-join is keyed
+    by (blk, shingle-hash), a HIGH-cardinality key, so the fan-out is
+    structural. Proven here on the skewed corpus: the plan exchanges on
+    (blk, gh) (or legitimately broadcasts the tiny int posting side at
+    fixture scale) and never hash-partitions on blk by itself."""
     df = entrymod.queries()["dedup_ngram_jaccard"](spark, skew_dir)
     plan = _plan(df)
-    m = re.search(r"hashpartitioning\(blk[^)]*salt", plan)
-    assert m, "expected (blk, salt) hashpartitioning in the pair-join plan"
+    assert re.search(r"hashpartitioning\(blk#\d+, gh#\d+L", plan) or (
+        "BroadcastHashJoin" in plan and re.search(r"gh#\d+L", plan)
+    ), "postings self-join must be keyed by (blk, shingle-hash)"
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert not re.fullmatch(r"blk#\d+, \d+", keys), (
+            "exchange keyed on blk alone",
+            keys,
+        )
 
 
 def test_block_ceiling_routes_giant_block_through_lsh(spark, skew_dir):
