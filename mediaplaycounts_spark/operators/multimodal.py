@@ -415,7 +415,12 @@ def audio_vad_energy(
 PHASH_SCHEMA = "doc_id bigint, width bigint, height bigint, phash bigint"
 
 
-def image_phash(df: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> pd.DataFrame:
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    payload_col: str = "payload",
+) -> pd.DataFrame:
     """Perceptual average-hash over DECODED rasters: sample ``n_bits``
     pixels at fixed fractional positions, bit j = [sampled pixel's
     channel sum >= the image's mean channel sum], packed little-endian
@@ -429,7 +434,7 @@ def image_phash(df: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> pd.D
     def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, hashes = [], [], [], []
-            for doc_id, raw in zip(pdf[id_col], pdf["payload"]):
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(raw)
                 pos = b.index(b"255\n") + 4  # fixture header is canonical
                 import re as _re
@@ -459,7 +464,7 @@ def image_phash(df: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> pd.D
     # current caller already passes exactly (id, payload), but an
     # opaque mapInPandas otherwise ships — and scans — every column a
     # future caller leaves attached.
-    return df.select(id_col, "payload").mapInPandas(phash_batches, PHASH_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(phash_batches, PHASH_SCHEMA)
 
 
 IMAGE_RESIZE_SCHEMA = (

@@ -321,7 +321,13 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
         yield pd.DataFrame({"word": list(counters)})
 
-    cands = toks.mapInPandas(misra_gries, "word string").distinct()
+    # No .distinct() on the candidates (r12, VERDICT r11 #5): the
+    # worker already emits each partition's counter dict KEYS — ≤ k
+    # distinct words per partition — and a left-semi join has set
+    # semantics regardless of duplicate build-side keys, so the
+    # distinct's exchange + extra stage bought nothing. The broadcast
+    # build side is ≤ k × n_partitions tiny strings either way.
+    cands = toks.mapInPandas(misra_gries, "word string")
     counts = (
         toks.join(F.broadcast(cands), "word", "leftsemi")
         .groupBy("word")

@@ -117,14 +117,11 @@ def test_anchor_guarded_redaction_equals_unguarded(spark):
     unguarded = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
-    detexted = F.when(
-        F.col("text").contains("@"),
-        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
-    ).otherwise(F.col("text"))
-    guarded = F.when(
-        F.col("text").contains("+1-555-"),
-        F.regexp_replace(detexted, _PHONE_RE, "<PHONE>"),
-    ).otherwise(detexted)
+    # the ACTUAL production expression (ADVICE r11: the test used to
+    # re-declare it inline, so pipeline drift could not fail here)
+    from mediaplaycounts_spark.queries.curation import guarded_redact
+
+    guarded = guarded_redact(F.col("text"))
 
     rows = df.select("id", "text", unguarded.alias("u"), guarded.alias("g")).collect()
     mismatches = [(r.text, r.u, r.g) for r in rows if r.u != r.g]

@@ -1,11 +1,12 @@
 """Per-stage CPU dump for a production label or registry key (fresh
 JVM recommended: run one key per invocation)."""
 import json
+import os
 import sys
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _stages(sc):
@@ -15,6 +16,12 @@ def _stages(sc):
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(
+            "usage: python tools/probe_stages.py <key-or-label> [sf_dir]",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     label = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     from mediaplaycounts_spark.session import get_spark
